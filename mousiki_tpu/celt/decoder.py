@@ -203,7 +203,8 @@ class CeltDecoder:
     # ------------------------------------------------------------------
     def decode_with_ec(self, data: bytes | None, frame_size: int,
                        dec: RangeDecoder | None = None,
-                       accum_pcm: np.ndarray | None = None) -> np.ndarray:
+                       accum_pcm: np.ndarray | None = None,
+                       return_desc: bool = False):
         """Decode one CELT frame; returns float PCM (frame_size/downsample, CC).
 
         If accum_pcm is given, decoded samples are added into it (used by the
@@ -355,11 +356,26 @@ class CeltDecoder:
         if silence:
             old_band_e[:, :] = -28.0
 
-        self._synthesis(X, old_band_e, self.start, eff_end, C, CC,
-                        bool(is_transient), LM, silence)
+        desc = None
+        if return_desc:
+            # Host/device split: hand the frame descriptor to the batched
+            # device synthesis instead of synthesizing here. Energy state
+            # bookkeeping below still runs on the host.
+            desc = {
+                "x": X.copy() if C == CC else np.repeat(X, CC, axis=0)[:CC],
+                "band_log_e": old_band_e[:CC].copy(),
+                "transient": bool(is_transient),
+                "silence": bool(silence),
+                "pf_pitch": postfilter_pitch,
+                "pf_gain": postfilter_gain,
+                "pf_tapset": postfilter_tapset,
+            }
+        else:
+            self._synthesis(X, old_band_e, self.start, eff_end, C, CC,
+                            bool(is_transient), LM, silence)
 
         # postfilter
-        for c in range(CC):
+        for c in range(CC if not return_desc else 0):
             self.postfilter_period = max(self.postfilter_period, COMBFILTER_MINPERIOD)
             self.postfilter_period_old = max(self.postfilter_period_old,
                                              COMBFILTER_MINPERIOD)
@@ -410,7 +426,7 @@ class CeltDecoder:
             self.old_log_e2[c, self.end:] = -28.0
         self.rng = dec.rng & 0xFFFFFFFF
 
-        pcm = self._deemphasis(N, CC, accum_pcm)
+        pcm = None if return_desc else self._deemphasis(N, CC, accum_pcm)
         self.loss_count = 0
         self.loss_duration = 0
         self.prefilter_and_fold = False
@@ -418,7 +434,7 @@ class CeltDecoder:
             raise ValueError("decoder consumed too many bits")
         if dec.get_error():
             self.error = 1
-        return pcm
+        return desc if return_desc else pcm
 
     # ------------------------------------------------------------------
     def _synthesis(self, X: np.ndarray, old_band_e: np.ndarray, start: int,
