@@ -1,0 +1,507 @@
+"""CELT encoder: produces valid streams decodable by libopus and our decoder.
+
+Parity target: reference `src/celt/celt_encoder.rs` (celt_encode_with_ec:
+6710). The normative symbol layout (coarse energy incl. two-pass intra RD,
+tf, spread, dynalloc, trim, allocation, PVQ, anti-collapse, fine/finalise)
+matches libopus exactly; perceptual heuristics (transient detection,
+dynalloc boosts, trim analysis, prefilter pitch search) start as simpler
+conservative versions — every choice they make is a valid bitstream, and
+they are refined incrementally against quality benchmarks.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.entcode import BITRES, RangeEncoder, ec_ilog
+from ..bitstream.laplace import laplace_encode
+from .bands import quant_all_bands
+from .decoder import (COMBFILTER_MAXPERIOD, COMBFILTER_MINPERIOD,
+                      SPREAD_ICDF, TAPSET_ICDF, TF_SELECT_TABLE, TRIM_ICDF,
+                      init_caps)
+from .modes import CeltMode, MAX_FINE_BITS, opus_custom_mode
+from .ops_float import (amp2_log2, compute_band_energies, normalise_bands)
+from .quant_bands import (BETA_COEF, BETA_INTRA, E_PROB_MODEL, PRED_COEF,
+                          SMALL_ENERGY_ICDF)
+from .rate import clt_compute_allocation
+from ..ops.mdct import mdct_fold, mdct_matrix
+from .vq import SPREAD_NORMAL
+
+
+@dataclass
+class CeltEncoder:
+    mode: CeltMode = None
+    channels: int = 2
+    stream_channels: int = 2
+    upsample: int = 1
+    start: int = 0
+    end: int = 21
+    bitrate: int = -1  # OPUS_BITRATE_MAX
+    vbr: bool = False
+    constrained_vbr: bool = True
+    complexity: int = 5
+    lsb_depth: int = 24
+    disable_inv: bool = False
+    lfe: bool = False
+    loss_rate: int = 0
+    force_intra: bool = False
+
+    def __post_init__(self):
+        if self.mode is None:
+            self.mode = opus_custom_mode()
+        self.overlap = self.mode.overlap
+        nb = self.mode.num_ebands
+        CC = self.channels
+        self.rng = 0
+        self.spread_decision = SPREAD_NORMAL
+        self.delayed_intra = 1.0
+        self.tonal_average = 256
+        self.hf_average = 0
+        self.tapset_decision = 0
+        self.prefilter_period = 0
+        self.prefilter_gain = 0.0
+        self.prefilter_tapset = 0
+        self.consec_transient = 0
+        self.intensity = 0
+        self.last_coded_bands = 0
+        self.in_mem = np.zeros((CC, self.overlap), np.float64)
+        self.prefilter_mem = np.zeros((CC, COMBFILTER_MAXPERIOD), np.float64)
+        self.old_band_e = np.zeros((2, nb), np.float64)
+        self.old_log_e = np.full((2, nb), -28.0, np.float64)
+        self.old_log_e2 = np.full((2, nb), -28.0, np.float64)
+        self.energy_error = np.zeros((2, nb), np.float64)
+        self.preemph_mem = np.zeros(CC, np.float64)
+        self.vbr_reservoir = 0
+        self.vbr_offset = 0
+        self.vbr_drift = 0
+        self.vbr_count = 0
+
+    def reset(self):
+        self.__post_init__()
+
+    # ------------------------------------------------------------------
+    def encode_with_ec(self, pcm: np.ndarray, frame_size: int,
+                       nb_compressed_bytes: int,
+                       enc: RangeEncoder | None = None) -> bytes | None:
+        """Encode one frame; pcm is float (frame_size, CC) in [-1, 1].
+
+        Returns the compressed bytes when it owns the encoder, else None
+        (hybrid mode: caller's RangeEncoder carries the stream).
+        """
+        mode = self.mode
+        C = self.stream_channels
+        CC = self.channels
+        nb = mode.num_ebands
+        overlap = self.overlap
+        eb = mode.ebands
+
+        LM = None
+        for lm in range(mode.max_lm + 1):
+            if mode.short_mdct_size << lm == frame_size:
+                LM = lm
+                break
+        if LM is None:
+            raise ValueError("bad frame size")
+        M = 1 << LM
+        N = M * mode.short_mdct_size
+
+        own_enc = enc is None
+        if own_enc:
+            enc = RangeEncoder(nb_compressed_bytes)
+            tell = 1
+        else:
+            tell = enc.tell()
+        nb_filled_bytes = 0 if own_enc else (tell + 4) >> 3
+
+        if self.bitrate != -1:
+            tmp = self.bitrate * frame_size
+            if tell > 1:
+                tmp += tell
+            nb_compressed_bytes = max(2, min(
+                nb_compressed_bytes, (tmp + 4 * mode.fs) // (8 * mode.fs)))
+        effective_bytes = nb_compressed_bytes - nb_filled_bytes
+        if own_enc:
+            enc.shrink(nb_compressed_bytes)
+
+        total_bits = nb_compressed_bytes * 8
+        eff_end = min(self.end, mode.effective_ebands)
+
+        # --- preemphasis into the analysis buffer ---
+        inb = np.empty((CC, N + overlap), np.float64)
+        inb[:, :overlap] = self.in_mem
+        coef0 = mode.preemph[0]
+        for c in range(min(CC, pcm.shape[1]) if pcm.ndim > 1 else 1):
+            x = pcm[:, c] * 32768.0
+            m = self.preemph_mem[c]
+            out = np.empty(N)
+            # y[n] = x[n] - coef0*x[n-1] with carried memory
+            out[0] = x[0] - m
+            out[1:] = x[1:] - coef0 * x[:-1]
+            self.preemph_mem[c] = coef0 * x[-1]
+            inb[c, overlap:] = out
+        if CC == 2 and (pcm.ndim == 1 or pcm.shape[1] == 1):
+            inb[1] = inb[0]
+        self.in_mem = inb[:, N: N + overlap].copy()
+
+        # --- silence detection ---
+        silence = bool(np.abs(pcm).max() <= 1.0 / (1 << self.lsb_depth))
+        if tell == 1:
+            enc.enc_bit_logp(1 if silence else 0, 15)
+        else:
+            silence = False
+        if silence:
+            # pretend we've used all bits
+            enc.nbits_total += total_bits - enc.tell()
+
+        # --- prefilter (pitch) header ---
+        pf_on = 0
+        pitch_index = COMBFILTER_MINPERIOD
+        gain1 = 0.0
+        qg = 0
+        if self.start == 0 and not silence and enc.tell() + 16 <= total_bits:
+            enc.enc_bit_logp(pf_on, 1)
+            # pf_on = 0: nothing else coded
+        prefilter_tapset = self.tapset_decision
+
+        # --- transient analysis ---
+        is_transient = 0
+        if LM > 0 and enc.tell() + 3 <= total_bits and not silence:
+            is_transient = 1 if self._transient_analysis(inb, N, CC) else 0
+            enc.enc_bit_logp(is_transient, 3)
+        short_blocks = M if is_transient else 0
+
+        # --- MDCT + energies ---
+        freq = self._compute_mdcts(inb, short_blocks, LM, CC)
+        if CC == 2 and C == 1:
+            freq = (freq[:1] + freq[1:]) * 0.5
+        band_e = compute_band_energies(mode, freq, eff_end, M, C)
+        band_log_e = amp2_log2(mode, band_e, eff_end, self.end, C)
+        X = normalise_bands(mode, freq, band_e, eff_end, M, C)
+
+        # --- coarse energy ---
+        error = np.zeros((2, nb), np.float64)
+        self._quant_coarse_energy(
+            enc, band_log_e, error, total_bits, C, LM, eff_end,
+            effective_bytes, two_pass=self.complexity >= 4)
+
+        # --- tf ---
+        tf_res = [0] * nb
+        self._tf_encode(enc, bool(is_transient), tf_res, LM, 0, total_bits)
+
+        # --- spread ---
+        if enc.tell() + 4 <= total_bits:
+            if self.complexity == 0 or silence:
+                self.spread_decision = 0  # SPREAD_NONE
+            else:
+                self.spread_decision = SPREAD_NORMAL
+            enc.enc_icdf(self.spread_decision, SPREAD_ICDF, 5)
+
+        # --- dynalloc (no boosts in v1) ---
+        cap = init_caps(mode, LM, C)
+        offsets = [0] * nb
+        dynalloc_logp = 6
+        total_bits_q3 = total_bits << BITRES
+        tell_frac = enc.tell_frac()
+        for i in range(self.start, self.end):
+            width = C * (int(eb[i + 1]) - int(eb[i])) << LM
+            quanta = min(width << BITRES, max(6 << BITRES, width))
+            dynalloc_loop_logp = dynalloc_logp
+            boost = 0
+            # encode the "no boost" flag chain (single 0 bit when affordable)
+            if (tell_frac + (dynalloc_loop_logp << BITRES) < total_bits_q3
+                    and boost < cap[i]):
+                enc.enc_bit_logp(0, dynalloc_loop_logp)
+                tell_frac = enc.tell_frac()
+            offsets[i] = boost
+
+        # --- trim ---
+        alloc_trim = 5
+        if enc.tell_frac() + (6 << BITRES) <= total_bits_q3:
+            if C == 2 and self.start == 0:
+                alloc_trim = self._alloc_trim_analysis(X, band_log_e, N, LM, C)
+            enc.enc_icdf(alloc_trim, TRIM_ICDF, 7)
+
+        # --- allocation ---
+        bits = ((nb_compressed_bytes * 8) << BITRES) - enc.tell_frac() - 1
+        anti_collapse_rsv = (1 << BITRES) if (
+            is_transient and LM >= 2 and bits >= (LM + 2) << BITRES) else 0
+        bits -= anti_collapse_rsv
+
+        intensity = self.end  # no intensity stereo in v1 heuristics
+        dual_stereo = 0
+        signal_bandwidth = self.end - 1
+        alloc = clt_compute_allocation(
+            mode, self.start, self.end, offsets, cap, alloc_trim,
+            intensity, dual_stereo, bits, C, LM, enc, is_encoder=True,
+            prev=self.last_coded_bands, signal_bandwidth=signal_bandwidth)
+        coded_bands = alloc.coded_bands
+        if self.last_coded_bands:
+            self.last_coded_bands = min(self.last_coded_bands + 1,
+                                        max(self.last_coded_bands - 1, coded_bands))
+        else:
+            self.last_coded_bands = coded_bands
+
+        self._quant_fine_energy(enc, error, alloc.ebits, C)
+
+        # --- PVQ band encode ---
+        collapse_masks = np.zeros(C * nb, np.uint8)
+        X_flat = np.concatenate([X[c] for c in range(C)])
+        self.rng = quant_all_bands(
+            True, mode, self.start, self.end, X_flat[:N],
+            X_flat[N:] if C == 2 else None, collapse_masks, band_e,
+            alloc.pulses, bool(short_blocks), self.spread_decision,
+            alloc.dual_stereo, alloc.intensity, tf_res,
+            nb_compressed_bytes * (8 << BITRES) - anti_collapse_rsv,
+            alloc.balance, enc, LM, coded_bands, self.rng,
+            self.complexity, self.disable_inv)
+
+        anti_collapse_on = 0
+        if anti_collapse_rsv > 0:
+            anti_collapse_on = 1 if self.consec_transient < 2 else 0
+            enc.enc_bits(anti_collapse_on, 1)
+
+        self._quant_energy_finalise(enc, error, alloc.ebits,
+                                    alloc.fine_priority,
+                                    nb_compressed_bytes * 8 - enc.tell(), C)
+        self.energy_error[:, :] = 0.0
+        for c in range(C):
+            self.energy_error[c, self.start:self.end] = np.clip(
+                error[c, self.start:self.end], -0.5, 0.5)
+
+        if silence:
+            self.old_band_e[:, :] = -28.0
+
+        # --- state updates (match decoder bookkeeping) ---
+        self.prefilter_period = pitch_index
+        self.prefilter_gain = gain1
+        self.prefilter_tapset = prefilter_tapset
+        if C == 1:
+            self.old_band_e[1] = self.old_band_e[0]
+        if not is_transient:
+            self.old_log_e2[:, :] = self.old_log_e
+            self.old_log_e[:, :] = self.old_band_e
+        else:
+            self.old_log_e = np.minimum(self.old_log_e, self.old_band_e)
+        for c in range(2):
+            self.old_band_e[c, : self.start] = 0.0
+            self.old_log_e[c, : self.start] = -28.0
+            self.old_log_e2[c, : self.start] = -28.0
+            self.old_band_e[c, self.end:] = 0.0
+            self.old_log_e[c, self.end:] = -28.0
+            self.old_log_e2[c, self.end:] = -28.0
+        self.consec_transient = self.consec_transient + 1 if is_transient else 0
+        self.rng = enc.rng & 0xFFFFFFFF
+
+        if enc.tell() > 8 * nb_compressed_bytes:
+            raise ValueError("encoder busted budget")
+        if own_enc:
+            enc.done()
+            if enc.get_error():
+                raise ValueError("range encoder error")
+            return enc.data()
+        return None
+
+    # ------------------------------------------------------------------
+    def _compute_mdcts(self, inb, short_blocks, LM, CC):
+        mode = self.mode
+        N = mode.short_mdct_size << LM
+        overlap = self.overlap
+        if short_blocks:
+            B = short_blocks
+            NB = mode.short_mdct_size
+        else:
+            B = 1
+            NB = N
+        F = mdct_matrix(NB)
+        w = mode.window.astype(np.float64)
+        freq = np.empty((CC, N), np.float64)
+        for c in range(CC):
+            for b in range(B):
+                seg = inb[c, b * NB: b * NB + NB + overlap]
+                coeffs = mdct_fold(seg, w, NB) @ F.T
+                freq[c, b::B] = coeffs
+        return freq
+
+    def _transient_analysis(self, inb, N, CC) -> bool:
+        """Simplified transient detector: short-window energy ratio on the
+        preemphasized signal (reference transient_analysis:2592 uses an HP
+        filtered forward-masking model; this conservative version only
+        triggers on strong onsets)."""
+        x = inb[:, self.overlap:]
+        win = 120
+        e = (x.reshape(CC, -1, win) ** 2).sum(axis=2) + 1e-9
+        ratio = e[:, 1:] / np.maximum(e[:, :-1].cumsum(axis=1)
+                                      / np.arange(1, e.shape[1])[None, :], 1e-9)
+        return bool((ratio > 16.0).any())
+
+    def _alloc_trim_analysis(self, X, band_log_e, N, LM, C) -> int:
+        # conservative mid trim; refine with tonality/stereo correlation later
+        return 5
+
+    # ------------------------------------------------------------------
+    def _quant_coarse_energy(self, enc, e_bands, error, budget, C, LM,
+                             eff_end, nb_available_bytes, two_pass):
+        start, end = self.start, self.end
+        old = self.old_band_e
+        intra = self.force_intra or (
+            not two_pass and self.delayed_intra > 2 * C * (end - start)
+            and nb_available_bytes > (end - start) * C)
+        intra_bias = int(budget * self.delayed_intra * self.loss_rate / (C * 512))
+        new_distortion = self._loss_distortion(e_bands, old, start, eff_end, C)
+
+        tell = enc.tell()
+        if tell + 3 > budget:
+            two_pass = False
+            intra = False
+
+        max_decay = 16.0
+        if end - start > 10:
+            max_decay = min(max_decay, 0.125 * nb_available_bytes)
+        if self.lfe:
+            max_decay = 3.0
+
+        snap_start = enc.save()
+        old_intra = old.copy()
+        error_intra = np.zeros_like(error)
+        badness1 = 0
+        if two_pass or intra:
+            badness1 = self._coarse_impl(enc, e_bands, old_intra, budget, tell,
+                                         E_PROB_MODEL[LM][1], error_intra, C,
+                                         LM, True, max_decay)
+        if not intra:
+            snap_intra = enc.save()
+            tell_intra = enc.tell_frac()
+            enc.restore(snap_start)
+            badness2 = self._coarse_impl(enc, e_bands, old, budget, tell,
+                                         E_PROB_MODEL[LM][0], error, C, LM,
+                                         False, max_decay)
+            if two_pass and (badness1 < badness2
+                             or (badness1 == badness2
+                                 and enc.tell_frac() + intra_bias > tell_intra)):
+                enc.restore(snap_intra)
+                old[:, :] = old_intra
+                error[:, :] = error_intra
+                intra = True
+        else:
+            old[:, :] = old_intra
+            error[:, :] = error_intra
+
+        if intra:
+            self.delayed_intra = new_distortion
+        else:
+            self.delayed_intra = (PRED_COEF[LM] ** 2 * self.delayed_intra
+                                  + new_distortion)
+
+    def _loss_distortion(self, e_bands, old, start, end, C):
+        d = e_bands[:C, start:end] - old[:C, start:end]
+        return min(200.0, float((d * d).sum()))
+
+    def _coarse_impl(self, enc, e_bands, old, budget, tell, prob_model,
+                     error, C, LM, intra, max_decay):
+        start, end = self.start, self.end
+        badness = 0
+        prev = [0.0, 0.0]
+        if tell + 3 <= budget:
+            enc.enc_bit_logp(1 if intra else 0, 3)
+        coef = 0.0 if intra else PRED_COEF[LM]
+        beta = BETA_INTRA if intra else BETA_COEF[LM]
+        for i in range(start, end):
+            for c in range(C):
+                x = float(e_bands[c, i])
+                old_e = max(-9.0, float(old[c, i]))
+                f = x - coef * old_e - prev[c]
+                qi = int(math.floor(0.5 + f))
+                decay_bound = max(-28.0, float(old[c, i])) - max_decay
+                if qi < 0 and x < decay_bound:
+                    qi += int(decay_bound - x)
+                    if qi > 0:
+                        qi = 0
+                qi0 = qi
+                tell = enc.tell()
+                bits_left = budget - tell - 3 * C * (end - i)
+                if i != start and bits_left < 30:
+                    if bits_left < 24:
+                        qi = min(1, qi)
+                    if bits_left < 16:
+                        qi = max(-1, qi)
+                if self.lfe and i >= 2:
+                    qi = min(qi, 0)
+                if budget - tell >= 15:
+                    pi = 2 * min(i, 20)
+                    qi = laplace_encode(enc, qi,
+                                        prob_model[pi] << 7,
+                                        prob_model[pi + 1] << 6)
+                elif budget - tell >= 2:
+                    qi = max(-1, min(qi, 1))
+                    enc.enc_icdf((2 * qi) ^ -(1 if qi < 0 else 0),
+                                 SMALL_ENERGY_ICDF, 2)
+                elif budget - tell >= 1:
+                    qi = min(0, qi)
+                    enc.enc_bit_logp(-qi, 1)
+                else:
+                    qi = -1
+                error[c, i] = f - qi
+                badness += abs(qi0 - qi)
+                q = float(qi)
+                tmp = coef * old_e + prev[c] + q
+                old[c, i] = tmp
+                prev[c] = prev[c] + q - beta * q
+        return 0 if self.lfe else badness
+
+    # ------------------------------------------------------------------
+    def _tf_encode(self, enc, is_transient, tf_res, LM, tf_select, budget):
+        start, end = self.start, self.end
+        tell = enc.tell()
+        logp = 2 if is_transient else 4
+        tf_select_rsv = 1 if (LM > 0 and tell + logp + 1 <= budget) else 0
+        budget -= tf_select_rsv
+        curr = tf_changed = 0
+        for i in range(start, end):
+            if tell + logp <= budget:
+                enc.enc_bit_logp(tf_res[i] ^ curr, logp)
+                tell = enc.tell()
+                curr = tf_res[i]
+                tf_changed |= curr
+            else:
+                tf_res[i] = curr
+            logp = 4 if is_transient else 5
+        ti = 1 if is_transient else 0
+        if tf_select_rsv and (TF_SELECT_TABLE[LM][4 * ti + 0 + tf_changed]
+                              != TF_SELECT_TABLE[LM][4 * ti + 2 + tf_changed]):
+            enc.enc_bit_logp(tf_select, 1)
+        else:
+            tf_select = 0
+        for i in range(start, end):
+            tf_res[i] = TF_SELECT_TABLE[LM][4 * ti + 2 * tf_select + tf_res[i]]
+
+    def _quant_fine_energy(self, enc, error, fine_quant, C):
+        for i in range(self.start, self.end):
+            if fine_quant[i] <= 0:
+                continue
+            frac = 1 << fine_quant[i]
+            for c in range(C):
+                q2 = int(math.floor((error[c, i] + 0.5) * frac))
+                q2 = max(0, min(q2, frac - 1))
+                enc.enc_bits(q2, fine_quant[i])
+                offset = (q2 + 0.5) * (2.0 ** -fine_quant[i]) - 0.5
+                self.old_band_e[c, i] += offset
+                error[c, i] -= offset
+
+    def _quant_energy_finalise(self, enc, error, fine_quant, fine_priority,
+                               bits_left, C):
+        for prio in range(2):
+            for i in range(self.start, self.end):
+                if bits_left < C:
+                    break
+                if fine_quant[i] >= MAX_FINE_BITS or fine_priority[i] != prio:
+                    continue
+                for c in range(C):
+                    q2 = 0 if error[c, i] < 0 else 1
+                    enc.enc_bits(q2, 1)
+                    offset = (q2 - 0.5) * (2.0 ** -(fine_quant[i] + 1))
+                    self.old_band_e[c, i] += offset
+                    error[c, i] -= offset
+                    bits_left -= 1

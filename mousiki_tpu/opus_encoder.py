@@ -1,0 +1,83 @@
+"""Opus encoder top level (CELT-only path this round; SILK/hybrid next).
+
+Parity: reference `src/opus_encoder.rs` (opus_encoder_create:3965, TOC gen
+gen_toc:1214). Produces standard Opus packets decodable by any decoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitstream.packet import Bandwidth, Mode
+from .celt.encoder import CeltEncoder
+
+APP_VOIP = 2048
+APP_AUDIO = 2049
+APP_RESTRICTED_LOWDELAY = 2051
+
+_CELT_BW_TO_CONFIG = {
+    Bandwidth.NARROWBAND: 16,
+    Bandwidth.WIDEBAND: 20,
+    Bandwidth.SUPERWIDEBAND: 24,
+    Bandwidth.FULLBAND: 28,
+}
+
+
+def celt_toc(frame_size: int, bandwidth: Bandwidth, channels: int) -> int:
+    size_code = {120: 0, 240: 1, 480: 2, 960: 3}[frame_size]
+    config = _CELT_BW_TO_CONFIG[bandwidth] + size_code
+    return (config << 3) | (0x4 if channels == 2 else 0)
+
+
+class OpusEncoder:
+    def __init__(self, fs: int = 48000, channels: int = 2,
+                 application: int = APP_RESTRICTED_LOWDELAY):
+        if fs != 48000 or channels not in (1, 2):
+            raise NotImplementedError("48 kHz mono/stereo only this round")
+        self.fs = fs
+        self.channels = channels
+        self.application = application
+        self.bitrate = 64000 * channels
+        self.vbr = True
+        self.bandwidth = Bandwidth.FULLBAND
+        self.mode = Mode.CELT  # SILK/hybrid modes land with the SILK encoder
+        self.celt = CeltEncoder(channels=channels, stream_channels=channels,
+                                end=21, disable_inv=channels == 1)
+        self.range_final = 0
+
+    # -- ctl-equivalents ------------------------------------------------
+    def set_bitrate(self, bitrate: int):
+        self.bitrate = max(6000, min(bitrate, 510000 * self.channels))
+
+    def set_vbr(self, vbr: bool):
+        self.vbr = vbr
+
+    def set_bandwidth(self, bw: Bandwidth):
+        self.bandwidth = bw
+        self.celt.end = {Bandwidth.NARROWBAND: 13, Bandwidth.WIDEBAND: 17,
+                         Bandwidth.SUPERWIDEBAND: 19,
+                         Bandwidth.FULLBAND: 21}[bw]
+
+    def set_complexity(self, c: int):
+        self.celt.complexity = max(0, min(10, c))
+
+    # -------------------------------------------------------------------
+    def encode(self, pcm: np.ndarray, frame_size: int,
+               max_bytes: int = 1275) -> bytes:
+        """Encode one frame of float PCM (frame_size, channels) -> packet."""
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        if frame_size not in (120, 240, 480, 960):
+            raise NotImplementedError("2.5-20 ms frames (CELT) this round")
+        # byte budget from bitrate (CBR semantics; VBR shrinks inside celt)
+        nbytes = max(2, min(max_bytes,
+                            (self.bitrate * frame_size) // (8 * self.fs)))
+        self.celt.bitrate = self.bitrate
+        payload = self.celt.encode_with_ec(pcm, frame_size, nbytes)
+        self.range_final = self.celt.rng
+        toc = celt_toc(frame_size, self.bandwidth, self.channels)
+        return bytes([toc]) + payload
+
+    @property
+    def final_range(self) -> int:
+        return self.range_final

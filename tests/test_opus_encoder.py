@@ -1,0 +1,69 @@
+"""Opus encoder (CELT path) conformance: packets must decode identically in
+libopus and our decoder (final-range equality), with quality at parity with
+the libopus encoder at the same rate."""
+
+import numpy as np
+import pytest
+
+from mousiki_tpu.opus_decoder import OpusDecoder
+from mousiki_tpu.opus_encoder import OpusEncoder
+from mousiki_tpu.testing import oracle
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="oracle missing")
+
+
+def snr_db(x, y, lag=120):
+    a = x[: len(x) - lag]
+    b = y[lag: len(x)]
+    n = min(len(a), len(b))
+    a, b = a[:n].ravel(), b[:n].ravel()
+    return 10 * np.log10((a ** 2).mean() / ((a - b) ** 2).mean() + 1e-12)
+
+
+@pytest.mark.parametrize("channels,frame", [(1, 960), (2, 960), (2, 480), (2, 240)])
+def test_encoder_streams_decodable(channels, frame):
+    enc = OpusEncoder(48000, channels)
+    enc.set_bitrate(64000 * channels)
+    mydec = OpusDecoder(48000, channels)
+    refdec = oracle.RefDecoder(48000, channels)
+    sig = oracle.make_test_signal(frame * 12, channels, seed=21)
+    for f in range(10):
+        pkt = enc.encode(sig[f * frame:(f + 1) * frame], frame)
+        mine = mydec.decode(pkt, frame)
+        ref = refdec.decode_float(pkt, frame)
+        assert mydec.final_range == refdec.final_range(), f"frame {f}"
+        assert enc.final_range == refdec.final_range(), f"enc range frame {f}"
+        assert np.abs(mine - ref).max() < 1e-4
+
+
+def test_encoder_quality_parity():
+    """Within 1.5 dB of libopus CELT at the same CBR rate."""
+    sig = oracle.make_test_signal(960 * 25, 2, seed=21)
+    pcm16 = oracle.float_to_i16(sig)
+
+    oenc = oracle.RefEncoder(48000, 2, oracle.APP_RESTRICTED_LOWDELAY)
+    oenc.ctl_set(oracle.SET_BITRATE, 96000)
+    oenc.ctl_set(oracle.SET_VBR, 0)
+    odec = oracle.RefDecoder(48000, 2)
+    ref_out = np.concatenate([
+        odec.decode_float(oenc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1)), 960)
+        for f in range(25)])
+
+    enc = OpusEncoder(48000, 2)
+    enc.set_bitrate(96000)
+    dec = oracle.RefDecoder(48000, 2)
+    my_out = np.concatenate([
+        dec.decode_float(enc.encode(sig[f * 960:(f + 1) * 960], 960), 960)
+        for f in range(25)])
+
+    ref_snr = snr_db(sig, ref_out)
+    my_snr = snr_db(sig, my_out)
+    assert my_snr > ref_snr - 1.5, f"mine {my_snr:.1f} dB vs libopus {ref_snr:.1f} dB"
+
+
+def test_encoder_silence():
+    enc = OpusEncoder(48000, 2)
+    dec = oracle.RefDecoder(48000, 2)
+    pkt = enc.encode(np.zeros((960, 2)), 960)
+    out = dec.decode_float(pkt, 960)
+    assert np.abs(out).max() < 1e-4
