@@ -1,0 +1,90 @@
+"""Ogg Opus file read/write (opusfile + libopusenc equivalents).
+
+Parity targets: reference `src/opusfile/` (whole-file decode, seek, tags)
+and `src/libopusenc/` (Ogg muxing, headers); RFC 7845 framing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ogg import (OggStreamReader, OggStreamWriter, opus_head, opus_tags,
+                  parse_opus_head)
+
+
+class OggOpusWriter:
+    """Minimal libopusenc equivalent: packets -> .opus byte stream."""
+
+    def __init__(self, channels: int, preskip: int = 312, serial: int = 0x6d6b74,
+                 vendor: str = "mousiki_tpu", comments=None):
+        self.channels = channels
+        self.preskip = preskip
+        self.writer = OggStreamWriter(serial)
+        self.pages = [
+            self.writer.page_out([opus_head(channels, preskip)], 0, bos=True),
+            self.writer.page_out([opus_tags(vendor, comments)], 0),
+        ]
+        self.granule = preskip
+        self._pending: list[bytes] = []
+        self._pending_samples = 0
+
+    def write_packet(self, packet: bytes, samples_48k: int,
+                     flush: bool = False) -> None:
+        self._pending.append(packet)
+        self._pending_samples += samples_48k
+        # one page per ~1s of audio or 50 packets
+        if flush or self._pending_samples >= 48000 or len(self._pending) >= 50:
+            self._flush_page(False)
+
+    def _flush_page(self, eos: bool) -> None:
+        if not self._pending and not eos:
+            return
+        self.granule += self._pending_samples
+        self.pages.append(self.writer.page_out(self._pending, self.granule,
+                                               eos=eos))
+        self._pending = []
+        self._pending_samples = 0
+
+    def finish(self) -> bytes:
+        self._flush_page(True)
+        return b"".join(self.pages)
+
+
+class OggOpusReader:
+    """Minimal opusfile equivalent: .opus bytes -> packets / decoded PCM."""
+
+    def __init__(self, data: bytes):
+        self.stream = OggStreamReader(data)
+        head_pkt = self.stream.next_packet()
+        if head_pkt is None:
+            raise ValueError("no OpusHead")
+        self.head = parse_opus_head(head_pkt[0])
+        tags_pkt = self.stream.next_packet()
+        self.tags_raw = tags_pkt[0] if tags_pkt else b""
+        self.channels = self.head["channels"]
+        self.preskip = self.head["preskip"]
+
+    def packets(self):
+        while True:
+            p = self.stream.next_packet()
+            if p is None:
+                return
+            yield p
+
+    def decode_all(self, decoder=None) -> np.ndarray:
+        """Decode the whole stream to float PCM at 48 kHz."""
+        from ..bitstream.packet import packet_get_nb_samples
+        from ..opus_decoder import OpusDecoder
+
+        dec = decoder or OpusDecoder(48000, self.channels)
+        out = []
+        for pkt, _gran in self.packets():
+            n = packet_get_nb_samples(pkt, 48000)
+            out.append(dec.decode(pkt, n))
+        if not out:
+            return np.zeros((0, self.channels))
+        pcm = np.concatenate(out)
+        gain = self.head["gain_q8"]
+        if gain:
+            pcm = pcm * (10.0 ** (gain / (20.0 * 256.0)))
+        return pcm[self.preskip:]
