@@ -29,6 +29,24 @@ def celt_toc(frame_size: int, bandwidth: Bandwidth, channels: int) -> int:
     return (config << 3) | (0x4 if channels == 2 else 0)
 
 
+_SILK_BW_TO_CONFIG = {
+    Bandwidth.NARROWBAND: 0,
+    Bandwidth.MEDIUMBAND: 4,
+    Bandwidth.WIDEBAND: 8,
+}
+_SILK_BW_TO_KHZ = {
+    Bandwidth.NARROWBAND: 8,
+    Bandwidth.MEDIUMBAND: 12,
+    Bandwidth.WIDEBAND: 16,
+}
+
+
+def silk_toc(frame_size: int, bandwidth: Bandwidth, channels: int) -> int:
+    size_code = {480: 0, 960: 1, 1920: 2, 2880: 3}[frame_size]
+    config = _SILK_BW_TO_CONFIG[bandwidth] + size_code
+    return (config << 3) | (0x4 if channels == 2 else 0)
+
+
 class OpusEncoder:
     def __init__(self, fs: int = 48000, channels: int = 2,
                  application: int = APP_RESTRICTED_LOWDELAY):
@@ -43,7 +61,12 @@ class OpusEncoder:
         self.mode = Mode.CELT  # SILK/hybrid modes land with the SILK encoder
         self.celt = CeltEncoder(channels=channels, stream_channels=channels,
                                 end=21, disable_inv=channels == 1)
+        from .silk.encoder import SilkEncoder
+        self.silk = SilkEncoder()
         self.range_final = 0
+        if application == APP_VOIP:
+            self.mode = Mode.SILK
+            self.bandwidth = Bandwidth.WIDEBAND
 
     # -- ctl-equivalents ------------------------------------------------
     def set_bitrate(self, bitrate: int):
@@ -67,6 +90,8 @@ class OpusEncoder:
         """Encode one frame of float PCM (frame_size, channels) -> packet."""
         if pcm.ndim == 1:
             pcm = pcm[:, None]
+        if self.mode == Mode.SILK:
+            return self._encode_silk(pcm, frame_size, max_bytes)
         if frame_size not in (120, 240, 480, 960):
             raise NotImplementedError("2.5-20 ms frames (CELT) this round")
         # byte budget from bitrate (CBR semantics; VBR shrinks inside celt)
@@ -76,6 +101,45 @@ class OpusEncoder:
         payload = self.celt.encode_with_ec(pcm, frame_size, nbytes)
         self.range_final = self.celt.rng
         toc = celt_toc(frame_size, self.bandwidth, self.channels)
+        return bytes([toc]) + payload
+
+    def _encode_silk(self, pcm: np.ndarray, frame_size: int,
+                     max_bytes: int) -> bytes:
+        from .bitstream.entcode import RangeEncoder
+        from .silk.encoder import silk_encode_packet, _BudgetExceeded
+
+        if frame_size not in (480, 960):
+            raise NotImplementedError("SILK 10/20 ms this round")
+        if self.channels != 1:
+            raise NotImplementedError("SILK mono this round; stereo via CELT")
+        fs_khz = _SILK_BW_TO_KHZ[self.bandwidth]
+        frame_ms = frame_size * 1000 // self.fs
+        nbytes = max(10, min(max_bytes,
+                             (self.bitrate * frame_size) // (8 * self.fs) + 10))
+        pcm_i = pcm[:, 0] * 32768.0
+        # greedy rate control: retry with coarser gains until the packet fits
+        snap = self.silk.snapshot()
+        enc = None
+        for coarsen in (1.0, 1.4, 2.0, 3.0, 5.0, 9.0, 20.0, 80.0):
+            self.silk.restore(snap)
+            enc = RangeEncoder(nbytes)
+            try:
+                silk_encode_packet(self.silk, enc, pcm_i, fs_khz, self.fs,
+                                   frame_ms, self.bitrate, coarsen)
+            except _BudgetExceeded:
+                continue
+            enc.done()
+            if not enc.get_error():
+                break
+        else:
+            raise ValueError("silk rate control failed")
+        payload = enc.data()
+        # trim unused trailing zero bytes (reading past the end yields the
+        # same zeros, so the range-decode path is unchanged)
+        used = max((enc.tell() + 7) >> 3, enc.offs)
+        payload = payload[:max(used, 2)]
+        self.range_final = enc.rng & 0xFFFFFFFF
+        toc = silk_toc(frame_size, self.bandwidth, 1)
         return bytes([toc]) + payload
 
     @property

@@ -67,3 +67,45 @@ def test_encoder_silence():
     pkt = enc.encode(np.zeros((960, 2)), 960)
     out = dec.decode_float(pkt, 960)
     assert np.abs(out).max() < 1e-4
+
+
+def test_silk_encoder_streams_decodable():
+    from mousiki_tpu.opus_encoder import APP_VOIP
+
+    t = np.arange(48000) / 48000.0
+    sig = np.clip(
+        0.4 * np.sin(2 * np.pi * 140 * t) * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+        + 0.2 * np.sin(2 * np.pi * 800 * t), -0.95, 0.95)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    ref = oracle.RefDecoder(48000, 1)
+    mydec = OpusDecoder(48000, 1)
+    for f in range(15):
+        pkt = enc.encode(sig[f * 960:(f + 1) * 960], 960)
+        r = ref.decode_float(pkt, 960)
+        m = mydec.decode(pkt, 960)
+        assert ref.final_range() == mydec.final_range
+        assert np.abs(m - r).max() == 0.0
+
+
+def test_silk_encoder_quality_floor():
+    from mousiki_tpu.opus_encoder import APP_VOIP
+
+    t = np.arange(48000) / 48000.0
+    sig = np.clip(
+        0.4 * np.sin(2 * np.pi * 140 * t) * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+        + 0.2 * np.sin(2 * np.pi * 800 * t), -0.95, 0.95)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    ref = oracle.RefDecoder(48000, 1)
+    out = np.concatenate([
+        ref.decode_float(enc.encode(sig[f * 960:(f + 1) * 960], 960), 960)
+        for f in range(40)])[:, 0]
+    a = sig[: len(out), 0]
+    best = -99
+    for lag in range(0, 500):
+        b = out[lag:][: len(a) - lag]
+        aa = a[: len(b)]
+        best = max(best, 10 * np.log10(
+            (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
+    assert best > 6.0, best
