@@ -356,6 +356,9 @@ class CeltDecoder:
         if silence:
             old_band_e[:, :] = -28.0
 
+        if C == 1:
+            old_band_e[1] = old_band_e[0]
+
         desc = None
         if return_desc:
             # Host/device split: hand the frame descriptor to the batched
@@ -402,9 +405,6 @@ class CeltDecoder:
             self.postfilter_period_old = self.postfilter_period
             self.postfilter_gain_old = self.postfilter_gain
             self.postfilter_tapset_old = self.postfilter_tapset
-
-        if C == 1:
-            old_band_e[1] = old_band_e[0]
 
         if not is_transient:
             self.old_log_e2[:, :] = self.old_log_e

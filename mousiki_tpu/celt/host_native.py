@@ -1,0 +1,153 @@
+"""ctypes binding for the native (C++) CELT host symbol decoder.
+
+The native library implements the serial range-decode half of the CELT
+decoder (native/celt_host.cpp) and emits the same frame descriptors as
+`CeltDecoder.decode_with_ec(..., return_desc=True)`; the batched JAX
+synthesis stage consumes them. Falls back gracefully when the shared
+library hasn't been built (`available()` returns False).
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libcelt_host.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "celt_host.cpp")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _SO_PATH, _SRC_PATH],
+            check=True, capture_output=True, cwd=_NATIVE_DIR)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) or (
+            os.path.exists(_SRC_PATH)
+            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)):
+        if not os.path.exists(_SRC_PATH) or not _build():
+            return None
+    try:
+        lib = C.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.celt_host_create.restype = C.c_void_p
+    lib.celt_host_destroy.argtypes = [C.c_void_p]
+    lib.celt_host_reset.argtypes = [C.c_void_p]
+    dp = C.POINTER(C.c_double)
+    lib.celt_host_set_state.argtypes = [C.c_void_p, dp, dp, dp, C.c_uint32]
+    lib.celt_host_get_state.argtypes = [C.c_void_p, dp, dp, dp,
+                                        C.POINTER(C.c_uint32)]
+    lib.celt_host_decode.restype = C.c_int
+    lib.celt_host_decode.argtypes = [
+        C.c_void_p, C.c_char_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_int, dp, dp, C.POINTER(C.c_int32), dp]
+    lib.celt_host_rng.restype = C.c_uint32
+    lib.celt_host_rng.argtypes = [C.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeCeltHost:
+    """One stream's native host-side CELT symbol decoder.
+
+    Mirrors the state of `CeltDecoder` that affects symbol decode
+    (old band energies, log-e memories, noise rng); produces the same
+    FrameDesc dict the Python decoder exports with return_desc=True.
+    """
+
+    def __init__(self, channels: int = 2, stream_channels: int = 2,
+                 start: int = 0, end: int = 21, disable_inv: bool | None = None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native celt host library unavailable")
+        self._lib = lib
+        self._st = lib.celt_host_create()
+        self.channels = channels
+        self.stream_channels = stream_channels
+        self.start = start
+        self.end = end
+        self.disable_inv = (stream_channels == 1) if disable_inv is None \
+            else disable_inv
+
+    def __del__(self):
+        if getattr(self, "_st", None):
+            self._lib.celt_host_destroy(self._st)
+            self._st = None
+
+    def reset(self):
+        self._lib.celt_host_reset(self._st)
+
+    # -- state sync with a Python CeltDecoder --------------------------
+    def load_state_from(self, dec) -> None:
+        e = np.ascontiguousarray(dec.old_ebands, np.float64)
+        l1 = np.ascontiguousarray(dec.old_log_e, np.float64)
+        l2 = np.ascontiguousarray(dec.old_log_e2, np.float64)
+        dp = C.POINTER(C.c_double)
+        self._lib.celt_host_set_state(
+            self._st, e.ctypes.data_as(dp), l1.ctypes.data_as(dp),
+            l2.ctypes.data_as(dp), C.c_uint32(dec.rng & 0xFFFFFFFF))
+
+    def get_state(self):
+        e = np.empty((2, 21), np.float64)
+        l1 = np.empty((2, 21), np.float64)
+        l2 = np.empty((2, 21), np.float64)
+        rng = C.c_uint32()
+        dp = C.POINTER(C.c_double)
+        self._lib.celt_host_get_state(
+            self._st, e.ctypes.data_as(dp), l1.ctypes.data_as(dp),
+            l2.ctypes.data_as(dp), C.byref(rng))
+        return e, l1, l2, rng.value
+
+    @property
+    def rng(self) -> int:
+        return self._lib.celt_host_rng(self._st)
+
+    # -- decode ---------------------------------------------------------
+    def decode_desc(self, data: bytes, frame_size: int) -> dict:
+        """Decode one frame's symbols; returns a FrameDesc dict."""
+        Cch = self.stream_channels
+        CC = self.channels
+        x = np.zeros((Cch, frame_size), np.float64)
+        band_log_e = np.zeros((2, 21), np.float64)
+        iflags = np.zeros(4, np.int32)
+        pf_gain = C.c_double()
+        dp = C.POINTER(C.c_double)
+        rc = self._lib.celt_host_decode(
+            self._st, data, len(data), frame_size, Cch, self.start, self.end,
+            1 if self.disable_inv else 0, x.ctypes.data_as(dp),
+            band_log_e.ctypes.data_as(dp),
+            iflags.ctypes.data_as(C.POINTER(C.c_int32)), C.byref(pf_gain))
+        if rc < 0:
+            raise ValueError(f"native celt decode failed (rc={rc})")
+        if Cch != CC:
+            x = np.repeat(x, CC, axis=0)[:CC]
+        return {
+            "x": x,
+            "band_log_e": band_log_e[:CC].copy(),
+            "transient": bool(iflags[0]),
+            "silence": bool(iflags[1]),
+            "pf_pitch": int(iflags[2]),
+            "pf_gain": float(pf_gain.value),
+            "pf_tapset": int(iflags[3]),
+        }

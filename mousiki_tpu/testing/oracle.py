@@ -158,7 +158,7 @@ class RefEncoder:
         return buf.raw[:n]
 
     def __del__(self):
-        if getattr(self, "_st", None):
+        if getattr(self, "_st", None) and _LIB is not None:
             _LIB.opus_encoder_destroy(self._st)
             self._st = None
 
@@ -201,7 +201,7 @@ class RefDecoder:
         return out[: n * self.channels].reshape(n, self.channels)
 
     def __del__(self):
-        if getattr(self, "_st", None):
+        if getattr(self, "_st", None) and _LIB is not None:
             _LIB.opus_decoder_destroy(self._st)
             self._st = None
 

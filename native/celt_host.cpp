@@ -1,0 +1,1623 @@
+// Native CELT host symbol decoder: range decode -> frame descriptors.
+//
+// This is the serial, branchy half of the decoder (SURVEY.md §2.9.10): it
+// consumes packet bytes and emits the dense per-frame tensors (norm
+// spectrum X, band energies, postfilter params) that the batched TPU
+// synthesis stage consumes. It mirrors the validated Python host decoder
+// (mousiki_tpu/celt/{decoder,bands,rate,vq,cwrs,quant_bands}.py) and is
+// differentially tested against it.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libcelt_host.so celt_host.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <cstdlib>
+#include <algorithm>
+
+#include "celt_tables.h"
+
+namespace {
+
+constexpr int BITRES = 3;
+constexpr int MAX_FINE_BITS = 8;
+constexpr int FINE_OFFSET = 21;
+constexpr int QTHETA_OFFSET = 4;
+constexpr int QTHETA_OFFSET_TWOPHASE = 16;
+constexpr int ALLOC_STEPS = 6;
+constexpr int LOG_MAX_PSEUDO = 6;
+constexpr int NB = 21;
+constexpr int SPREAD_AGGRESSIVE = 3;
+
+// ---------------------------------------------------------------- range dec
+struct EcDec {
+  const uint8_t* buf;
+  uint32_t storage;
+  uint32_t end_offs;
+  uint32_t end_window;
+  int nend_bits;
+  int nbits_total;
+  uint32_t offs;
+  uint32_t rng;
+  uint32_t val;
+  uint32_t ext;
+  int rem;
+  int error;
+};
+
+inline int ec_ilog(uint32_t v) { return v ? 32 - __builtin_clz(v) : 0; }
+
+inline int ec_read_byte(EcDec* d) {
+  return d->offs < d->storage ? d->buf[d->offs++] : 0;
+}
+inline int ec_read_byte_from_end(EcDec* d) {
+  return d->end_offs < d->storage ? d->buf[d->storage - ++(d->end_offs)] : 0;
+}
+
+void ec_dec_normalize(EcDec* d) {
+  while (d->rng <= (1u << 23)) {
+    d->nbits_total += 8;
+    d->rng <<= 8;
+    int sym = d->rem;
+    d->rem = ec_read_byte(d);
+    sym = ((sym << 8) | d->rem) >> 1;
+    d->val = ((d->val << 8) + (255 & ~sym)) & 0x7FFFFFFFu;
+  }
+}
+
+void ec_dec_init(EcDec* d, const uint8_t* buf, uint32_t storage) {
+  d->buf = buf;
+  d->storage = storage;
+  d->end_offs = 0;
+  d->end_window = 0;
+  d->nend_bits = 0;
+  d->nbits_total = 33 - 24;
+  d->offs = 0;
+  d->rng = 1u << 7;
+  d->rem = ec_read_byte(d);
+  d->val = d->rng - 1 - (uint32_t)(d->rem >> 1);
+  d->error = 0;
+  ec_dec_normalize(d);
+}
+
+inline int ec_tell(const EcDec* d) { return d->nbits_total - ec_ilog(d->rng); }
+
+int ec_tell_frac(const EcDec* d) {
+  uint32_t nbits = (uint32_t)d->nbits_total << BITRES;
+  int l = ec_ilog(d->rng);
+  uint32_t r = d->rng >> (l - 16);
+  for (int i = 0; i < BITRES; i++) {
+    r = (r * r) >> 15;
+    int b = (int)(r >> 16);
+    l = (l << 1) | b;
+    r >>= b;
+  }
+  return (int)(nbits - l);
+}
+
+uint32_t ec_decode(EcDec* d, uint32_t ft) {
+  d->ext = d->rng / ft;
+  uint32_t s = d->val / d->ext;
+  return ft - std::min(s + 1, ft);
+}
+
+uint32_t ec_decode_bin(EcDec* d, int bits) {
+  d->ext = d->rng >> bits;
+  uint32_t s = d->val / d->ext;
+  return (1u << bits) - std::min(s + 1, (uint32_t)1u << bits);
+}
+
+void ec_dec_update(EcDec* d, uint32_t fl, uint32_t fh, uint32_t ft) {
+  uint32_t s = d->ext * (ft - fh);
+  d->val -= s;
+  d->rng = fl > 0 ? d->ext * (fh - fl) : d->rng - s;
+  ec_dec_normalize(d);
+}
+
+int ec_dec_bit_logp(EcDec* d, int logp) {
+  uint32_t r = d->rng, dv = d->val, s = r >> logp;
+  int ret = dv < s;
+  if (!ret) d->val = dv - s;
+  d->rng = ret ? s : r - s;
+  ec_dec_normalize(d);
+  return ret;
+}
+
+int ec_dec_icdf(EcDec* d, const uint8_t* icdf, int ftb) {
+  uint32_t s = d->rng, dv = d->val, r = s >> ftb, t;
+  int ret = -1;
+  do {
+    t = s;
+    s = r * icdf[++ret];
+  } while (dv < s);
+  d->val = dv - s;
+  d->rng = t - s;
+  ec_dec_normalize(d);
+  return ret;
+}
+
+uint32_t ec_dec_bits(EcDec* d, int bits) {
+  uint32_t window = d->end_window;
+  int avail = d->nend_bits;
+  if (avail < bits) {
+    do {
+      window |= (uint32_t)ec_read_byte_from_end(d) << avail;
+      avail += 8;
+    } while (avail <= 24);
+  }
+  uint32_t ret = window & ((1u << bits) - 1);
+  window >>= bits;
+  avail -= bits;
+  d->end_window = window;
+  d->nend_bits = avail;
+  d->nbits_total += bits;
+  return ret;
+}
+
+uint32_t ec_dec_uint(EcDec* d, uint32_t ft) {
+  ft--;
+  int ftb = ec_ilog(ft);
+  if (ftb > 8) {
+    ftb -= 8;
+    uint32_t ft_hi = (ft >> ftb) + 1;
+    uint32_t s = ec_decode(d, ft_hi);
+    ec_dec_update(d, s, s + 1, ft_hi);
+    uint32_t t = (s << ftb) | ec_dec_bits(d, ftb);
+    if (t <= ft) return t;
+    d->error = 1;
+    return ft;
+  }
+  ft++;
+  uint32_t s = ec_decode(d, ft);
+  ec_dec_update(d, s, s + 1, ft);
+  return s;
+}
+
+// ------------------------------------------------------------------ laplace
+int ec_laplace_decode(EcDec* d, uint32_t fs, int decay) {
+  int val = 0;
+  uint32_t fl = 0;
+  uint32_t fm = ec_decode_bin(d, 15);
+  if (fm >= fs) {
+    val++;
+    fl = fs;
+    fs = ((32768 - 32 - fs) * (16384 - decay) >> 15) + 1;
+    while (fs > 1 && fm >= fl + 2 * fs) {
+      fs *= 2;
+      fl += fs;
+      fs = ((fs - 2) * decay >> 15) + 1;
+      val++;
+    }
+    if (fs <= 1) {
+      int di = (fm - fl) >> 1;
+      val += di;
+      fl += 2 * di;
+    }
+    if (fm < fl + fs)
+      val = -val;
+    else
+      fl += fs;
+  }
+  ec_dec_update(d, fl, std::min(fl + fs, (uint32_t)32768), 32768);
+  return val;
+}
+
+// ---------------------------------------------------------------- CWRS (U)
+// Saturated U(n, k) table: values beyond 2^63 clamp (never hit on valid
+// streams since libopus caps V(N, K) < 2^32 via the pulse cache).
+constexpr int U_MAX_N = 181;
+constexpr int U_MAX_K = 132;
+static uint64_t* g_u = nullptr;  // [U_MAX_N][U_MAX_K]
+
+inline uint64_t sat_add(uint64_t a, uint64_t b) {
+  uint64_t s = a + b;
+  return s < a ? ~0ull : s;
+}
+
+void build_u_table() {
+  if (g_u) return;
+  g_u = (uint64_t*)calloc((size_t)U_MAX_N * U_MAX_K, sizeof(uint64_t));
+  auto U = [&](int n, int k) -> uint64_t& { return g_u[(size_t)n * U_MAX_K + k]; };
+  for (int k = 1; k < U_MAX_K; k++) {
+    U(0, k) = 0;
+    U(1, k) = 1;
+    U(2, k) = 2 * (uint64_t)k - 1;
+  }
+  for (int n = 3; n < U_MAX_N; n++) {
+    U(n, 1) = 1;
+    for (int k = 2; k < U_MAX_K; k++)
+      U(n, k) = sat_add(sat_add(U(n - 1, k), U(n - 1, k - 1)), U(n, k - 1));
+  }
+}
+
+inline uint64_t pvq_u(int n, int k) {
+  if (k <= 0) return 0;
+  if (n < k) std::swap(n, k);
+  return g_u[(size_t)n * U_MAX_K + k];
+}
+inline uint64_t pvq_v(int n, int k) {
+  if (k == 0) return 1;
+  return sat_add(pvq_u(n, k), pvq_u(n, k + 1));
+}
+
+// decode pulses: returns Ryy
+double decode_pulses(EcDec* d, int* iy, int n, int k) {
+  uint64_t v = pvq_v(n, k);
+  uint32_t i = ec_dec_uint(d, (uint32_t)std::min<uint64_t>(v, 0xFFFFFFFFull));
+  double ryy = 0;
+  uint64_t idx = i;
+  for (int j = 0; j < n - 1; j++) {
+    int m = n - j;
+    uint64_t p = pvq_u(m, k + 1);
+    int s = idx >= p;
+    if (s) idx -= p;
+    int k0 = k;
+    p = pvq_u(m, k);
+    while (p > idx) {
+      k--;
+      p = pvq_u(m, k);
+    }
+    idx -= p;
+    int q = k0 - k;
+    iy[j] = s ? -q : q;
+    ryy += (double)q * q;
+  }
+  iy[n - 1] = idx ? -k : k;
+  ryy += (double)k * k;
+  return ryy;
+}
+
+// ---------------------------------------------------------------- rate/alloc
+inline int get_pulses(int i) { return i < 8 ? i : (8 + (i & 7)) << ((i >> 3) - 1); }
+
+int bits2pulses(int band, int lm, int bits) {
+  if (bits <= 0) return 0;
+  int ci = kCacheIndex[(lm + 1) * NB + band];
+  if (ci < 0) return 0;
+  const uint8_t* table = kCacheBits + ci;
+  int lo = 0, hi = table[0];
+  bits--;
+  for (int i = 0; i < LOG_MAX_PSEUDO; i++) {
+    int mid = (lo + hi + 1) >> 1;
+    if ((int)table[mid] >= bits)
+      hi = mid;
+    else
+      lo = mid;
+  }
+  int lo_val = lo == 0 ? -1 : (int)table[lo];
+  return (bits - lo_val <= (int)table[hi] - bits) ? lo : hi;
+}
+
+int pulses2bits(int band, int lm, int pulses) {
+  if (pulses == 0) return 0;
+  int ci = kCacheIndex[(lm + 1) * NB + band];
+  if (ci < 0) return 0;
+  return (int)kCacheBits[ci + pulses] + 1;
+}
+
+struct Alloc {
+  int pulses[NB];
+  int ebits[NB];
+  int fine_priority[NB];
+  int coded_bands;
+  int balance;
+  int intensity;
+  int dual_stereo;
+};
+
+void interp_bits2pulses(int start, int end, int skip_start, const int* bits1,
+                        const int* bits2, const int* thresh, const int* cap,
+                        int total, int skip_rsv, int intensity_rsv,
+                        int dual_stereo_rsv, int C, int LM, EcDec* dec,
+                        Alloc* out) {
+  const int16_t* eb = kEBands;
+  int alloc_floor = C << BITRES;
+  int stereo = C > 1 ? 1 : 0;
+  int log_m = LM << BITRES;
+  int intensity = 0, dual_stereo = 0;
+  int bits[NB] = {0};
+
+  int lo = 0, hi = 1 << ALLOC_STEPS;
+  for (int it = 0; it < ALLOC_STEPS; it++) {
+    int mid = (lo + hi) >> 1;
+    int psum = 0, done = 0;
+    for (int j = end - 1; j >= start; j--) {
+      int tmp = bits1[j] + ((mid * bits2[j]) >> ALLOC_STEPS);
+      if (tmp >= thresh[j] || done) {
+        done = 1;
+        psum += std::min(tmp, cap[j]);
+      } else if (tmp >= alloc_floor) {
+        psum += alloc_floor;
+      }
+    }
+    if (psum > total)
+      hi = mid;
+    else
+      lo = mid;
+  }
+  int psum = 0, done = 0;
+  for (int j = end - 1; j >= start; j--) {
+    int tmp = bits1[j] + ((lo * bits2[j]) >> ALLOC_STEPS);
+    if (tmp < thresh[j] && !done)
+      tmp = tmp >= alloc_floor ? alloc_floor : 0;
+    else
+      done = 1;
+    tmp = std::min(tmp, cap[j]);
+    bits[j] = tmp;
+    psum += tmp;
+  }
+
+  int coded_bands = end;
+  while (coded_bands > start) {
+    int j = coded_bands - 1;
+    if (j <= skip_start) {
+      total += skip_rsv;
+      break;
+    }
+    int band_width = eb[coded_bands] - eb[j];
+    uint32_t left = (uint32_t)(total - psum);
+    int denom = eb[coded_bands] - eb[start];
+    uint32_t per_coeff = left / denom;
+    int32_t left2 = (int32_t)(left - denom * per_coeff);
+    int rem = std::max(left2 - (eb[j] - eb[start]), 0);
+    int32_t band_bits = (int32_t)(bits[j] + per_coeff * band_width + rem);
+    if (band_bits >= std::max(thresh[j], alloc_floor + (1 << BITRES))) {
+      if (ec_dec_bit_logp(dec, 1)) break;
+      psum += 1 << BITRES;
+      band_bits -= 1 << BITRES;
+    }
+    psum -= bits[j] + intensity_rsv;
+    if (intensity_rsv > 0) intensity_rsv = kLog2FracTable[j - start];
+    psum += intensity_rsv;
+    if (band_bits >= alloc_floor) {
+      psum += alloc_floor;
+      bits[j] = alloc_floor;
+    } else {
+      bits[j] = 0;
+    }
+    coded_bands--;
+  }
+
+  if (intensity_rsv > 0)
+    intensity = start + (int)ec_dec_uint(dec, coded_bands + 1 - start);
+  else
+    intensity = 0;
+  if (intensity <= start) {
+    total += dual_stereo_rsv;
+    dual_stereo_rsv = 0;
+  }
+  if (dual_stereo_rsv > 0)
+    dual_stereo = ec_dec_bit_logp(dec, 1);
+  else
+    dual_stereo = 0;
+
+  int denom = std::max(eb[coded_bands] - eb[start], 1);
+  uint32_t left = (uint32_t)(total - psum);
+  uint32_t per_coeff = left / denom;
+  int32_t leftr = (int32_t)(left - denom * per_coeff);
+  for (int j = start; j < coded_bands; j++)
+    bits[j] += (int)per_coeff * (eb[j + 1] - eb[j]);
+  for (int j = start; j < coded_bands; j++) {
+    int add = std::min((int)(eb[j + 1] - eb[j]), (int)leftr);
+    bits[j] += add;
+    leftr -= add;
+  }
+
+  int balance = 0;
+  for (int j = start; j < coded_bands; j++) {
+    int n0 = eb[j + 1] - eb[j];
+    int n = n0 << LM;
+    int bit = bits[j] + balance;
+    int excess = 0;
+    if (n > 1) {
+      excess = std::max(bit - cap[j], 0);
+      bits[j] = bit - excess;
+      int den = C * n;
+      if (C == 2 && n > 2 && dual_stereo == 0 && j < intensity) den++;
+      int nclogn = den * ((int)kLogN[j] + log_m);
+      int offset = (nclogn >> 1) - den * FINE_OFFSET;
+      if (n == 2) offset += den << (BITRES - 2);
+      if (bits[j] + offset < (den * 2) << BITRES)
+        offset += nclogn >> 2;
+      else if (bits[j] + offset < (den * 3) << BITRES)
+        offset += nclogn >> 3;
+      int ebv = std::max(0, bits[j] + offset + (den << (BITRES - 1)));
+      ebv = ((uint32_t)ebv / den) >> BITRES;
+      if (C * ebv > (bits[j] >> BITRES)) ebv = bits[j] >> stereo >> BITRES;
+      ebv = std::min(ebv, MAX_FINE_BITS);
+      out->fine_priority[j] = ebv * (den << BITRES) >= bits[j] + offset;
+      bits[j] -= (C * ebv) << BITRES;
+      out->ebits[j] = ebv;
+    } else {
+      excess = std::max(0, bit - (C << BITRES));
+      bits[j] = bit - excess;
+      out->ebits[j] = 0;
+      out->fine_priority[j] = 1;
+    }
+    if (excess > 0) {
+      int extra_fine =
+          std::min(excess >> (stereo + BITRES), MAX_FINE_BITS - out->ebits[j]);
+      out->ebits[j] += extra_fine;
+      int extra_bits = (extra_fine * C) << BITRES;
+      out->fine_priority[j] = extra_bits >= excess - balance;
+      excess -= extra_bits;
+    }
+    balance = excess;
+    out->pulses[j] = bits[j];
+  }
+  for (int j = coded_bands; j < end; j++) {
+    out->ebits[j] = bits[j] >> stereo >> BITRES;
+    out->pulses[j] = 0;
+    out->fine_priority[j] = out->ebits[j] < 1;
+  }
+  out->coded_bands = coded_bands;
+  out->balance = balance;
+  out->intensity = intensity;
+  out->dual_stereo = dual_stereo;
+}
+
+void clt_compute_allocation(int start, int end, const int* offsets,
+                            const int* cap, int alloc_trim, int total, int C,
+                            int LM, EcDec* dec, Alloc* out) {
+  const int16_t* eb = kEBands;
+  total = std::max(total, 0);
+  int skip_start = start;
+  int skip_rsv = 0;
+  if (total >= 1 << BITRES) {
+    skip_rsv = 1 << BITRES;
+    total -= skip_rsv;
+  }
+  int intensity_rsv = 0, dual_stereo_rsv = 0;
+  if (C == 2) {
+    int cand = kLog2FracTable[end - start];
+    if (cand <= total) {
+      intensity_rsv = cand;
+      total -= cand;
+      if (total >= 1 << BITRES) {
+        dual_stereo_rsv = 1 << BITRES;
+        total -= dual_stereo_rsv;
+      }
+    }
+  }
+  int thresh[NB], trim_offset[NB];
+  for (int j = start; j < end; j++) {
+    int n = eb[j + 1] - eb[j];
+    thresh[j] = std::max(C << BITRES, (3 * n) << (LM + BITRES) >> 4);
+    trim_offset[j] = (C * n * (alloc_trim - 5 - LM) * (end - j - 1) *
+                      (1 << (LM + BITRES))) >>
+                     6;
+    if ((n << LM) == 1) trim_offset[j] -= C << BITRES;
+  }
+  int lo = 1, hi = 11 - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) >> 1;
+    int psum = 0, done = 0;
+    for (int j = end - 1; j >= start; j--) {
+      int n = eb[j + 1] - eb[j];
+      int bitsj = (C * n * kAllocVectors[mid * NB + j]) << LM >> 2;
+      if (bitsj > 0) bitsj = std::max(0, bitsj + trim_offset[j]);
+      bitsj += offsets[j];
+      if (bitsj >= thresh[j] || done) {
+        done = 1;
+        psum += std::min(bitsj, cap[j]);
+      } else if (bitsj >= C << BITRES) {
+        psum += C << BITRES;
+      }
+    }
+    if (psum > total)
+      hi = mid - 1;
+    else
+      lo = mid + 1;
+  }
+  hi = lo;
+  lo -= 1;
+  int bits1[NB] = {0}, bits2[NB] = {0};
+  for (int j = start; j < end; j++) {
+    int n = eb[j + 1] - eb[j];
+    int b1 = (C * n * kAllocVectors[lo * NB + j]) << LM >> 2;
+    int b2 = hi >= 11 ? cap[j] : (C * n * kAllocVectors[hi * NB + j]) << LM >> 2;
+    if (b1 > 0) b1 = std::max(0, b1 + trim_offset[j]);
+    if (b2 > 0) b2 = std::max(0, b2 + trim_offset[j]);
+    if (lo > 0) b1 += offsets[j];
+    b2 += offsets[j];
+    if (offsets[j] > 0) skip_start = j;
+    bits1[j] = b1;
+    bits2[j] = std::max(0, b2 - b1);
+  }
+  interp_bits2pulses(start, end, skip_start, bits1, bits2, thresh, cap, total,
+                     skip_rsv, intensity_rsv, dual_stereo_rsv, C, LM, dec, out);
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ vq
+namespace {
+
+const int kSpreadFactor[3] = {15, 10, 5};
+
+void exp_rotation1(double* X, int len, int stride, double c, double s) {
+  double ms = -s;
+  for (int i = 0; i < len - stride; i++) {
+    double x1 = X[i], x2 = X[i + stride];
+    X[i + stride] = c * x2 + s * x1;
+    X[i] = c * x1 + ms * x2;
+  }
+  for (int i = len - 2 * stride - 1; i >= 0; i--) {
+    double x1 = X[i], x2 = X[i + stride];
+    X[i + stride] = c * x2 + s * x1;
+    X[i] = c * x1 + ms * x2;
+  }
+}
+
+void exp_rotation(double* X, int len, int direction, int stride, int K,
+                  int spread) {
+  if (2 * K >= len || spread == 0) return;
+  int factor = kSpreadFactor[spread - 1];
+  double gain = (double)len / (len + factor * K);
+  double theta = 0.5 * gain * gain;
+  double c = cos(0.5 * M_PI * theta);
+  double s = cos(0.5 * M_PI * (1 - theta));
+  int stride2 = 0;
+  if (len >= 8 * stride) {
+    stride2 = 1;
+    while ((stride2 * stride2 + stride2) * stride + (stride >> 2) < len)
+      stride2++;
+  }
+  len /= stride;
+  for (int i = 0; i < stride; i++) {
+    double* seg = X + i * len;
+    if (direction < 0) {
+      if (stride2) exp_rotation1(seg, len, stride2, s, c);
+      exp_rotation1(seg, len, 1, c, s);
+    } else {
+      exp_rotation1(seg, len, 1, c, -s);
+      if (stride2) exp_rotation1(seg, len, stride2, s, -c);
+    }
+  }
+}
+
+uint32_t extract_collapse_mask(const int* iy, int N, int B) {
+  if (B <= 1) return 1;
+  int N0 = N / B;
+  uint32_t mask = 0;
+  for (int i = 0; i < B; i++) {
+    int tmp = 0;
+    for (int j = 0; j < N0; j++) tmp |= iy[i * N0 + j];
+    mask |= (uint32_t)(tmp != 0) << i;
+  }
+  return mask;
+}
+
+void renormalise_vector(double* X, int N, double gain) {
+  double E = 1e-15;
+  for (int i = 0; i < N; i++) E += X[i] * X[i];
+  double g = gain / sqrt(E);
+  for (int i = 0; i < N; i++) X[i] *= g;
+}
+
+uint32_t alg_unquant(double* X, int N, int K, int spread, int B, EcDec* dec,
+                     double gain) {
+  int iy[208];
+  double ryy = decode_pulses(dec, iy, N, K);
+  double g = gain / sqrt(ryy);
+  for (int i = 0; i < N; i++) X[i] = iy[i] * g;
+  exp_rotation(X, N, -1, B, K, spread);
+  return extract_collapse_mask(iy, N, B);
+}
+
+// ------------------------------------------------------------------ bands
+const int kExp2Table8[8] = {16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048};
+const int kBitInterleave[16] = {0, 1, 1, 1, 2, 3, 3, 3, 2, 3, 3, 3, 2, 3, 3, 3};
+const int kBitDeinterleave[16] = {0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x3C, 0x3F,
+                                  0xC0, 0xC3, 0xCC, 0xCF, 0xF0, 0xF3, 0xFC, 0xFF};
+const int kOrdery2[2] = {1, 0};
+const int kOrdery4[4] = {3, 0, 2, 1};
+const int kOrdery8[8] = {7, 0, 4, 3, 6, 1, 5, 2};
+const int kOrdery16[16] = {15, 0, 8, 7, 12, 3, 11, 4, 14, 1, 9, 6, 13, 2, 10, 5};
+
+const int* ordery_for(int stride) {
+  switch (stride) {
+    case 2: return kOrdery2;
+    case 4: return kOrdery4;
+    case 8: return kOrdery8;
+    default: return kOrdery16;
+  }
+}
+
+inline uint32_t lcg_rand(uint32_t seed) {
+  return 1664525u * seed + 1013904223u;
+}
+
+inline int frac_mul16(int a, int b) { return (16384 + a * b) >> 15; }
+
+int bitexact_cos(int x) {
+  int tmp = (4096 + x * x) >> 13;
+  int x2 = tmp;
+  x2 = (32767 - x2) +
+       frac_mul16(x2, -7651 + frac_mul16(x2, 8277 + frac_mul16(-626, x2)));
+  return 1 + x2;
+}
+
+int bitexact_log2tan(int isin, int icos) {
+  int lc = ec_ilog((uint32_t)icos);
+  int ls = ec_ilog((uint32_t)isin);
+  icos <<= 15 - lc;
+  isin <<= 15 - ls;
+  return (ls - lc) * (1 << 11) +
+         frac_mul16(isin, frac_mul16(isin, -2597) + 7932) -
+         frac_mul16(icos, frac_mul16(icos, -2597) + 7932);
+}
+
+inline uint32_t isqrt32(uint32_t v) {
+  uint32_t r = (uint32_t)sqrt((double)v);
+  while (r > 0 && (uint64_t)r * r > v) r--;
+  while ((uint64_t)(r + 1) * (r + 1) <= v) r++;
+  return r;
+}
+
+int compute_qn(int N, int b, int offset, int pulse_cap, bool stereo) {
+  int n2 = 2 * N - 1;
+  if (stereo && N == 2) n2--;
+  int num = b + n2 * offset;
+  int qb = num >= 0 ? num / n2 : -((-num) / n2);
+  qb = std::min(b - pulse_cap - (4 << BITRES), qb);
+  qb = std::min(8 << BITRES, qb);
+  if (qb < (1 << BITRES >> 1)) return 1;
+  int qn = kExp2Table8[qb & 0x7] >> (14 - (qb >> 3));
+  qn = ((qn + 1) >> 1) << 1;
+  return qn;
+}
+
+void haar1(double* X, int n0, int stride) {
+  n0 >>= 1;
+  const double s = 0.70710678;
+  for (int i = 0; i < stride; i++)
+    for (int j = 0; j < n0; j++) {
+      int i1 = i + stride * 2 * j;
+      int i2 = i1 + stride;
+      double t1 = s * X[i1];
+      double t2 = s * X[i2];
+      X[i1] = t1 + t2;
+      X[i2] = t1 - t2;
+    }
+}
+
+void interleave_hadamard(double* X, int n0, int stride, bool hadamard) {
+  int N = n0 * stride;
+  double tmp[1024];
+  if (hadamard) {
+    const int* ordery = ordery_for(stride);
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < n0; j++) tmp[j * stride + i] = X[ordery[i] * n0 + j];
+  } else {
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < n0; j++) tmp[j * stride + i] = X[i * n0 + j];
+  }
+  memcpy(X, tmp, N * sizeof(double));
+}
+
+void deinterleave_hadamard(double* X, int n0, int stride, bool hadamard) {
+  int N = n0 * stride;
+  double tmp[1024];
+  if (hadamard) {
+    const int* ordery = ordery_for(stride);
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < n0; j++) tmp[ordery[i] * n0 + j] = X[j * stride + i];
+  } else {
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < n0; j++) tmp[i * n0 + j] = X[j * stride + i];
+  }
+  memcpy(X, tmp, N * sizeof(double));
+}
+
+void stereo_merge(double* X, double* Y, double mid, int N) {
+  double xp = 0, side = 0;
+  for (int i = 0; i < N; i++) {
+    xp += X[i] * Y[i];
+    side += Y[i] * Y[i];
+  }
+  xp *= mid;
+  double el = mid * mid + side - 2 * xp;
+  double er = mid * mid + side + 2 * xp;
+  if (er < 6e-4 || el < 6e-4) {
+    memcpy(Y, X, N * sizeof(double));
+    return;
+  }
+  double lgain = 1.0 / sqrt(el);
+  double rgain = 1.0 / sqrt(er);
+  for (int i = 0; i < N; i++) {
+    double l = mid * X[i];
+    double r = Y[i];
+    X[i] = lgain * (l - r);
+    Y[i] = rgain * (l + r);
+  }
+}
+
+struct BandCtx {
+  int i;
+  int intensity;
+  int spread;
+  int tf_change;
+  EcDec* ec;
+  int remaining_bits;
+  uint32_t seed;
+  bool disable_inv;
+  bool avoid_split_noise;  // unused on decode, kept for parity
+};
+
+struct SplitCtx {
+  int inv, imid, iside, delta, itheta, qalloc;
+};
+
+void compute_theta(BandCtx* ctx, SplitCtx* sctx, double* X, double* Y, int N,
+                   int* b, int B, int B0, int LM, bool stereo, uint32_t* fill) {
+  EcDec* ec = ctx->ec;
+  int i = ctx->i;
+  int inv = 0, itheta = 0;
+
+  int pulse_cap = (int)kLogN[i] + LM * (1 << BITRES);
+  int offset = (pulse_cap >> 1) -
+               (stereo && N == 2 ? QTHETA_OFFSET_TWOPHASE : QTHETA_OFFSET);
+  int qn = compute_qn(N, b[0], offset, pulse_cap, stereo);
+  if (stereo && i >= ctx->intensity) qn = 1;
+  int tell = ec_tell_frac(ec);
+  if (qn != 1) {
+    if (stereo && N > 2) {
+      const int p0 = 3;
+      int x0 = qn / 2;
+      uint32_t ft = (uint32_t)(p0 * (x0 + 1) + x0);
+      uint32_t fs = ec_decode(ec, ft);
+      int x;
+      if (fs < (uint32_t)((x0 + 1) * p0))
+        x = fs / p0;
+      else
+        x = x0 + 1 + (int)(fs - (x0 + 1) * p0);
+      uint32_t fl = x <= x0 ? (uint32_t)(p0 * x)
+                            : (uint32_t)((x - 1 - x0) + (x0 + 1) * p0);
+      uint32_t fh = x <= x0 ? (uint32_t)(p0 * (x + 1))
+                            : (uint32_t)((x - x0) + (x0 + 1) * p0);
+      ec_dec_update(ec, fl, fh, ft);
+      itheta = x;
+    } else if (B0 > 1 || stereo) {
+      itheta = (int)ec_dec_uint(ec, (uint32_t)(qn + 1));
+    } else {
+      uint32_t ft = (uint32_t)(((qn >> 1) + 1) * ((qn >> 1) + 1));
+      uint32_t fm = ec_decode(ec, ft);
+      uint32_t fl, fs;
+      if (fm < (uint32_t)((qn >> 1) * ((qn >> 1) + 1) >> 1)) {
+        itheta = (int)((isqrt32(8 * fm + 1) - 1) >> 1);
+        fs = itheta + 1;
+        fl = (uint32_t)(itheta * (itheta + 1) >> 1);
+      } else {
+        itheta = (int)((2 * (qn + 1) - isqrt32(8 * (ft - fm - 1) + 1)) >> 1);
+        fs = qn + 1 - itheta;
+        fl = ft - (uint32_t)((qn + 1 - itheta) * (qn + 2 - itheta) >> 1);
+      }
+      ec_dec_update(ec, fl, fl + fs, ft);
+    }
+    itheta = (itheta * 16384) / qn;
+  } else if (stereo) {
+    if (b[0] > 2 << BITRES && ctx->remaining_bits > 2 << BITRES)
+      inv = ec_dec_bit_logp(ec, 2);
+    else
+      inv = 0;
+    if (ctx->disable_inv) inv = 0;
+    itheta = 0;
+  }
+  int qalloc = ec_tell_frac(ec) - tell;
+  b[0] -= qalloc;
+
+  int imid, iside, delta;
+  if (itheta == 0) {
+    imid = 32767;
+    iside = 0;
+    fill[0] &= (1u << B) - 1;
+    delta = -16384;
+  } else if (itheta == 16384) {
+    imid = 0;
+    iside = 32767;
+    fill[0] &= ((1u << B) - 1) << B;
+    delta = 16384;
+  } else {
+    imid = bitexact_cos(itheta);
+    iside = bitexact_cos(16384 - itheta);
+    delta = frac_mul16((N - 1) << 7, bitexact_log2tan(iside, imid));
+  }
+  sctx->inv = inv;
+  sctx->imid = imid;
+  sctx->iside = iside;
+  sctx->delta = delta;
+  sctx->itheta = itheta;
+  sctx->qalloc = qalloc;
+}
+
+uint32_t quant_band_n1(BandCtx* ctx, double* X, double* Y, double* lowband_out) {
+  EcDec* ec = ctx->ec;
+  double* chans[2] = {X, Y};
+  int nch = Y ? 2 : 1;
+  for (int c = 0; c < nch; c++) {
+    int sign = 0;
+    if (ctx->remaining_bits >= 1 << BITRES) {
+      sign = (int)ec_dec_bits(ec, 1);
+      ctx->remaining_bits -= 1 << BITRES;
+    }
+    chans[c][0] = sign ? -1.0 : 1.0;
+  }
+  if (lowband_out) lowband_out[0] = X[0];
+  return 1;
+}
+
+uint32_t quant_partition(BandCtx* ctx, double* X, int N, int b, int B,
+                         double* lowband, int LM, double gain, uint32_t fill) {
+  int i = ctx->i;
+  EcDec* ec = ctx->ec;
+  int B0 = B;
+  uint32_t cm = 0;
+
+  int cache_index = kCacheIndex[(LM + 1) * NB + i];
+  const uint8_t* cache = kCacheBits + (cache_index < 0 ? 0 : cache_index);
+  bool can_split = cache_index >= 0 && LM != -1 &&
+                   b > (int)cache[cache[0]] + 12 && N > 2;
+  if (can_split) {
+    N >>= 1;
+    double* Y = X + N;
+    LM -= 1;
+    if (B == 1) fill = (fill & 1) | (fill << 1);
+    B = (B + 1) >> 1;
+
+    SplitCtx sctx;
+    int b_box = b;
+    uint32_t fill_box = fill;
+    compute_theta(ctx, &sctx, X, Y, N, &b_box, B, B0, LM, false, &fill_box);
+    b = b_box;
+    fill = fill_box;
+    int delta = sctx.delta, itheta = sctx.itheta, qalloc = sctx.qalloc;
+    double mid = sctx.imid / 32768.0;
+    double side = sctx.iside / 32768.0;
+
+    if (B0 > 1 && (itheta & 0x3FFF)) {
+      if (itheta > 8192)
+        delta -= delta >> (4 - LM);
+      else
+        delta = std::min(0, delta + (N << BITRES >> (5 - LM)));
+    }
+    // floor-div by 2 like Python's //
+    int bd = b - delta;
+    int half = bd >= 0 ? bd / 2 : -((-bd + 1) / 2);
+    int mbits = std::max(0, std::min(b, half));
+    int sbits = b - mbits;
+    ctx->remaining_bits -= qalloc;
+
+    double* next_lowband2 = lowband ? lowband + N : nullptr;
+
+    int rebalance = ctx->remaining_bits;
+    if (mbits >= sbits) {
+      cm = quant_partition(ctx, X, N, mbits, B, lowband, LM, gain * mid, fill);
+      rebalance = mbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 0)
+        sbits += rebalance - (3 << BITRES);
+      cm |= quant_partition(ctx, Y, N, sbits, B, next_lowband2, LM,
+                            gain * side, fill >> B)
+            << (B0 >> 1);
+    } else {
+      cm = quant_partition(ctx, Y, N, sbits, B, next_lowband2, LM, gain * side,
+                           fill >> B)
+           << (B0 >> 1);
+      rebalance = sbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 16384)
+        mbits += rebalance - (3 << BITRES);
+      cm |= quant_partition(ctx, X, N, mbits, B, lowband, LM, gain * mid, fill);
+    }
+  } else {
+    int q = bits2pulses(i, LM, b);
+    int curr_bits = pulses2bits(i, LM, q);
+    ctx->remaining_bits -= curr_bits;
+    while (ctx->remaining_bits < 0 && q > 0) {
+      ctx->remaining_bits += curr_bits;
+      q--;
+      curr_bits = pulses2bits(i, LM, q);
+      ctx->remaining_bits -= curr_bits;
+    }
+    if (q != 0) {
+      int K = get_pulses(q);
+      cm = alg_unquant(X, N, K, ctx->spread, B, ec, gain);
+    } else {
+      uint32_t cm_mask = (1u << B) - 1;
+      fill &= cm_mask;
+      if (!fill) {
+        memset(X, 0, N * sizeof(double));
+      } else {
+        if (!lowband) {
+          for (int j = 0; j < N; j++) {
+            ctx->seed = lcg_rand(ctx->seed);
+            X[j] = (double)((int32_t)ctx->seed >> 20);
+          }
+          cm = cm_mask;
+        } else {
+          for (int j = 0; j < N; j++) {
+            ctx->seed = lcg_rand(ctx->seed);
+            double tmp = 1.0 / 256;
+            X[j] = (ctx->seed & 0x8000) ? lowband[j] + tmp : lowband[j] - tmp;
+          }
+          cm = fill;
+        }
+        renormalise_vector(X, N, gain);
+      }
+    }
+  }
+  return cm;
+}
+
+uint32_t quant_band(BandCtx* ctx, double* X, int N, int b, int B,
+                    double* lowband, int LM, double* lowband_out, double gain,
+                    double* lowband_scratch, uint32_t fill) {
+  int N0 = N;
+  int N_B = N / B;
+  int B0 = B;
+  int time_divide = 0;
+  int recombine = 0;
+  bool long_blocks = B0 == 1;
+  int tf_change = ctx->tf_change;
+
+  if (N == 1) return quant_band_n1(ctx, X, nullptr, lowband_out);
+
+  if (tf_change > 0) recombine = tf_change;
+
+  if (lowband_scratch && lowband &&
+      (recombine || ((N_B & 1) == 0 && tf_change < 0) || B0 > 1)) {
+    memcpy(lowband_scratch, lowband, N * sizeof(double));
+    lowband = lowband_scratch;
+  }
+
+  for (int k = 0; k < recombine; k++) {
+    if (lowband) haar1(lowband, N >> k, 1 << k);
+    fill = kBitInterleave[fill & 0xF] | kBitInterleave[(fill >> 4) & 0xF] << 2;
+  }
+  B >>= recombine;
+  N_B <<= recombine;
+
+  while ((N_B & 1) == 0 && tf_change < 0) {
+    if (lowband) haar1(lowband, N_B, B);
+    fill |= fill << B;
+    B <<= 1;
+    N_B >>= 1;
+    time_divide++;
+    tf_change++;
+  }
+  B0 = B;
+  int N_B0 = N_B;
+
+  if (B0 > 1 && lowband)
+    deinterleave_hadamard(lowband, N_B >> recombine, B0 << recombine,
+                          long_blocks);
+
+  uint32_t cm = quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill);
+
+  // resynthesis (always on for decode)
+  if (B0 > 1)
+    interleave_hadamard(X, N_B >> recombine, B0 << recombine, long_blocks);
+  N_B = N_B0;
+  B = B0;
+  for (int k = 0; k < time_divide; k++) {
+    B >>= 1;
+    N_B <<= 1;
+    cm |= cm >> B;
+    haar1(X, N_B, B);
+  }
+  for (int k = 0; k < recombine; k++) {
+    cm = kBitDeinterleave[cm & 0xF];
+    haar1(X, N0 >> k, 1 << k);
+  }
+  B <<= recombine;
+
+  if (lowband_out) {
+    double n = sqrt((double)N0);
+    for (int j = 0; j < N0; j++) lowband_out[j] = n * X[j];
+  }
+  cm &= (1u << B) - 1;
+  return cm;
+}
+
+uint32_t quant_band_stereo(BandCtx* ctx, double* X, double* Y, int N, int b,
+                           int B, double* lowband, int LM, double* lowband_out,
+                           double* lowband_scratch, uint32_t fill) {
+  if (N == 1) return quant_band_n1(ctx, X, Y, lowband_out);
+
+  EcDec* ec = ctx->ec;
+  uint32_t orig_fill = fill;
+  SplitCtx sctx;
+  int b_box = b;
+  uint32_t fill_box = fill;
+  compute_theta(ctx, &sctx, X, Y, N, &b_box, B, B, LM, true, &fill_box);
+  b = b_box;
+  fill = fill_box;
+  int inv = sctx.inv, delta = sctx.delta, itheta = sctx.itheta,
+      qalloc = sctx.qalloc;
+  double mid = sctx.imid / 32768.0;
+  double side = sctx.iside / 32768.0;
+  uint32_t cm;
+
+  if (N == 2) {
+    int mbits = b;
+    int sbits = 0;
+    if (itheta != 0 && itheta != 16384) sbits = 1 << BITRES;
+    mbits -= sbits;
+    bool c = itheta > 8192;
+    ctx->remaining_bits -= qalloc + sbits;
+    double* x2 = c ? Y : X;
+    double* y2 = c ? X : Y;
+    int sign = 0;
+    if (sbits) sign = (int)ec_dec_bits(ec, 1);
+    sign = 1 - 2 * sign;
+    cm = quant_band(ctx, x2, N, mbits, B, lowband, LM, lowband_out, 1.0,
+                    lowband_scratch, orig_fill);
+    y2[0] = -sign * x2[1];
+    y2[1] = sign * x2[0];
+    X[0] *= mid;
+    X[1] *= mid;
+    Y[0] *= side;
+    Y[1] *= side;
+    double tmp = X[0];
+    X[0] = tmp - Y[0];
+    Y[0] = tmp + Y[0];
+    tmp = X[1];
+    X[1] = tmp - Y[1];
+    Y[1] = tmp + Y[1];
+  } else {
+    int bd = b - delta;
+    int half = bd >= 0 ? bd / 2 : -((-bd + 1) / 2);
+    int mbits = std::max(0, std::min(b, half));
+    int sbits = b - mbits;
+    ctx->remaining_bits -= qalloc;
+    int rebalance = ctx->remaining_bits;
+    if (mbits >= sbits) {
+      cm = quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out, 1.0,
+                      lowband_scratch, fill);
+      rebalance = mbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 0)
+        sbits += rebalance - (3 << BITRES);
+      cm |= quant_band(ctx, Y, N, sbits, B, nullptr, LM, nullptr, side,
+                       nullptr, fill >> B);
+    } else {
+      cm = quant_band(ctx, Y, N, sbits, B, nullptr, LM, nullptr, side, nullptr,
+                      fill >> B);
+      rebalance = sbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 16384)
+        mbits += rebalance - (3 << BITRES);
+      cm |= quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out, 1.0,
+                       lowband_scratch, fill);
+    }
+  }
+  if (N != 2) stereo_merge(X, Y, mid, N);
+  if (inv)
+    for (int j = 0; j < N; j++) Y[j] = -Y[j];
+  return cm;
+}
+
+void special_hybrid_folding(double* norm, double* norm2, int start, int M,
+                            int dual_stereo) {
+  int n1 = M * (kEBands[start + 1] - kEBands[start]);
+  int n2 = M * (kEBands[start + 2] - kEBands[start + 1]);
+  memmove(norm + n1, norm + 2 * n1 - n2, (n2 - n1) * sizeof(double));
+  if (dual_stereo)
+    memmove(norm2 + n1, norm2 + 2 * n1 - n2, (n2 - n1) * sizeof(double));
+}
+
+uint32_t quant_all_bands_dec(int start, int end, double* X_, double* Y_,
+                             uint8_t* collapse_masks, const int* pulses,
+                             bool short_blocks, int spread, int dual_stereo,
+                             int intensity, const int* tf_res, int total_bits,
+                             int balance, EcDec* ec, int LM, int coded_bands,
+                             uint32_t seed, bool disable_inv, double* norm_buf,
+                             double* scratch_buf) {
+  int M = 1 << LM;
+  int B = short_blocks ? M : 1;
+  int norm_offset = M * kEBands[start];
+  int C = Y_ ? 2 : 1;
+  int norm_len = M * kEBands[kNbEBands - 1] - norm_offset;
+  double* norm = norm_buf;
+  double* norm2 = C == 2 ? norm_buf + norm_len : norm;
+  memset(norm, 0, norm_len * sizeof(double));
+  if (C == 2) memset(norm2, 0, norm_len * sizeof(double));
+  double* lowband_scratch = scratch_buf;
+
+  BandCtx ctx;
+  ctx.intensity = intensity;
+  ctx.spread = spread;
+  ctx.ec = ec;
+  ctx.seed = seed;
+  ctx.disable_inv = disable_inv;
+  ctx.avoid_split_noise = B > 1;
+
+  int lowband_offset = 0;
+  bool update_lowband = true;
+  for (int i = start; i < end; i++) {
+    ctx.i = i;
+    bool last = i == end - 1;
+    double* X = X_ + M * kEBands[i];
+    double* Y = Y_ ? Y_ + M * kEBands[i] : nullptr;
+    int N = M * kEBands[i + 1] - M * kEBands[i];
+    int tell = ec_tell_frac(ec);
+
+    if (i != start) balance -= tell;
+    int remaining_bits = total_bits - tell - 1;
+    ctx.remaining_bits = remaining_bits;
+    int b;
+    if (i <= coded_bands - 1) {
+      int den = std::min(3, coded_bands - i);
+      int curr_balance = balance / den;  // truncate toward zero, like libopus
+      b = std::max(
+          0, std::min(16383, std::min(remaining_bits + 1,
+                                      pulses[i] + curr_balance)));
+    } else {
+      b = 0;
+    }
+
+    if ((M * kEBands[i] - N >= M * kEBands[start] || i == start + 1) &&
+        (update_lowband || lowband_offset == 0))
+      lowband_offset = i;
+    if (i == start + 1)
+      special_hybrid_folding(norm, norm2, start, M, dual_stereo);
+
+    ctx.tf_change = tf_res[i];
+    double* scratch = lowband_scratch;
+    // i >= effective_ebands never happens for the 48k/960 mode (eff == nb)
+    if (last) scratch = nullptr;
+
+    int effective_lowband = -1;
+    uint32_t x_cm, y_cm;
+    if (lowband_offset != 0 &&
+        (spread != SPREAD_AGGRESSIVE || B > 1 || ctx.tf_change < 0)) {
+      effective_lowband =
+          std::max(0, M * kEBands[lowband_offset] - norm_offset - N);
+      int fold_start = lowband_offset;
+      while (M * kEBands[--fold_start] > effective_lowband + norm_offset) {
+      }
+      int fold_end = lowband_offset - 1;
+      while (++fold_end < i &&
+             M * kEBands[fold_end] < effective_lowband + norm_offset + N) {
+      }
+      x_cm = y_cm = 0;
+      int fold_i = fold_start;
+      do {
+        x_cm |= collapse_masks[fold_i * C + 0];
+        y_cm |= collapse_masks[fold_i * C + C - 1];
+      } while (++fold_i < fold_end);
+    } else {
+      x_cm = y_cm = (1u << B) - 1;
+    }
+
+    if (dual_stereo && i == intensity) {
+      dual_stereo = 0;
+      int upto = M * kEBands[i] - norm_offset;
+      for (int j = 0; j < upto; j++) norm[j] = 0.5 * (norm[j] + norm2[j]);
+    }
+    if (dual_stereo) {
+      x_cm = quant_band(&ctx, X, N, b / 2, B,
+                        effective_lowband != -1 ? norm + effective_lowband
+                                                : nullptr,
+                        LM,
+                        last ? nullptr : norm + M * kEBands[i] - norm_offset,
+                        1.0, scratch, x_cm);
+      y_cm = quant_band(&ctx, Y, N, b / 2, B,
+                        effective_lowband != -1 ? norm2 + effective_lowband
+                                                : nullptr,
+                        LM,
+                        last ? nullptr : norm2 + M * kEBands[i] - norm_offset,
+                        1.0, scratch, y_cm);
+    } else {
+      if (Y) {
+        x_cm = quant_band_stereo(
+            &ctx, X, Y, N, b, B,
+            effective_lowband != -1 ? norm + effective_lowband : nullptr, LM,
+            last ? nullptr : norm + M * kEBands[i] - norm_offset, scratch,
+            x_cm | y_cm);
+      } else {
+        x_cm = quant_band(
+            &ctx, X, N, b, B,
+            effective_lowband != -1 ? norm + effective_lowband : nullptr, LM,
+            last ? nullptr : norm + M * kEBands[i] - norm_offset, 1.0, scratch,
+            x_cm | y_cm);
+      }
+      y_cm = x_cm;
+    }
+    collapse_masks[i * C + 0] = (uint8_t)(x_cm & 0xFF);
+    collapse_masks[i * C + C - 1] = (uint8_t)(y_cm & 0xFF);
+    balance += pulses[i] + tell;
+    update_lowband = b > (N << BITRES);
+    ctx.avoid_split_noise = false;
+  }
+  return ctx.seed;
+}
+
+void anti_collapse(double* X_, const uint8_t* collapse_masks, int LM, int C,
+                   int size, int start, int end, const double* logE,
+                   const double* prev1logE, const double* prev2logE,
+                   const int* pulses, uint32_t seed) {
+  for (int i = start; i < end; i++) {
+    int N0 = kEBands[i + 1] - kEBands[i];
+    int depth = ((1 + pulses[i]) / N0) >> LM;
+    double thresh = 0.5 * pow(2.0, -0.125 * depth);
+    double sqrt_1 = 1.0 / sqrt((double)(N0 << LM));
+    for (int c = 0; c < C; c++) {
+      double prev1 = prev1logE[c * NB + i];
+      double prev2 = prev2logE[c * NB + i];
+      if (C == 1) {
+        prev1 = std::max(prev1, prev1logE[NB + i]);
+        prev2 = std::max(prev2, prev2logE[NB + i]);
+      }
+      double ediff = std::max(0.0, logE[c * NB + i] - std::min(prev1, prev2));
+      double r = 2.0 * pow(2.0, -ediff);
+      if (LM == 3) r *= 1.41421356;
+      r = std::min(thresh, r) * sqrt_1;
+      int base = c * size + (kEBands[i] << LM);
+      bool renorm = false;
+      for (int k = 0; k < (1 << LM); k++) {
+        if (!(collapse_masks[i * C + c] & (1 << k))) {
+          for (int j = 0; j < N0; j++) {
+            seed = lcg_rand(seed);
+            X_[base + (j << LM) + k] = (seed & 0x8000) ? r : -r;
+          }
+          renorm = true;
+        }
+      }
+      if (renorm) renormalise_vector(X_ + base, N0 << LM, 1.0);
+    }
+  }
+}
+
+}  // namespace
+
+// --------------------------------------------------------------- energy
+namespace {
+
+const double kPredCoef[4] = {29440 / 32768.0, 26112 / 32768.0,
+                             21248 / 32768.0, 16384 / 32768.0};
+const double kBetaCoef[4] = {30147 / 32768.0, 22282 / 32768.0,
+                             12124 / 32768.0, 6554 / 32768.0};
+const double kBetaIntra = 4915 / 32768.0;
+const uint8_t kSmallEnergyICDF[3] = {2, 1, 0};
+
+void unquant_coarse_energy(int start, int end, double* old_ebands, bool intra,
+                           EcDec* dec, int C, int LM) {
+  const uint8_t* prob_model = kEProbModel + (LM * 2 + (intra ? 1 : 0)) * 42;
+  double prev[2] = {0.0, 0.0};
+  double coef = intra ? 0.0 : kPredCoef[LM];
+  double beta = intra ? kBetaIntra : kBetaCoef[LM];
+  int budget = (int)dec->storage * 8;
+  for (int i = start; i < end; i++) {
+    for (int c = 0; c < C; c++) {
+      int tell = ec_tell(dec);
+      int qi;
+      if (budget - tell >= 15) {
+        int pi = 2 * std::min(i, 20);
+        qi = ec_laplace_decode(dec, (uint32_t)prob_model[pi] << 7,
+                               (int)prob_model[pi + 1] << 6);
+      } else if (budget - tell >= 2) {
+        qi = ec_dec_icdf(dec, kSmallEnergyICDF, 2);
+        qi = (qi >> 1) ^ -(qi & 1);
+      } else if (budget - tell >= 1) {
+        qi = -ec_dec_bit_logp(dec, 1);
+      } else {
+        qi = -1;
+      }
+      double q = (double)qi;
+      double old = std::max(old_ebands[c * NB + i], -9.0);
+      old_ebands[c * NB + i] = coef * old + prev[c] + q;
+      prev[c] = prev[c] + q - beta * q;
+    }
+  }
+}
+
+void unquant_fine_energy(int start, int end, double* old_ebands,
+                         const int* fine_quant, EcDec* dec, int C) {
+  for (int i = start; i < end; i++) {
+    if (fine_quant[i] <= 0) continue;
+    double scale = std::ldexp(1.0, -fine_quant[i]);
+    for (int c = 0; c < C; c++) {
+      uint32_t q2 = ec_dec_bits(dec, fine_quant[i]);
+      old_ebands[c * NB + i] += ((double)q2 + 0.5) * scale - 0.5;
+    }
+  }
+}
+
+void unquant_energy_finalise(int start, int end, double* old_ebands,
+                             const int* fine_quant, const int* fine_priority,
+                             int bits_left, EcDec* dec, int C) {
+  for (int prio = 0; prio < 2; prio++) {
+    for (int i = start; i < end; i++) {
+      if (bits_left < C) break;
+      if (fine_quant[i] >= MAX_FINE_BITS || fine_priority[i] != prio) continue;
+      double scale = std::ldexp(1.0, -(fine_quant[i] + 1));
+      for (int c = 0; c < C; c++) {
+        int q2 = (int)ec_dec_bits(dec, 1);
+        old_ebands[c * NB + i] += (q2 - 0.5) * scale;
+        bits_left--;
+      }
+    }
+  }
+}
+
+// --------------------------------------------------------------- tf/caps
+void tf_decode(int start, int end, bool is_transient, int* tf_res, int LM,
+               EcDec* dec) {
+  int budget = (int)dec->storage * 8;
+  int tell = ec_tell(dec);
+  int logp = is_transient ? 2 : 4;
+  int tf_select_rsv = (LM > 0 && tell + logp + 1 <= budget) ? 1 : 0;
+  budget -= tf_select_rsv;
+  int tf_changed = 0, curr = 0;
+  for (int i = start; i < end; i++) {
+    if (tell + logp <= budget) {
+      curr ^= ec_dec_bit_logp(dec, logp);
+      tell = ec_tell(dec);
+      tf_changed |= curr;
+    }
+    tf_res[i] = curr;
+    logp = is_transient ? 4 : 5;
+  }
+  int tf_select = 0;
+  int ti = is_transient ? 1 : 0;
+  if (tf_select_rsv &&
+      kTfSelect[LM * 8 + 4 * ti + 0 + tf_changed] !=
+          kTfSelect[LM * 8 + 4 * ti + 2 + tf_changed])
+    tf_select = ec_dec_bit_logp(dec, 1);
+  for (int i = start; i < end; i++)
+    tf_res[i] = kTfSelect[LM * 8 + 4 * ti + 2 * tf_select + tf_res[i]];
+}
+
+void init_caps(int* caps, int LM, int C) {
+  for (int i = 0; i < NB; i++) {
+    int N = (kEBands[i + 1] - kEBands[i]) << LM;
+    caps[i] = ((int)kCacheCaps[NB * (2 * LM + C - 1) + i] + 64) * C * N >> 2;
+  }
+}
+
+// --------------------------------------------------------------- decoder
+constexpr int MAX_N = 960;  // 48k/960 mode, LM=3
+
+struct CeltHost {
+  uint32_t rng;
+  int loss_count;
+  double old_ebands[2 * NB];
+  double old_log_e[2 * NB];
+  double old_log_e2[2 * NB];
+  double background_log_e[2 * NB];
+  double norm_buf[2 * 8 * 100];     // 2 ch * M*eb[20]
+  double scratch_buf[8 * 100];      // M*eb[21]
+};
+
+void celt_host_reset_impl(CeltHost* st) {
+  st->rng = 0;
+  st->loss_count = 0;
+  for (int i = 0; i < 2 * NB; i++) {
+    st->old_ebands[i] = 0.0;
+    st->old_log_e[i] = -28.0;
+    st->old_log_e2[i] = -28.0;
+    st->background_log_e[i] = -28.0;
+  }
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ C API
+extern "C" {
+
+void* celt_host_create() {
+  build_u_table();
+  CeltHost* st = new CeltHost();
+  celt_host_reset_impl(st);
+  return st;
+}
+
+void celt_host_destroy(void* p) { delete (CeltHost*)p; }
+void celt_host_reset(void* p) { celt_host_reset_impl((CeltHost*)p); }
+
+// Import energy state (e.g. to sync with a Python-side decoder).
+void celt_host_set_state(void* p, const double* old_ebands,
+                         const double* old_log_e, const double* old_log_e2,
+                         uint32_t rng) {
+  CeltHost* st = (CeltHost*)p;
+  memcpy(st->old_ebands, old_ebands, sizeof(st->old_ebands));
+  memcpy(st->old_log_e, old_log_e, sizeof(st->old_log_e));
+  memcpy(st->old_log_e2, old_log_e2, sizeof(st->old_log_e2));
+  st->rng = rng;
+}
+
+void celt_host_get_state(void* p, double* old_ebands, double* old_log_e,
+                         double* old_log_e2, uint32_t* rng) {
+  CeltHost* st = (CeltHost*)p;
+  memcpy(old_ebands, st->old_ebands, sizeof(st->old_ebands));
+  memcpy(old_log_e, st->old_log_e, sizeof(st->old_log_e));
+  memcpy(old_log_e2, st->old_log_e2, sizeof(st->old_log_e2));
+  *rng = st->rng;
+}
+
+// Decode one CELT frame's symbols into a frame descriptor.
+//   data/len      packet payload (the CELT part)
+//   frame_size    output samples at 48 kHz (120 << LM)
+//   C             coded (stream) channels, 1 or 2
+//   start,end     band range (0..21 full band; hybrid uses start=17)
+//   disable_inv   disable stereo phase inversion
+//   x_out         C * frame_size doubles: unit-norm spectrum
+//   band_log_e    2 * 21 doubles: post-frame band log-energies
+//   iflags        int32[4]: transient, silence, pf_pitch, pf_tapset
+//   pf_gain       postfilter gain for this frame
+// Returns 0 on success, <0 on error.
+int celt_host_decode(void* p, const uint8_t* data, int len, int frame_size,
+                     int C, int start, int end, int disable_inv, double* x_out,
+                     double* band_log_e, int32_t* iflags, double* pf_gain) {
+  CeltHost* st = (CeltHost*)p;
+  int LM = -1;
+  for (int lm = 0; lm <= kMaxLM; lm++)
+    if (kShortMdctSize << lm == frame_size) LM = lm;
+  if (LM < 0 || C < 1 || C > 2 || len < 2 || !data) return -1;
+  int M = 1 << LM;
+  int N = M * kShortMdctSize;
+
+  EcDec dec_s;
+  EcDec* dec = &dec_s;
+  ec_dec_init(dec, data, (uint32_t)len);
+  int length = len;
+
+  double* old_band_e = st->old_ebands;
+  if (C == 1)
+    for (int i = 0; i < NB; i++)
+      old_band_e[i] = std::max(old_band_e[i], old_band_e[NB + i]);
+
+  int total_bits = length * 8;
+  int tell = ec_tell(dec);
+
+  int silence;
+  if (tell >= total_bits)
+    silence = 1;
+  else if (tell == 1)
+    silence = ec_dec_bit_logp(dec, 15);
+  else
+    silence = 0;
+  if (silence) {
+    tell = length * 8;
+    dec->nbits_total += tell - ec_tell(dec);
+  }
+
+  double postfilter_gain = 0.0;
+  int postfilter_pitch = 0;
+  int postfilter_tapset = 0;
+  if (start == 0 && tell + 16 <= total_bits) {
+    if (ec_dec_bit_logp(dec, 1)) {
+      int octave = (int)ec_dec_uint(dec, 6);
+      postfilter_pitch = (16 << octave) + (int)ec_dec_bits(dec, 4 + octave) - 1;
+      int qg = (int)ec_dec_bits(dec, 3);
+      if (ec_tell(dec) + 2 <= total_bits)
+        postfilter_tapset = ec_dec_icdf(dec, kTapsetICDF, 2);
+      postfilter_gain = 0.09375 * (qg + 1);
+    }
+    tell = ec_tell(dec);
+  }
+
+  int is_transient = 0;
+  if (LM > 0 && tell + 3 <= total_bits) {
+    is_transient = ec_dec_bit_logp(dec, 3);
+    tell = ec_tell(dec);
+  }
+  bool short_blocks = is_transient != 0;
+
+  int intra_ener = (tell + 3 <= total_bits) ? ec_dec_bit_logp(dec, 3) : 0;
+  unquant_coarse_energy(start, end, old_band_e, intra_ener != 0, dec, C, LM);
+
+  int tf_res[NB] = {0};
+  tf_decode(start, end, is_transient != 0, tf_res, LM, dec);
+
+  tell = ec_tell(dec);
+  int spread_decision = 2;  // SPREAD_NORMAL
+  if (tell + 4 <= total_bits) spread_decision = ec_dec_icdf(dec, kSpreadICDF, 5);
+
+  int cap[NB];
+  init_caps(cap, LM, C);
+  int offsets[NB] = {0};
+  int dynalloc_logp = 6;
+  total_bits <<= BITRES;
+  tell = ec_tell_frac(dec);
+  for (int i = start; i < end; i++) {
+    int width = C * (kEBands[i + 1] - kEBands[i]) << LM;
+    int quanta = std::min(width << BITRES, std::max(6 << BITRES, width));
+    int dynalloc_loop_logp = dynalloc_logp;
+    int boost = 0;
+    while (tell + (dynalloc_loop_logp << BITRES) < total_bits &&
+           boost < cap[i]) {
+      int flag = ec_dec_bit_logp(dec, dynalloc_loop_logp);
+      tell = ec_tell_frac(dec);
+      if (!flag) break;
+      boost += quanta;
+      total_bits -= quanta;
+      dynalloc_loop_logp = 1;
+    }
+    offsets[i] = boost;
+    if (boost > 0) dynalloc_logp = std::max(2, dynalloc_logp - 1);
+  }
+
+  int alloc_trim = (tell + (6 << BITRES) <= total_bits)
+                       ? ec_dec_icdf(dec, kTrimICDF, 7)
+                       : 5;
+
+  int bits = ((length * 8) << BITRES) - ec_tell_frac(dec) - 1;
+  int anti_collapse_rsv =
+      (is_transient && LM >= 2 && bits >= (LM + 2) << BITRES) ? (1 << BITRES)
+                                                              : 0;
+  bits -= anti_collapse_rsv;
+
+  Alloc alloc;
+  memset(&alloc, 0, sizeof(alloc));
+  clt_compute_allocation(start, end, offsets, cap, alloc_trim, bits, C, LM,
+                         dec, &alloc);
+
+  unquant_fine_energy(start, end, old_band_e, alloc.ebits, dec, C);
+
+  uint8_t collapse_masks[2 * NB] = {0};
+  memset(x_out, 0, (size_t)C * N * sizeof(double));
+  st->rng = quant_all_bands_dec(
+      start, end, x_out, C == 2 ? x_out + N : nullptr, collapse_masks,
+      alloc.pulses, short_blocks, spread_decision, alloc.dual_stereo,
+      alloc.intensity, tf_res, length * (8 << BITRES) - anti_collapse_rsv,
+      alloc.balance, dec, LM, alloc.coded_bands, st->rng, disable_inv != 0,
+      st->norm_buf, st->scratch_buf);
+
+  int anti_collapse_on = 0;
+  if (anti_collapse_rsv > 0) anti_collapse_on = (int)ec_dec_bits(dec, 1);
+
+  unquant_energy_finalise(start, end, old_band_e, alloc.ebits,
+                          alloc.fine_priority, length * 8 - ec_tell(dec), dec,
+                          C);
+
+  if (anti_collapse_on)
+    anti_collapse(x_out, collapse_masks, LM, C, N, start, end, old_band_e,
+                  st->old_log_e, st->old_log_e2, alloc.pulses, st->rng);
+
+  if (silence)
+    for (int i = 0; i < 2 * NB; i++) old_band_e[i] = -28.0;
+
+  if (C == 1)
+    for (int i = 0; i < NB; i++) old_band_e[NB + i] = old_band_e[i];
+
+  // export the frame descriptor energies before the log-e bookkeeping
+  memcpy(band_log_e, old_band_e, 2 * NB * sizeof(double));
+
+  if (!is_transient) {
+    memcpy(st->old_log_e2, st->old_log_e, sizeof(st->old_log_e));
+    memcpy(st->old_log_e, old_band_e, sizeof(st->old_log_e));
+    double max_bg = st->loss_count < 10 ? M * 0.001 : 1.0;
+    for (int i = 0; i < 2 * NB; i++)
+      st->background_log_e[i] =
+          std::min(st->background_log_e[i] + max_bg, st->old_log_e[i]);
+  } else {
+    for (int i = 0; i < 2 * NB; i++)
+      st->old_log_e[i] = std::min(st->old_log_e[i], old_band_e[i]);
+  }
+  for (int c = 0; c < 2; c++) {
+    for (int i = 0; i < start; i++) {
+      old_band_e[c * NB + i] = 0.0;
+      st->old_log_e[c * NB + i] = -28.0;
+      st->old_log_e2[c * NB + i] = -28.0;
+    }
+    for (int i = end; i < NB; i++) {
+      old_band_e[c * NB + i] = 0.0;
+      st->old_log_e[c * NB + i] = -28.0;
+      st->old_log_e2[c * NB + i] = -28.0;
+    }
+  }
+  st->rng = dec->rng;
+  st->loss_count = 0;
+
+  iflags[0] = is_transient;
+  iflags[1] = silence;
+  iflags[2] = postfilter_pitch;
+  iflags[3] = postfilter_tapset;
+  *pf_gain = postfilter_gain;
+
+  if (ec_tell(dec) > 8 * length) return -2;
+  return dec->error ? -3 : 0;
+}
+
+uint32_t celt_host_rng(void* p) { return ((CeltHost*)p)->rng; }
+
+}  // extern "C"
