@@ -26,7 +26,7 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
              "-o", _SO_PATH, _SRC_PATH],
             check=True, capture_output=True, cwd=_NATIVE_DIR)
         return True
@@ -60,6 +60,10 @@ def _load():
         C.c_int, dp, dp, C.POINTER(C.c_int32), dp]
     lib.celt_host_rng.restype = C.c_uint32
     lib.celt_host_rng.argtypes = [C.c_void_p]
+    ip = C.POINTER(C.c_int32)
+    lib.celt_host_decode_batch.argtypes = [
+        C.POINTER(C.c_void_p), C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int,
+        C.c_int, C.c_int, C.c_int, dp, dp, ip, dp, ip, C.c_int]
     _lib = lib
     return lib
 
@@ -151,3 +155,69 @@ class NativeCeltHost:
             "pf_gain": float(pf_gain.value),
             "pf_tapset": int(iflags[3]),
         }
+
+
+class NativeCeltHostBatch:
+    """S independent native host decoders driven by one multithreaded call.
+
+    Feed one packet payload per stream per step; outputs land in dense
+    (S, C, N) / (S, 2, 21) arrays ready to become a batched FrameDesc for
+    the device synthesis stage.
+    """
+
+    def __init__(self, n_streams: int, channels: int = 2,
+                 start: int = 0, end: int = 21,
+                 disable_inv: bool | None = None, n_threads: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native celt host library unavailable")
+        self._lib = lib
+        self.S = n_streams
+        self.channels = channels
+        self.start = start
+        self.end = end
+        self.disable_inv = (channels == 1) if disable_inv is None else disable_inv
+        self.n_threads = n_threads
+        self._states = (C.c_void_p * n_streams)(
+            *[lib.celt_host_create() for _ in range(n_streams)])
+        self._bufs = {}  # frame_size -> preallocated output arrays
+
+    def __del__(self):
+        if getattr(self, "_states", None) is not None and self._lib is not None:
+            for st in self._states:
+                if st:
+                    self._lib.celt_host_destroy(st)
+            self._states = None
+
+    def decode(self, payloads: list, frame_size: int):
+        """payloads: S byte strings. Returns (x, band_log_e, iflags, pf_gains, rcs)."""
+        S, Cch = self.S, self.channels
+        assert len(payloads) == S
+        blob = b"".join(payloads)
+        if frame_size not in self._bufs:
+            # the native decoder fully overwrites every output element
+            self._bufs[frame_size] = (
+                np.empty((S, Cch, frame_size), np.float64),
+                np.empty((S, 2, 21), np.float64),
+                np.empty((S, 4), np.int32),
+                np.empty(S, np.float64),
+                np.empty(S, np.int32),
+                np.empty(S, np.int32),
+                np.empty(S, np.int32),
+            )
+        x, ble, iflags, pf_gains, rcs, offs, lens = self._bufs[frame_size]
+        pos = 0
+        for i, p in enumerate(payloads):
+            offs[i] = pos
+            lens[i] = len(p)
+            pos += lens[i]
+        dp = C.POINTER(C.c_double)
+        ip = C.POINTER(C.c_int32)
+        self._lib.celt_host_decode_batch(
+            self._states, blob, offs.ctypes.data_as(ip),
+            lens.ctypes.data_as(ip), S, frame_size, Cch, self.start, self.end,
+            1 if self.disable_inv else 0, x.ctypes.data_as(dp),
+            ble.ctypes.data_as(dp), iflags.ctypes.data_as(ip),
+            pf_gains.ctypes.data_as(dp), rcs.ctypes.data_as(ip),
+            self.n_threads)
+        return x, ble, iflags, pf_gains, rcs

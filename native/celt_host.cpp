@@ -1621,3 +1621,53 @@ int celt_host_decode(void* p, const uint8_t* data, int len, int frame_size,
 uint32_t celt_host_rng(void* p) { return ((CeltHost*)p)->rng; }
 
 }  // extern "C"
+
+// ----------------------------------------------------------- batched decode
+#include <thread>
+#include <atomic>
+#include <vector>
+
+extern "C" {
+
+// Decode S independent streams' frames in parallel (one worker per core).
+//   states      S opaque stream states (from celt_host_create)
+//   blob        concatenated packet payloads
+//   offs/lens   per-stream byte ranges into blob
+//   x_out       S * C * frame_size doubles
+//   band_log_e  S * 2 * 21 doubles
+//   iflags      S * 4 int32
+//   pf_gains    S doubles
+//   rcs         S int32 return codes
+void celt_host_decode_batch(void** states, const uint8_t* blob,
+                            const int32_t* offs, const int32_t* lens, int S,
+                            int frame_size, int C, int start, int end,
+                            int disable_inv, double* x_out,
+                            double* band_log_e, int32_t* iflags,
+                            double* pf_gains, int32_t* rcs, int n_threads) {
+  int N = frame_size;
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, S);
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int s = next.fetch_add(1);
+      if (s >= S) break;
+      rcs[s] = celt_host_decode(
+          states[s], blob + offs[s], lens[s], frame_size, C, start, end,
+          disable_inv, x_out + (size_t)s * C * N, band_log_e + (size_t)s * 42,
+          iflags + (size_t)s * 4, pf_gains + s);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
