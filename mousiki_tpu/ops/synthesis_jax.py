@@ -193,59 +193,48 @@ def comb_filter_batched(consts, buf, pos, N, t0, t1, g0, g1, tap0, tap1):
     g12 = g1 * gains[tap1, 2]
     active = (g0 != 0.0) | (g1 != 0.0)
     same = (g0 == g1) & (t0 == t1) & (tap0 == tap1)
-
-    idx_s = jnp.arange(S)
+    ov = jnp.where(same, 0, OVERLAP)  # per-stream blend length
 
     def gather(b, offs):
         # b: (S, C, L); offs: (S, n) absolute indices -> (S, C, n)
         return jnp.take_along_axis(b, offs[:, None, :].repeat(C, 1), axis=-1)
 
-    # --- blended overlap region (sequential: feedback lag >= 13) ---
-    def blend_step(i, buf):
-        j = pos + i
-        f = w[i] * w[i]
-        o0 = j - t0
-        o1 = j - t1
-        def g1d(off):
-            return jnp.take_along_axis(buf, off[:, None, None].repeat(C, 1), axis=-1)[..., 0]
-        yj = (buf[..., j]
-              + (1 - f) * (g00[:, None] * g1d(o0)
-                           + g01[:, None] * (g1d(o0 + 1) + g1d(o0 - 1))
-                           + g02[:, None] * (g1d(o0 + 2) + g1d(o0 - 2)))
-              + f * (g10[:, None] * g1d(o1)
-                     + g11[:, None] * (g1d(o1 + 1) + g1d(o1 - 1))
-                     + g12[:, None] * (g1d(o1 + 2) + g1d(o1 - 2))))
-        do_blend = active & ~same & (i < OVERLAP)
-        new = jnp.where(do_blend[:, None], yj, buf[..., j])
-        return buf.at[..., j].set(new)
-
-    buf = jax.lax.fori_loop(0, OVERLAP, blend_step, buf)
-
-    # --- constant tail in chunks ---
-    CHUNK = COMB_MIN - 2  # 13: safe for all periods >= 15
+    # Both the blend region and the constant tail have feedback lag
+    # >= COMB_MIN - 2 = 13 samples (periods are clamped to >= 15), so the
+    # whole filter runs as one chunked loop: earlier chunks' outputs are
+    # visible to later chunks' reads, matching the sequential reference.
+    CHUNK = COMB_MIN - 2
     n_chunks = -(-N // CHUNK)
+    # f(i) = w[i]^2 inside the blend window, 1 afterwards
+    wsq = jnp.concatenate([w * w, jnp.ones(1, w.dtype)])
 
-    def tail_step(ci, buf):
+    def step(ci, buf):
         start = pos + ci * CHUNK
-        j = start + jnp.arange(CHUNK)                 # (CHUNK,)
-        offs = j[None, :] - t1[:, None]               # (S, CHUNK)
-        base = gather(buf, offs)
-        p1 = gather(buf, offs + 1) + gather(buf, offs - 1)
-        p2 = gather(buf, offs + 2) + gather(buf, offs - 2)
+        rel = ci * CHUNK + jnp.arange(CHUNK)          # sample idx in [0, N)
+        j = start + jnp.arange(CHUNK)                 # absolute positions
+        offs0 = j[None, :] - t0[:, None]              # (S, CHUNK)
+        offs1 = j[None, :] - t1[:, None]
+        part0 = (g00[:, None, None] * gather(buf, offs0)
+                 + g01[:, None, None] * (gather(buf, offs0 + 1)
+                                         + gather(buf, offs0 - 1))
+                 + g02[:, None, None] * (gather(buf, offs0 + 2)
+                                         + gather(buf, offs0 - 2)))
+        part1 = (g10[:, None, None] * gather(buf, offs1)
+                 + g11[:, None, None] * (gather(buf, offs1 + 1)
+                                         + gather(buf, offs1 - 1))
+                 + g12[:, None, None] * (gather(buf, offs1 + 2)
+                                         + gather(buf, offs1 - 2)))
         cur = jax.lax.dynamic_slice_in_dim(buf, start, CHUNK, axis=-1)
-        y = cur + (g10[:, None, None] * base
-                   + g11[:, None, None] * p1
-                   + g12[:, None, None] * p2)
-        # active region: samples in [overlap-if-blended, N); when filters are
-        # identical the whole [0, N) range uses the constant filter
-        samp = ci * CHUNK + jnp.arange(CHUNK)
-        lo = jnp.where(same, 0, OVERLAP)
-        valid = (samp[None, :] >= lo[:, None]) & (samp[None, :] < N)
-        valid = valid & active[:, None] & (g1 != 0.0)[:, None]
+        in_blend = rel[None, :] < ov[:, None]          # (S, CHUNK)
+        f = jnp.where(in_blend, wsq[jnp.minimum(rel, OVERLAP)][None, :], 1.0)
+        y = cur + (1 - f)[:, None, :] * part0 + f[:, None, :] * part1
+        # after the blend region the reference stops when g1 == 0
+        valid = (rel[None, :] < N) & active[:, None] \
+            & (in_blend | (g1 != 0.0)[:, None])
         new = jnp.where(valid[:, None, :].repeat(C, 1), y, cur)
         return jax.lax.dynamic_update_slice_in_dim(buf, new, start, axis=-1)
 
-    buf = jax.lax.fori_loop(0, n_chunks, tail_step, buf)
+    buf = jax.lax.fori_loop(0, n_chunks, step, buf)
     return buf
 
 

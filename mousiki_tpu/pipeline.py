@@ -1,0 +1,125 @@
+"""End-to-end batched CELT streaming pipeline: packets -> PCM at scale.
+
+Glues the native (C++) host symbol stage to the batched device synthesis
+stage (SURVEY.md §7 production topology):
+
+  S packets --celt_host_decode_batch--> FrameDesc (dense tensors)
+            --synthesis_step (jit, optionally mesh-sharded)--> (S, 960, C) pcm
+
+One instance owns S independent stream states on both sides. The host
+stage falls back to the validated Python decoder when the shared library
+is unavailable (results are identical; it is just slower).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .celt.decoder import CeltDecoder
+from .ops.synthesis_jax import (FrameDesc, init_state, make_consts,
+                                synthesis_step)
+
+_LOW_E = -28.0
+
+
+class CeltStreamPipeline:
+    """Decode S parallel CELT streams, one 48 kHz frame per step."""
+
+    def __init__(self, n_streams: int, channels: int = 2,
+                 use_native: bool | None = None, mesh=None,
+                 host_threads: int = 0):
+        import jax
+
+        self.S = n_streams
+        self.channels = channels
+        self._native = None
+        self._py_hosts = None
+
+        if use_native is not False:
+            try:
+                from .celt import host_native
+                if host_native.available():
+                    self._native = host_native.NativeCeltHostBatch(
+                        n_streams, channels=channels,
+                        disable_inv=channels == 1, n_threads=host_threads)
+            except Exception:
+                self._native = None
+        if self._native is None:
+            if use_native is True:
+                raise RuntimeError("native celt host requested but unavailable")
+            self._py_hosts = [
+                CeltDecoder(channels=channels, stream_channels=channels)
+                for _ in range(n_streams)]
+            for h in self._py_hosts:
+                h.disable_inv = channels == 1
+
+        self.consts = make_consts()
+        self.state = init_state(n_streams, channels)
+        if mesh is not None:
+            from .parallel.streaming import (replicate_consts, shard_state,
+                                             sharded_synthesis_step)
+            self.consts = replicate_consts(mesh, self.consts)
+            self.state = shard_state(mesh, self.state)
+            self._step = sharded_synthesis_step(mesh, channels=channels)
+        else:
+            import functools
+            self._step = jax.jit(functools.partial(
+                synthesis_step, channels=channels))
+
+    # ------------------------------------------------------------------
+    def _host_decode(self, payloads: list, frame_size: int) -> FrameDesc:
+        import jax.numpy as jnp
+
+        S, C = self.S, self.channels
+        if self._native is not None:
+            x, ble2, iflags, pf_gains, rcs = self._native.decode(
+                payloads, frame_size)
+            if np.any(rcs < 0):
+                bad = int(np.argmax(rcs < 0))
+                raise ValueError(
+                    f"stream {bad}: native celt decode failed rc={rcs[bad]}")
+            transient = iflags[:, 0] != 0
+            silence = iflags[:, 1] != 0
+            pf_pitch = iflags[:, 2]
+            pf_tapset = iflags[:, 3]
+            ble = ble2[:, :C, :]
+        else:
+            x = np.zeros((S, C, frame_size))
+            ble = np.zeros((S, C, 21))
+            transient = np.zeros(S, bool)
+            silence = np.zeros(S, bool)
+            pf_pitch = np.zeros(S, np.int32)
+            pf_tapset = np.zeros(S, np.int32)
+            pf_gains = np.zeros(S)
+            for s, payload in enumerate(payloads):
+                d = self._py_hosts[s].decode_with_ec(payload, frame_size,
+                                                     return_desc=True)
+                x[s] = d["x"]
+                ble[s] = d["band_log_e"][:C]
+                transient[s] = d["transient"]
+                silence[s] = d["silence"]
+                pf_pitch[s] = d["pf_pitch"]
+                pf_tapset[s] = d["pf_tapset"]
+                pf_gains[s] = d["pf_gain"]
+
+        ble_pad = np.full((S, C, 22), _LOW_E, np.float32)
+        ble_pad[:, :, :21] = ble
+        return FrameDesc(
+            x=jnp.asarray(x, jnp.float32),
+            band_log_e=jnp.asarray(ble_pad),
+            transient=jnp.asarray(transient),
+            silence=jnp.asarray(silence),
+            pf_pitch=jnp.asarray(pf_pitch, jnp.int32),
+            pf_gain=jnp.asarray(pf_gains, jnp.float32),
+            pf_tapset=jnp.asarray(pf_tapset, jnp.int32),
+        )
+
+    def step(self, payloads: list, frame_size: int = 960):
+        """Decode one frame for every stream.
+
+        payloads: S CELT payload byte strings (one per stream).
+        Returns a device array (S, frame_size, channels), float32 in [-1, 1].
+        """
+        desc = self._host_decode(payloads, frame_size)
+        pcm, self.state = self._step(self.consts, self.state, desc)
+        return pcm

@@ -1,0 +1,74 @@
+"""End-to-end pipeline test: S parallel streams through the native host +
+device synthesis must match per-stream Python reference decode."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from mousiki_tpu.bitstream.packet import parse_packet
+from mousiki_tpu.celt.decoder import CeltDecoder
+from mousiki_tpu.pipeline import CeltStreamPipeline
+from mousiki_tpu.testing import oracle
+
+needs_oracle = pytest.mark.skipif(not oracle.available(),
+                                  reason="oracle missing")
+
+
+def _make_streams(n_streams, n_frames, channels, bitrates):
+    streams = []
+    for s in range(n_streams):
+        enc = oracle.RefEncoder(48000, channels,
+                                oracle.APP_RESTRICTED_LOWDELAY)
+        enc.ctl_set(oracle.SET_BITRATE, bitrates[s % len(bitrates)])
+        sig = oracle.make_test_signal(960 * n_frames, channels, seed=s + 1)
+        pcm16 = oracle.float_to_i16(sig)
+        pkts = [parse_packet(enc.encode(
+            pcm16[f * 960:(f + 1) * 960].reshape(-1), 960)).frames[0]
+            for f in range(n_frames)]
+        streams.append(pkts)
+    return streams
+
+
+@needs_oracle
+@pytest.mark.parametrize("use_native", [True, False])
+def test_pipeline_matches_reference(use_native):
+    from mousiki_tpu.celt import host_native
+    if use_native and not host_native.available():
+        pytest.skip("native host lib unavailable")
+    S, F, channels = 3, 6, 2
+    streams = _make_streams(S, F, channels, [64000, 128000, 256000])
+
+    pipe = CeltStreamPipeline(S, channels=channels, use_native=use_native)
+    refs = [CeltDecoder(channels=channels, stream_channels=channels)
+            for _ in range(S)]
+    for r in refs:
+        r.disable_inv = False
+
+    for f in range(F):
+        payloads = [streams[s][f] for s in range(S)]
+        pcm = np.asarray(pipe.step(payloads, 960))
+        for s in range(S):
+            want = refs[s].decode_with_ec(payloads[s], 960)
+            err = np.abs(pcm[s] - want).max()
+            assert err < 2e-4, f"frame {f} stream {s}: err {err}"
+
+
+@needs_oracle
+def test_pipeline_sharded_cpu_mesh():
+    """Same pipeline over an 8-virtual-device mesh (dp over streams)."""
+    from mousiki_tpu.celt import host_native
+    if not host_native.available():
+        pytest.skip("native host lib unavailable")
+    from mousiki_tpu.parallel.streaming import make_mesh
+    S, F, channels = 8, 3, 2
+    streams = _make_streams(S, F, channels, [96000])
+    mesh = make_mesh()
+    pipe = CeltStreamPipeline(S, channels=channels, use_native=True, mesh=mesh)
+    ref = CeltDecoder(channels=channels, stream_channels=channels)
+    ref.disable_inv = False
+    for f in range(F):
+        payloads = [streams[s][f] for s in range(S)]
+        pcm = np.asarray(pipe.step(payloads, 960))
+        want = ref.decode_with_ec(payloads[0], 960)
+        assert np.abs(pcm[0] - want).max() < 2e-4
