@@ -77,6 +77,7 @@ class OpusEncoder:
 
     def set_bandwidth(self, bw: Bandwidth):
         self.bandwidth = bw
+        self.bandwidth_forced = True
         self.celt.end = {Bandwidth.NARROWBAND: 13, Bandwidth.WIDEBAND: 17,
                          Bandwidth.SUPERWIDEBAND: 19,
                          Bandwidth.FULLBAND: 21}[bw]
@@ -112,34 +113,73 @@ class OpusEncoder:
             raise NotImplementedError("SILK 10/20 ms this round")
         if self.channels != 1:
             raise NotImplementedError("SILK mono this round; stereo via CELT")
-        fs_khz = _SILK_BW_TO_KHZ[self.bandwidth]
+        bw = self.bandwidth
+        if not getattr(self, "bandwidth_forced", False):
+            # rate-driven internal bandwidth (control_audio_bandwidth.rs)
+            if self.bitrate < 13000:
+                bw = Bandwidth.NARROWBAND
+            elif self.bitrate < 18000:
+                bw = Bandwidth.MEDIUMBAND
+            else:
+                bw = Bandwidth.WIDEBAND
+            bw = min(bw, self.bandwidth)
+        fs_khz = _SILK_BW_TO_KHZ[bw]
         frame_ms = frame_size * 1000 // self.fs
         nbytes = max(10, min(max_bytes,
                              (self.bitrate * frame_size) // (8 * self.fs) + 10))
         pcm_i = pcm[:, 0] * 32768.0
-        # greedy rate control: retry with coarser gains until the packet fits
+        # per-frame rate search: find the finest gain scale (coarsen) whose
+        # packet fits the byte budget, so every frame lands just under the
+        # budget instead of oscillating across frames
         snap = self.silk.snapshot()
-        enc = None
-        for coarsen in (1.0, 1.4, 2.0, 3.0, 5.0, 9.0, 20.0, 80.0):
+        budget_bits = nbytes * 8
+        base = getattr(self.silk, "coarsen_state", 1.0)
+
+        def attempt(c):
             self.silk.restore(snap)
-            enc = RangeEncoder(nbytes)
+            e = RangeEncoder(nbytes)
             try:
-                silk_encode_packet(self.silk, enc, pcm_i, fs_khz, self.fs,
-                                   frame_ms, self.bitrate, coarsen)
+                silk_encode_packet(self.silk, e, pcm_i, fs_khz, self.fs,
+                                   frame_ms, self.bitrate, c)
             except _BudgetExceeded:
-                continue
-            enc.done()
-            if not enc.get_error():
+                return None
+            e.done()
+            return None if e.get_error() else e
+
+        c = max(0.05, base)
+        enc = attempt(c)
+        for step in range(10):
+            if enc is not None:
                 break
-        else:
+            c = 1e4 if (step >= 6 or c > 200) else c * 1.6
+            enc = attempt(c)
+        if enc is None:
             raise ValueError("silk rate control failed")
+        # refine downward while there is unused budget
+        best_c, last_was_best = c, True
+        for _ in range(4):
+            bits = enc.tell()
+            if bits >= 0.72 * budget_bits or best_c <= 0.05:
+                break
+            c2 = max(0.05, best_c * max(0.5,
+                                        (bits / (0.90 * budget_bits)) ** 1.2))
+            if abs(c2 - best_c) / best_c < 0.05:
+                break
+            e2 = attempt(c2)
+            if e2 is None:
+                last_was_best = False
+                break
+            best_c, enc, last_was_best = c2, e2, True
+        if not last_was_best:
+            enc = attempt(best_c)
+        self.silk.coarsen_state = max(0.05, min(best_c, 80.0))
         payload = enc.data()
         # trim unused trailing zero bytes (reading past the end yields the
         # same zeros, so the range-decode path is unchanged)
         used = max((enc.tell() + 7) >> 3, enc.offs)
         payload = payload[:max(used, 2)]
         self.range_final = enc.rng & 0xFFFFFFFF
-        toc = silk_toc(frame_size, self.bandwidth, 1)
+        toc = silk_toc(frame_size, bw, 1)
         return bytes([toc]) + payload
 
     @property

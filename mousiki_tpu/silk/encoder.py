@@ -1,13 +1,13 @@
 """SILK encoder (mono, 10/20 ms): produces valid SILK streams.
 
-Parity scope this round: the normative symbol writers (gains_quant, NLSF
-stage-1/2 encode, encode_indices, encode_pulses incl. shell coder and LSB
-escapes) mirror libopus exactly, so every stream decodes bit-consistently
-in libopus and our decoder. The analysis side (LPC estimation, gain
-selection, excitation quantization) is a float/greedy implementation:
-unvoiced-style coding without LTP — valid and reasonable; the NSQ
-delayed-decision quantizer and pitch/LTP path are the next quality step
-(reference src/silk/{nsq,nsq_del_dec,pitch_analysis_core}.rs [HOT]).
+The normative symbol writers (gains_quant, NLSF stage-1/2 encode,
+encode_indices incl. voiced pitch/LTP coding, encode_pulses with shell
+coder + LSB escapes) mirror libopus exactly. The analysis side (LPC, pitch
+search, LTP codebook fit, gain selection) is float/greedy (reference
+src/silk/{pitch_analysis_core,find_ltp,nsq}.rs); the excitation quantizer
+runs closed-loop against an embedded bit-exact MIRROR of the decoder state
+(ChannelDecoderState), so the encoder tracks exactly what any conformant
+decoder reconstructs — voiced LTP feedback included — with zero drift.
 """
 
 from __future__ import annotations
@@ -17,17 +17,19 @@ import math
 import numpy as np
 
 from . import tables as T
-from .dec_api import DecCtrl
-from .decode_core import silk_rand
+from .dec_api import DecCtrl, decoder_set_fs
+from .decode_core import decode_core, lpc_analysis_filter, silk_rand
 from .decode_indices import nlsf_unpack
 from .decode_params import (INV_SCALE_Q16, N_LEVELS_QGAIN,
                             NLSF_QUANT_LEVEL_ADJ_Q10, OFFSET_GQ,
-                            nlsf_stabilize, nlsf2a)
+                            decode_parameters, decode_pitch, nlsf_stabilize,
+                            nlsf2a)
 from .decode_pulses import (LOG2_SHELL_CODEC_FRAME_LENGTH, N_RATE_LEVELS,
                             SHELL_CODEC_FRAME_LENGTH, SILK_MAX_PULSES)
 from .fixed_math import (i16, i32, sat16, silk_log2lin, silk_lin2log, smulbb,
                          smulwb)
-from .structs import (NLSF_CB_NB_MB, NLSF_CB_WB, TYPE_UNVOICED)
+from .structs import (LTP_ORDER, MAX_LPC_ORDER, ChannelDecoderState,
+                      NLSF_CB_NB_MB, NLSF_CB_WB, TYPE_UNVOICED, TYPE_VOICED)
 
 SCALE_Q16 = (65536 * (N_LEVELS_QGAIN - 1)) // (((88 - 2) * 128) // 6)
 QUANT_LEVEL_ADJUST_Q10 = 80
@@ -161,8 +163,29 @@ def encode_indices(st_like, enc, ix, cond_coding, pitch_contour_icdf=None,
     if st_like.nb_subfr == 4:
         enc.enc_icdf(ix.nlsf_interp_coef_q2,
                      T.SILK_NLSF_INTERPOLATION_FACTOR_ICDF, 8)
-    # (voiced pitch/LTP would be coded here; unvoiced-only this round)
-    assert ix.signal_type != 2, "voiced encode lands with the NSQ/pitch work"
+    if ix.signal_type == 2:  # TYPE_VOICED: pitch lag, contour, LTP, scale
+        coded_delta = False
+        if cond_coding == 2 and st_like.ec_prev_signal_type == 2:
+            delta = ix.lag_index - st_like.ec_prev_lag_index + 9
+            if 1 <= delta <= 20 and delta != 9:
+                enc.enc_icdf(delta, T.PITCH_DELTA_ICDF, 8)
+                coded_delta = True
+            else:
+                enc.enc_icdf(0, T.PITCH_DELTA_ICDF, 8)
+        if not coded_delta:
+            half = st_like.fs_khz >> 1
+            enc.enc_icdf(ix.lag_index // half, T.PITCH_LAG_ICDF, 8)
+            enc.enc_icdf(ix.lag_index % half,
+                         st_like.pitch_lag_low_bits_icdf, 8)
+        st_like.ec_prev_lag_index = ix.lag_index
+        enc.enc_icdf(ix.contour_index, st_like.pitch_contour_icdf, 8)
+        enc.enc_icdf(ix.per_index, T.SILK_LTP_PER_INDEX_ICDF, 8)
+        for k in range(st_like.nb_subfr):
+            enc.enc_icdf(ix.ltp_index[k],
+                         T.SILK_LTP_GAIN_ICDF_PTRS[ix.per_index], 8)
+        if cond_coding == 0:
+            enc.enc_icdf(ix.ltp_scale_index, T.SILK_LTPSCALE_ICDF, 8)
+    st_like.ec_prev_signal_type = ix.signal_type
     enc.enc_icdf(ix.seed, T.SILK_UNIFORM4_ICDF, 8)
 
 
@@ -281,37 +304,201 @@ def encode_pulses(enc, signal_type, quant_offset_type, pulses, frame_length):
                     enc.enc_icdf(0 if q < 0 else 1, icdf, 8)
 
 
+def encode_core(st, ctrl, x, pulses_out, mute=False, res=None, fb_gamma=0.8):
+    """Closed-loop excitation quantization: decode_core with the pulse
+    decision inserted at each sample (reference src/silk/nsq.rs, zero
+    noise shaping). Mutates the mirror decoder state `st` exactly like
+    decode_core would for the chosen pulses; returns xq (int16 list)."""
+    ix = st.indices
+    offset_q10 = T.SILK_QUANTIZATION_OFFSETS_Q10[ix.signal_type >> 1][
+        ix.quant_offset_type]
+    nlsf_interp_flag = 1 if ix.nlsf_interp_coef_q2 < 4 else 0
+    from .fixed_math import (add_sat32, lshift_sat32, rshift_round,
+                             silk_div32_varq, silk_inverse32_varq, smlawb,
+                             smulww)
+
+    rand_seed = i32(ix.seed)
+    exc = st.exc_q14
+    sLPC = list(st.s_lpc_q14_buf) + [0] * st.subfr_length
+    sLTP = [0] * st.ltp_mem_length
+    sLTP_q15 = [0] * (st.ltp_mem_length + st.frame_length)
+    xq = [0] * st.frame_length
+    sLTP_buf_idx = st.ltp_mem_length
+    lag = 0
+    off16 = offset_q10 << 4
+    adj16 = QUANT_LEVEL_ADJUST_Q10 << 4
+
+    def quant_exc(want):
+        """Choose the pulse whose decoded excitation best matches `want`."""
+        if mute:
+            return 0
+        base = want - off16
+        q = int(round(base / 16384.0))
+        bestq, beste = 0, None
+        for cand in (q - 1, q, q + 1):
+            v = cand << 14
+            if v > 0:
+                v -= adj16
+            elif v < 0:
+                v += adj16
+            v += off16
+            e = abs(v - want)
+            if beste is None or e < beste:
+                beste, bestq = e, cand
+        return max(-1000, min(1000, bestq))
+
+    for k in range(st.nb_subfr):
+        A_q12 = ctrl.pred_coef_q12[k >> 1]
+        B_q14 = ctrl.ltp_coef_q14[k * LTP_ORDER:(k + 1) * LTP_ORDER]
+        signal_type = ix.signal_type
+
+        gain_q10 = ctrl.gains_q16[k] >> 6
+        inv_gain_q31 = silk_inverse32_varq(ctrl.gains_q16[k], 47)
+        inv_gain_f = (1 << 30) / ctrl.gains_q16[k]
+
+        if ctrl.gains_q16[k] != st.prev_gain_q16:
+            gain_adj_q16 = silk_div32_varq(st.prev_gain_q16,
+                                           ctrl.gains_q16[k], 16)
+            for i in range(MAX_LPC_ORDER):
+                sLPC[i] = smulww(gain_adj_q16, sLPC[i])
+        else:
+            gain_adj_q16 = 1 << 16
+        st.prev_gain_q16 = ctrl.gains_q16[k]
+
+        if signal_type == TYPE_VOICED:
+            lag = ctrl.pitch_l[k]
+            if k == 0 or (k == 2 and nlsf_interp_flag):
+                start_idx = (st.ltp_mem_length - lag - st.lpc_order
+                             - LTP_ORDER // 2)
+                assert start_idx > 0
+                if k == 2:
+                    st.out_buf[st.ltp_mem_length:
+                               st.ltp_mem_length + 2 * st.subfr_length] = \
+                        xq[: 2 * st.subfr_length]
+                scratch = [0] * (st.ltp_mem_length - start_idx)
+                lpc_analysis_filter(scratch, st.out_buf,
+                                    start_idx + k * st.subfr_length, A_q12,
+                                    st.ltp_mem_length - start_idx,
+                                    st.lpc_order)
+                for i2, v in enumerate(scratch):
+                    sLTP[start_idx + i2] = v
+                if k == 0:
+                    inv_gain_q31 = i32(
+                        smulwb(inv_gain_q31, ctrl.ltp_scale_q14) << 2)
+                for i in range(lag + LTP_ORDER // 2):
+                    sLTP_q15[sLTP_buf_idx - i - 1] = smulwb(
+                        inv_gain_q31, sLTP[st.ltp_mem_length - i - 1])
+            else:
+                if gain_adj_q16 != 1 << 16:
+                    for i in range(lag + LTP_ORDER // 2):
+                        sLTP_q15[sLTP_buf_idx - i - 1] = smulww(
+                            gain_adj_q16, sLTP_q15[sLTP_buf_idx - i - 1])
+
+        pl = sLTP_buf_idx - lag + LTP_ORDER // 2
+        for i in range(st.subfr_length):
+            n = k * st.subfr_length + i
+            # predictions (independent of the current sample's pulse)
+            if signal_type == TYPE_VOICED:
+                ltp_pred_q13 = 2
+                ltp_pred_q13 = smlawb(ltp_pred_q13, sLTP_q15[pl + 0], B_q14[0])
+                ltp_pred_q13 = smlawb(ltp_pred_q13, sLTP_q15[pl - 1], B_q14[1])
+                ltp_pred_q13 = smlawb(ltp_pred_q13, sLTP_q15[pl - 2], B_q14[2])
+                ltp_pred_q13 = smlawb(ltp_pred_q13, sLTP_q15[pl - 3], B_q14[3])
+                ltp_pred_q13 = smlawb(ltp_pred_q13, sLTP_q15[pl - 4], B_q14[4])
+                pl += 1
+            else:
+                ltp_pred_q13 = 0
+            lpc_pred_q10 = st.lpc_order >> 1
+            for j in range(st.lpc_order):
+                lpc_pred_q10 = smlawb(lpc_pred_q10,
+                                      sLPC[MAX_LPC_ORDER + i - 1 - j],
+                                      A_q12[j])
+            # target excitation: open-loop whitened residual plus damped
+            # closed-loop correction. Full feedback (gamma=1) is unstable at
+            # coarse quantization (the LPC synthesis filter amplifies the
+            # fed-back rounding noise); gamma<1 bounds it while still pulling
+            # the reconstruction toward the input (noise-shaping role of the
+            # reference NSQ, src/silk/nsq.rs).
+            slpc_target = x[n] * inv_gain_f
+            res_target_cl = slpc_target - (lpc_pred_q10 << 4)
+            if res is not None:
+                e_ol = res[n] * inv_gain_f
+                res_target = e_ol + fb_gamma * (res_target_cl - e_ol)
+            else:
+                res_target = res_target_cl
+            if signal_type == TYPE_VOICED:
+                exc_target = res_target - (ltp_pred_q13 << 1)
+            else:
+                exc_target = res_target
+            rand_seed = silk_rand(rand_seed)
+            want = -exc_target if rand_seed < 0 else exc_target
+            pulse = quant_exc(want)
+            pulses_out[n] = pulse
+            # exact decoder reconstruction for the chosen pulse
+            v = i32(pulse << 14)
+            if v > 0:
+                v -= adj16
+            elif v < 0:
+                v += adj16
+            v = i32(v + off16)
+            if rand_seed < 0:
+                v = -v
+            exc[n] = v
+            rand_seed = i32(rand_seed + pulse)
+            if signal_type == TYPE_VOICED:
+                res_q14 = i32(exc[n] + i32(ltp_pred_q13 << 1))
+                sLTP_q15[sLTP_buf_idx] = i32(res_q14 << 1)
+                sLTP_buf_idx += 1
+            else:
+                res_q14 = exc[n]
+            sLPC[MAX_LPC_ORDER + i] = add_sat32(res_q14,
+                                                lshift_sat32(lpc_pred_q10, 4))
+            xq[n] = sat16(rshift_round(
+                smulww(sLPC[MAX_LPC_ORDER + i], gain_q10), 8))
+        sLPC[:MAX_LPC_ORDER] = sLPC[st.subfr_length:
+                                    st.subfr_length + MAX_LPC_ORDER]
+
+    st.s_lpc_q14_buf[:] = sLPC[:MAX_LPC_ORDER]
+    return xq
+
+
 class SilkEncoder:
-    """Mono SILK encoder state (fs 8/12/16 kHz internal)."""
+    """Mono SILK encoder state (fs 8/12/16 kHz internal).
+
+    Embeds a mirror ChannelDecoderState that is advanced with the exact
+    decoder arithmetic after every frame, so closed-loop quantization sees
+    precisely the state any conformant decoder will have."""
 
     def __init__(self):
         self.fs_khz = 0
         self.api_fs_hz = 0
-        self.prev_gain_ind = 10
-        self.prev_nlsf_q15 = None
-        self.s_lpc_hist = [0] * 16  # reconstructed sLPC tail (Q14)
         self.seed_ctr = 0
         self.first = True
         self.resampler = None
-        self.hp_mem = 0.0
+        self.mirror = ChannelDecoderState()
+        self.x_hist = None  # float input history at internal rate
+        self.fb_gamma = None  # None = auto by quantizer fineness
 
     def snapshot(self):
         import copy
-        return (self.fs_khz, self.api_fs_hz, self.prev_gain_ind,
-                None if self.prev_nlsf_q15 is None else list(self.prev_nlsf_q15),
-                list(self.s_lpc_hist), self.seed_ctr, self.first,
-                copy.deepcopy(self.resampler), self.hp_mem)
+        return (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
+                copy.deepcopy(self.resampler), copy.deepcopy(self.mirror),
+                None if self.x_hist is None else self.x_hist.copy())
 
     def restore(self, snap):
-        (self.fs_khz, self.api_fs_hz, self.prev_gain_ind, nlsf,
-         hist, self.seed_ctr, self.first, self.resampler, self.hp_mem) = snap
-        self.prev_nlsf_q15 = None if nlsf is None else list(nlsf)
-        self.s_lpc_hist = list(hist)
+        import copy
+        (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
+         resampler, mirror, xh) = snap
+        # deep-copy so repeated restores from one snapshot stay independent
+        self.resampler = copy.deepcopy(resampler)
+        self.mirror = copy.deepcopy(mirror)
+        self.x_hist = None if xh is None else xh.copy()
 
-    def set_fs(self, fs_khz: int, api_fs_hz: int):
+    def set_fs(self, fs_khz: int, api_fs_hz: int, nb_subfr: int = 4):
         from .resampler import resampler_init
         from .structs import ResamplerState
-        if self.fs_khz != fs_khz or self.api_fs_hz != api_fs_hz:
+        if (self.fs_khz != fs_khz or self.api_fs_hz != api_fs_hz
+                or self.mirror.nb_subfr != nb_subfr):
             self.resampler = ResamplerState()
             if api_fs_hz != fs_khz * 1000:
                 resampler_init(self.resampler, api_fs_hz, fs_khz * 1000, True)
@@ -319,9 +506,12 @@ class SilkEncoder:
                 self.resampler = None
             self.fs_khz = fs_khz
             self.api_fs_hz = api_fs_hz
-            self.prev_gain_ind = 10
-            self.prev_nlsf_q15 = None
-            self.s_lpc_hist = [0] * 16
+            self.mirror = ChannelDecoderState()
+            self.mirror.nb_subfr = nb_subfr
+            # mirror runs at the internal rate; its output resampler is unused
+            decoder_set_fs(self.mirror, fs_khz, fs_khz * 1000)
+            self.x_hist = np.zeros(self.mirror.ltp_mem_length)
+            self.seed_ctr = 0
             self.first = True
 
     @property
@@ -369,108 +559,228 @@ class SilkEncoder:
         angles = sorted(angles)[:d]
         while len(angles) < d:
             angles.append((len(angles) + 1) * np.pi / (d + 1))
-        nlsf = [int(min(32767, max(0, round(a0 / np.pi * 32768)))) for a0 in angles]
+        nlsf = [int(min(32767, max(0, round(a0 / np.pi * 32768))))
+                for a0 in angles]
         nlsf_stabilize(nlsf, self.psnlsf_cb.delta_min_q15, d)
         return nlsf
 
+    def _whiten(self, xfull, a_q12):
+        """LPC analysis filter (float) over [hist | frame]."""
+        d = self.lpc_order
+        a = np.asarray(a_q12, np.float64) / 4096.0
+        res = xfull.copy()
+        for j in range(d):
+            res[j + 1:] -= a[j] * xfull[: len(xfull) - j - 1]
+        res[:d] = 0.0
+        return res
+
+    def _pitch_search(self, res, frame_length):
+        """Open-loop pitch: best lag + normalized correlation score."""
+        fs = self.fs_khz
+        min_lag, max_lag = 2 * fs, 18 * fs - 1
+        H = len(res) - frame_length
+        fr = res[H:]
+        e_f = float(fr @ fr) + 1e-9
+        best_l, best_s = min_lag, -1.0
+        for L in range(min_lag, max_lag + 1):
+            seg = res[H - L: H - L + frame_length]
+            c = float(fr @ seg)
+            if c <= 0:
+                continue
+            e = float(seg @ seg) + 1e-9
+            s = c / math.sqrt(e_f * e) - 0.005 * (L / max_lag)
+            if s > best_s:
+                best_s, best_l = s, L
+        # prefer the sub-octave if nearly as good (avoid pitch doubling)
+        for div in (2, 3):
+            cand = best_l // div
+            if cand >= min_lag:
+                seg = res[H - cand: H - cand + frame_length]
+                c = float(fr @ seg)
+                if c > 0:
+                    e = float(seg @ seg) + 1e-9
+                    s = c / math.sqrt(e_f * e)
+                    if s > 0.85 * best_s:
+                        best_l, best_s = cand, max(best_s, s)
+                        break
+        return best_l, best_s
+
+    def _subfr_score(self, res, frame_length, nb_subfr, L, k):
+        H = len(res) - frame_length
+        sub = frame_length // nb_subfr
+        a = H + k * sub
+        fr = res[a: a + sub]
+        seg = res[a - L: a - L + sub]
+        c = float(fr @ seg)
+        e = (float(fr @ fr) * float(seg @ seg)) + 1e-12
+        return c / math.sqrt(e) if c > 0 else 0.0
+
+    def _choose_contour(self, res, frame_length, nb_subfr, base_lag):
+        """Pick (lag_index, contour_index) maximizing summed subframe corr."""
+        fs = self.fs_khz
+        min_lag = 2 * fs
+        if fs == 8:
+            cb = (T.SILK_CB_LAGS_STAGE2 if nb_subfr == 4
+                  else T.SILK_CB_LAGS_STAGE2_10_MS)
+        else:
+            cb = (T.SILK_CB_LAGS_STAGE3 if nb_subfr == 4
+                  else T.SILK_CB_LAGS_STAGE3_10_MS)
+        n_contours = len(cb[0])
+        cache = {}
+
+        def score_lag(L, k):
+            key = (L, k)
+            if key not in cache:
+                cache[key] = self._subfr_score(res, frame_length, nb_subfr,
+                                               L, k)
+            return cache[key]
+
+        best = (-1.0, 0, 0)
+        for lag_cand in range(max(min_lag, base_lag - 2),
+                              min(18 * fs - 1, base_lag + 3)):
+            lag_index = lag_cand - min_lag
+            for ci in range(n_contours):
+                pitch = decode_pitch(lag_index, ci, fs, nb_subfr)
+                s = sum(score_lag(pitch[k], k) for k in range(nb_subfr))
+                if s > best[0]:
+                    best = (s, lag_index, ci)
+        return best[1], best[2]
+
+    def _fit_ltp(self, res, frame_length, nb_subfr, pitch_l):
+        """Per-subframe 5-tap LTP: float fit + codebook quantization.
+
+        Returns (per_index, ltp_index list, per-subframe residual rms)."""
+        H = len(res) - frame_length
+        sub = frame_length // nb_subfr
+        XtX, Xty, yty, Xs, ys = [], [], [], [], []
+        for k in range(nb_subfr):
+            a = H + k * sub
+            y = res[a: a + sub]
+            L = pitch_l[k]
+            X = np.empty((sub, LTP_ORDER))
+            for j in range(LTP_ORDER):
+                off = a - L + 2 - j
+                X[:, j] = res[off: off + sub]
+            XtX.append(X.T @ X + 1e-6 * np.eye(LTP_ORDER))
+            Xty.append(X.T @ y)
+            yty.append(float(y @ y))
+            Xs.append(X)
+            ys.append(y)
+        best = None
+        for p in range(len(T.SILK_LTP_VQ_PTRS_Q14)):
+            cbk = np.asarray(T.SILK_LTP_VQ_PTRS_Q14[p], np.float64) / 128.0
+            total = 0.0
+            idxs = []
+            rmss = []
+            for k in range(nb_subfr):
+                d = (yty[k] - 2.0 * (cbk @ Xty[k])
+                     + np.einsum("ij,jk,ik->i", cbk, XtX[k], cbk))
+                i_best = int(np.argmin(d))
+                idxs.append(i_best)
+                total += float(d[i_best])
+                rmss.append(math.sqrt(max(float(d[i_best]), 1e-6)
+                                      / len(ys[k])))
+            if best is None or total < best[0]:
+                best = (total, p, idxs, rmss)
+        return best[1], best[2], best[3]
+
     # -- frame encode ----------------------------------------------------
-    def encode_frame(self, enc, x16, nb_subfr, target_rate_bps, coarsen=1.0):
+    def encode_frame(self, enc, x16, nb_subfr, target_rate_bps, coarsen=1.0,
+                     cond_coding=0, vad_active=True):
         """Encode one frame of int16 samples at the internal rate."""
+        from .plc import plc_glue_frames, silk_plc
+        from .cng import silk_cng
         from .structs import SideInfoIndices
+        st = self.mirror
         d = self.lpc_order
         frame_length = len(x16)
         subfr_length = frame_length // nb_subfr
         x = np.asarray(x16, np.float64)
+        xfull = np.concatenate([self.x_hist, x])
 
         nlsf_q15 = self._lpc_analysis(x)
+
+        # open-loop pitch on the unquantized-whitened signal
+        res0 = self._whiten(xfull, nlsf2a(nlsf_q15, d))
+        energy = float(x @ x) / max(1, len(x))
+        lag, score = self._pitch_search(res0, frame_length)
+        voiced = bool(vad_active and score > 0.45 and energy > 10.0)
+        signal_type = TYPE_VOICED if voiced else TYPE_UNVOICED
+
         nlsf_idx, coded_nlsf = nlsf_encode(nlsf_q15, self.psnlsf_cb,
-                                           TYPE_UNVOICED)
+                                           signal_type)
         a_q12 = nlsf2a(coded_nlsf, d)
-
-        # residual for gain estimation (float analysis filter)
-        a = np.array(a_q12, np.float64) / 4096.0
-        res = x.copy()
-        for j in range(d):
-            res[j + 1:] -= a[j] * x[: frame_length - j - 1]
-
-        # per-subframe gains: scale so pulse RMS lands near ~1.3; push
-        # toward the bitrate target with a crude rate knob
-        rate_scale = max(0.6, 24000.0 / max(8000, target_rate_bps)) * coarsen
-        gains_q16 = []
-        for k in range(nb_subfr):
-            seg = res[k * subfr_length:(k + 1) * subfr_length]
-            rms = math.sqrt(float(seg @ seg) / len(seg)) + 1e-3
-            # pulse_rms target ~1.3/rate_scale: exc_Q14 = res*2^30/gain,
-            # pulse = exc>>14 => gain = rms * 2^16 * rate_scale / 1.3
-            g = int(max(65536, min(1 << 30, rms * 50412.0 * rate_scale)))
-            gains_q16.append(g)
-        cond = False  # independent coding each frame (simple + robust)
-        gains_idx, gains_dq, self.prev_gain_ind = gains_quant(
-            gains_q16, self.prev_gain_ind, cond, nb_subfr)
+        res = self._whiten(xfull, a_q12)
 
         ix = SideInfoIndices()
-        ix.signal_type = TYPE_UNVOICED
+        ix.signal_type = signal_type
         ix.quant_offset_type = 0
-        ix.gains_indices = gains_idx
         ix.nlsf_indices = nlsf_idx
         ix.nlsf_interp_coef_q2 = 4
         ix.seed = self.seed_ctr & 3
         self.seed_ctr += 1
 
-        class _St:
-            pass
-        st = _St()
-        st.nb_subfr = nb_subfr
-        st.psnlsf_cb = self.psnlsf_cb
-        encode_indices(st, enc, ix, 0)
+        rate_scale = max(0.6, 24000.0 / max(8000, target_rate_bps)) * coarsen
+        if voiced:
+            ix.lag_index, ix.contour_index = self._choose_contour(
+                res, frame_length, nb_subfr, lag)
+            pitch_l = decode_pitch(ix.lag_index, ix.contour_index,
+                                   self.fs_khz, nb_subfr)
+            ix.per_index, ltp_idx, rmss = self._fit_ltp(
+                res, frame_length, nb_subfr, pitch_l)
+            ix.ltp_index = ltp_idx + [0] * (4 - len(ltp_idx))
+            ix.ltp_scale_index = 0
+        else:
+            rmss = []
+            for k in range(nb_subfr):
+                seg = res[len(self.x_hist) + k * subfr_length:
+                          len(self.x_hist) + (k + 1) * subfr_length]
+                rmss.append(math.sqrt(float(seg @ seg) / len(seg)) + 1e-3)
 
-        # closed-loop excitation quantization (zero-shaping NSQ)
-        offset_q10 = T.SILK_QUANTIZATION_OFFSETS_Q10[ix.signal_type >> 1][
-            ix.quant_offset_type]
-        pulses = [0] * frame_length
-        rand_seed = i32(ix.seed)
-        hist = list(self.s_lpc_hist)
+        gains_q16 = []
         for k in range(nb_subfr):
-            gain = gains_dq[k]
-            inv_gain = (1 << 30) / gain
-            for i in range(subfr_length):
-                n = k * subfr_length + i
-                pred_q10 = d >> 1
-                for j in range(d):
-                    h = hist[-1 - j] if i - 1 - j < 0 or True else 0
-                    pred_q10 += (hist[len(hist) - 1 - j] * a_q12[j]) >> 16
-                target_q14 = int(round(x[n] * inv_gain)) - (pred_q10 << 4)
-                rand_seed = silk_rand(rand_seed)
-                sign = -1 if rand_seed < 0 else 1
-                want = sign * target_q14
-                base = want - (offset_q10 << 4)
-                q = int(round(base / 16384.0))
-                bestq, beste = 0, None
-                for cand in (q - 1, q, q + 1):
-                    v = cand << 14
-                    if v > 0:
-                        v -= QUANT_LEVEL_ADJUST_Q10 << 4
-                    elif v < 0:
-                        v += QUANT_LEVEL_ADJUST_Q10 << 4
-                    v += offset_q10 << 4
-                    e = abs(v - want)
-                    if beste is None or e < beste:
-                        beste, bestq = e, cand
-                pulses[n] = max(-1000, min(1000, bestq))
-                v = pulses[n] << 14
-                if v > 0:
-                    v -= QUANT_LEVEL_ADJUST_Q10 << 4
-                elif v < 0:
-                    v += QUANT_LEVEL_ADJUST_Q10 << 4
-                v += offset_q10 << 4
-                recon_exc = sign * v
-                slpc = recon_exc + (pred_q10 << 4)
-                hist.append(slpc)
-                hist = hist[-16:]
-                rand_seed = i32(rand_seed + pulses[n])
-        self.s_lpc_hist = hist[-16:]
+            g = int(max(65536, min(1 << 30,
+                                   (rmss[k] + 1e-3) * 50412.0 * rate_scale)))
+            gains_q16.append(g)
+        cond = cond_coding == 2
+        gains_idx, _gains_dq, _ = gains_quant(
+            gains_q16, st.last_gain_index, cond, nb_subfr)
+        ix.gains_indices = gains_idx + [0] * (4 - len(gains_idx))
+
+        encode_indices(st, enc, ix, cond_coding)
+
+        # mirror-decode the side info to get the exact decoder parameters
+        st.indices = ix
+        ctrl = DecCtrl()
+        ctrl.ltp_scale_q14 = 0
+        decode_parameters(st, ctrl, cond_coding)
+
+        pulses = [0] * frame_length
+        res_frame = res[len(self.x_hist):]
+        # fine quantizer -> closed-loop tracking helps; coarse -> the fed-back
+        # rounding noise destabilizes, so fall back to open-loop targets
+        gamma = self.fb_gamma
+        if gamma is None:
+            gamma = 0.8 if coarsen < 3.0 else 0.0
+        xq = encode_core(st, ctrl, x, pulses, mute=coarsen >= 500,
+                         res=res_frame, fb_gamma=gamma)
+
+        # decoder postamble (decode_frame parity) keeps every aux state in
+        # lockstep: PLC energies, CNG buffers, out_buf, lag feedback
+        silk_plc(st, ctrl, xq, False)
+        st.loss_cnt = 0
+        st.prev_signal_type = ix.signal_type
+        st.first_frame_after_reset = 0
+        mv_len = st.ltp_mem_length - st.frame_length
+        st.out_buf[:mv_len] = st.out_buf[st.frame_length: st.ltp_mem_length]
+        st.out_buf[mv_len: mv_len + frame_length] = xq
+        silk_cng(st, ctrl, xq, frame_length)
+        plc_glue_frames(st, xq, frame_length)
+        st.lag_prev = ctrl.pitch_l[st.nb_subfr - 1] if ctrl.pitch_l else 0
+
         encode_pulses(enc, ix.signal_type, ix.quant_offset_type, pulses,
                       frame_length)
+        self.x_hist = xfull[-st.ltp_mem_length:]
         self.first = False
 
 
@@ -478,7 +788,8 @@ def silk_encode_packet(senc: SilkEncoder, enc, pcm_api, fs_khz, api_fs_hz,
                        frame_ms, bitrate_bps, coarsen=1.0):
     """Top-level mono SILK packet payload: VAD/LBRR flags + one frame."""
     from .resampler import silk_resampler
-    senc.set_fs(fs_khz, api_fs_hz)
+    nb_subfr_cfg = 4 if frame_ms == 20 else 2
+    senc.set_fs(fs_khz, api_fs_hz, nb_subfr_cfg)
     if senc.resampler is not None:
         x16 = silk_resampler(senc.resampler, [sat16(int(round(v)))
                                               for v in pcm_api], len(pcm_api))

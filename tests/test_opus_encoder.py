@@ -109,3 +109,40 @@ def test_silk_encoder_quality_floor():
         best = max(best, 10 * np.log10(
             (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
     assert best > 6.0, best
+
+
+def test_silk_voiced_coding():
+    """Periodic input must engage voiced coding (pitch+LTP symbols) and the
+    streams must stay bit-exact in libopus; quality well above the unvoiced
+    path at a generous rate."""
+    from mousiki_tpu.opus_encoder import APP_VOIP
+
+    t = np.arange(48000 * 2) / 48000.0
+    sig = np.clip(
+        0.5 * np.sin(2 * np.pi * 130 * t) * (1 + 0.3 * np.sin(2 * np.pi * 2 * t)),
+        -0.95, 0.95)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(48000)
+    ref = oracle.RefDecoder(48000, 1)
+    mydec = OpusDecoder(48000, 1)
+    voiced_frames = 0
+    outs = []
+    for f in range(40):
+        pkt = enc.encode(sig[f * 960:(f + 1) * 960], 960)
+        r = ref.decode_float(pkt, 960)
+        m = mydec.decode(pkt, 960)
+        assert ref.final_range() == mydec.final_range
+        assert np.abs(m - r).max() == 0.0
+        if enc.silk.mirror.indices.signal_type == 2:
+            voiced_frames += 1
+        outs.append(r)
+    assert voiced_frames > 20, f"only {voiced_frames} voiced frames"
+    out = np.concatenate(outs)[:, 0]
+    a = sig[: len(out), 0]
+    best = -99
+    for lag in range(0, 500):
+        b = out[lag:][: len(a) - lag]
+        aa = a[: len(b)]
+        best = max(best, 10 * np.log10(
+            (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
+    assert best > 12.0, best
