@@ -47,6 +47,12 @@ def silk_toc(frame_size: int, bandwidth: Bandwidth, channels: int) -> int:
     return (config << 3) | (0x4 if channels == 2 else 0)
 
 
+def hybrid_toc(frame_size: int, bandwidth: Bandwidth, channels: int) -> int:
+    size_code = {480: 0, 960: 1}[frame_size]
+    config = (12 if bandwidth == Bandwidth.SUPERWIDEBAND else 14) + size_code
+    return (config << 3) | (0x4 if channels == 2 else 0)
+
+
 class OpusEncoder:
     def __init__(self, fs: int = 48000, channels: int = 2,
                  application: int = APP_RESTRICTED_LOWDELAY):
@@ -64,6 +70,7 @@ class OpusEncoder:
         from .silk.encoder import SilkEncoder
         self.silk = SilkEncoder()
         self.range_final = 0
+        self.force_mode = None
         if application == APP_VOIP:
             self.mode = Mode.SILK
             self.bandwidth = Bandwidth.WIDEBAND
@@ -91,7 +98,14 @@ class OpusEncoder:
         """Encode one frame of float PCM (frame_size, channels) -> packet."""
         if pcm.ndim == 1:
             pcm = pcm[:, None]
-        if self.mode == Mode.SILK:
+        mode = self.force_mode or self.mode
+        if mode == Mode.SILK and self.application == APP_VOIP \
+                and self.bitrate >= 32000 and self.force_mode is None \
+                and self.channels == 1:
+            mode = Mode.HYBRID  # mid/high-rate speech: SILK WB + CELT HF
+        if mode == Mode.HYBRID:
+            return self._encode_hybrid(pcm, frame_size, max_bytes)
+        if mode == Mode.SILK:
             return self._encode_silk(pcm, frame_size, max_bytes)
         if frame_size not in (120, 240, 480, 960):
             raise NotImplementedError("2.5-20 ms frames (CELT) this round")
@@ -180,6 +194,89 @@ class OpusEncoder:
         payload = payload[:max(used, 2)]
         self.range_final = enc.rng & 0xFFFFFFFF
         toc = silk_toc(frame_size, bw, 1)
+        return bytes([toc]) + payload
+
+    def _encode_hybrid(self, pcm: np.ndarray, frame_size: int,
+                       max_bytes: int) -> bytes:
+        """Hybrid mode: SILK codes 0-8 kHz (WB internal), CELT bands 17-21
+        continue in the same range coder (reference opus_encoder.rs
+        encode_frame_native hybrid path; decoder parity opus_decoder.rs)."""
+        from .bitstream.entcode import RangeEncoder
+        from .silk.encoder import silk_encode_packet, _BudgetExceeded
+
+        if frame_size not in (480, 960):
+            raise NotImplementedError("hybrid is 10/20 ms")
+        if self.channels != 1:
+            raise NotImplementedError("hybrid mono this round")
+        bw = self.bandwidth
+        if bw not in (Bandwidth.SUPERWIDEBAND, Bandwidth.FULLBAND):
+            bw = Bandwidth.FULLBAND
+        frame_ms = frame_size * 1000 // self.fs
+        L = max(20, min(max_bytes,
+                        (self.bitrate * frame_size) // (8 * self.fs)))
+        # rate split (compute_silk_rate_for_hybrid simplified): SILK gets the
+        # base share, shrinking as the total rate grows
+        silk_share = 0.65 if self.bitrate < 40000 else 0.55
+        silk_bits_target = int(8 * L * silk_share)
+        pcm_i = pcm[:, 0] * 32768.0
+
+        snap = self.silk.snapshot()
+        base = getattr(self.silk, "coarsen_state", 1.0)
+
+        def attempt(c):
+            self.silk.restore(snap)
+            e = RangeEncoder(L)
+            try:
+                silk_encode_packet(self.silk, e, pcm_i, 16, self.fs,
+                                   frame_ms, int(self.bitrate * silk_share), c)
+            except _BudgetExceeded:
+                return None
+            if e.get_error() or e.tell() > silk_bits_target:
+                return None
+            return e
+
+        c = max(0.05, base)
+        enc = attempt(c)
+        for step in range(10):
+            if enc is not None:
+                break
+            c = 1e4 if (step >= 6 or c > 200) else c * 1.6
+            enc = attempt(c)
+        if enc is None:
+            raise ValueError("hybrid silk rate control failed")
+        best_c = c
+        for _ in range(3):
+            bits = enc.tell()
+            if bits >= 0.8 * silk_bits_target or best_c <= 0.05:
+                break
+            c2 = max(0.05, best_c * max(0.5,
+                                        (bits / (0.92 * silk_bits_target))
+                                        ** 1.2))
+            if abs(c2 - best_c) / best_c < 0.05:
+                break
+            e2 = attempt(c2)
+            if e2 is None:
+                enc = attempt(best_c)
+                break
+            best_c, enc = c2, e2
+        self.silk.coarsen_state = max(0.05, min(best_c, 80.0))
+
+        # redundancy flag: written iff the decoder will look for it
+        if enc.tell() + 37 <= 8 * L:
+            enc.enc_bit_logp(0, 12)
+
+        # CELT high bands continue in the same range coder
+        self.celt.start = 17
+        self.celt.end = 19 if bw == Bandwidth.SUPERWIDEBAND else 21
+        self.celt.stream_channels = 1
+        self.celt.bitrate = -1  # fill the remaining packet exactly
+        self.celt.encode_with_ec(pcm, frame_size, L, enc=enc)
+        enc.done()
+        if enc.get_error():
+            raise ValueError("hybrid celt overflow")
+        payload = enc.data()[:L]
+        self.range_final = enc.rng & 0xFFFFFFFF
+        toc = hybrid_toc(frame_size, bw, 1)
         return bytes([toc]) + payload
 
     @property

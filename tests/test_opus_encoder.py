@@ -121,8 +121,10 @@ def test_silk_voiced_coding():
     sig = np.clip(
         0.5 * np.sin(2 * np.pi * 130 * t) * (1 + 0.3 * np.sin(2 * np.pi * 2 * t)),
         -0.95, 0.95)[:, None]
+    from mousiki_tpu.bitstream.packet import Mode
     enc = OpusEncoder(48000, 1, APP_VOIP)
     enc.set_bitrate(48000)
+    enc.force_mode = Mode.SILK   # keep SILK-only (int-exact cross-decode)
     ref = oracle.RefDecoder(48000, 1)
     mydec = OpusDecoder(48000, 1)
     voiced_frames = 0
@@ -146,3 +148,43 @@ def test_silk_voiced_coding():
         best = max(best, 10 * np.log10(
             (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
     assert best > 12.0, best
+
+
+def test_hybrid_encoder():
+    """Hybrid (SILK WB + CELT high bands, one range coder): streams must be
+    bit-exact in libopus; HF content must survive (CELT part active)."""
+    from mousiki_tpu.opus_encoder import APP_VOIP
+
+    rng = np.random.default_rng(5)
+    t = np.arange(48000 * 2) / 48000.0
+    sig = np.clip(
+        0.4 * np.sin(2 * np.pi * 140 * t) * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+        + 0.15 * np.sin(2 * np.pi * 10000 * t), -0.95, 0.95)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(48000)   # VOIP >= 32k auto-selects hybrid
+    ref = oracle.RefDecoder(48000, 1)
+    mydec = OpusDecoder(48000, 1)
+    outs = []
+    for f in range(30):
+        pkt = enc.encode(sig[f * 960:(f + 1) * 960], 960)
+        assert pkt[0] >> 3 in (12, 13, 14, 15), "not a hybrid TOC"
+        r = ref.decode_float(pkt, 960)
+        m = mydec.decode(pkt, 960)
+        assert ref.final_range() == mydec.final_range
+        assert np.abs(m - r).max() < 1e-5
+        outs.append(r)
+    out = np.concatenate(outs)[:, 0]
+    # HF energy (>9 kHz) present in the decode at a sane level
+    spec_in = np.abs(np.fft.rfft(sig[:len(out), 0]))
+    spec_out = np.abs(np.fft.rfft(out))
+    hf = slice(int(9500 * len(out) / 48000), int(10500 * len(out) / 48000))
+    assert spec_out[hf].max() > 0.1 * spec_in[hf].max()
+    # overall quality floor
+    a = sig[: len(out), 0]
+    best = -99
+    for lag in range(0, 600):
+        b = out[lag:][: len(a) - lag]
+        aa = a[: len(b)]
+        best = max(best, 10 * np.log10(
+            (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
+    assert best > 8.0, best
