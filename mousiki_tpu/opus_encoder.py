@@ -67,8 +67,9 @@ class OpusEncoder:
         self.mode = Mode.CELT  # SILK/hybrid modes land with the SILK encoder
         self.celt = CeltEncoder(channels=channels, stream_channels=channels,
                                 end=21, disable_inv=channels == 1)
-        from .silk.encoder import SilkEncoder
+        from .silk.encoder import SilkEncoder, SilkStereoEncoder
         self.silk = SilkEncoder()
+        self.silk_stereo = SilkStereoEncoder()
         self.range_final = 0
         self.force_mode = None
         if application == APP_VOIP:
@@ -100,8 +101,8 @@ class OpusEncoder:
             pcm = pcm[:, None]
         mode = self.force_mode or self.mode
         if mode == Mode.SILK and self.application == APP_VOIP \
-                and self.bitrate >= 32000 and self.force_mode is None \
-                and self.channels == 1:
+                and self.bitrate >= 32000 * self.channels \
+                and self.force_mode is None and self.channels == 1:
             mode = Mode.HYBRID  # mid/high-rate speech: SILK WB + CELT HF
         if mode == Mode.HYBRID:
             return self._encode_hybrid(pcm, frame_size, max_bytes)
@@ -125,8 +126,6 @@ class OpusEncoder:
 
         if frame_size not in (480, 960):
             raise NotImplementedError("SILK 10/20 ms this round")
-        if self.channels != 1:
-            raise NotImplementedError("SILK mono this round; stereo via CELT")
         bw = self.bandwidth
         if not getattr(self, "bandwidth_forced", False):
             # rate-driven internal bandwidth (control_audio_bandwidth.rs)
@@ -141,20 +140,28 @@ class OpusEncoder:
         frame_ms = frame_size * 1000 // self.fs
         nbytes = max(10, min(max_bytes,
                              (self.bitrate * frame_size) // (8 * self.fs) + 10))
+        stereo = self.channels == 2 and pcm.shape[1] == 2
+        worker = self.silk_stereo if stereo else self.silk
         pcm_i = pcm[:, 0] * 32768.0
+        if stereo:
+            pcm_r = pcm[:, 1] * 32768.0
         # per-frame rate search: find the finest gain scale (coarsen) whose
         # packet fits the byte budget, so every frame lands just under the
         # budget instead of oscillating across frames
-        snap = self.silk.snapshot()
+        snap = worker.snapshot()
         budget_bits = nbytes * 8
-        base = getattr(self.silk, "coarsen_state", 1.0)
+        base = getattr(worker, "coarsen_state", 1.0)
 
         def attempt(c):
-            self.silk.restore(snap)
+            worker.restore(snap)
             e = RangeEncoder(nbytes)
             try:
-                silk_encode_packet(self.silk, e, pcm_i, fs_khz, self.fs,
-                                   frame_ms, self.bitrate, c)
+                if stereo:
+                    worker.encode_packet(e, pcm_i, pcm_r, fs_khz, self.fs,
+                                         frame_ms, self.bitrate, c)
+                else:
+                    silk_encode_packet(worker, e, pcm_i, fs_khz, self.fs,
+                                       frame_ms, self.bitrate, c)
             except _BudgetExceeded:
                 return None
             e.done()
@@ -186,14 +193,14 @@ class OpusEncoder:
             best_c, enc, last_was_best = c2, e2, True
         if not last_was_best:
             enc = attempt(best_c)
-        self.silk.coarsen_state = max(0.05, min(best_c, 80.0))
+        worker.coarsen_state = max(0.05, min(best_c, 80.0))
         payload = enc.data()
         # trim unused trailing zero bytes (reading past the end yields the
         # same zeros, so the range-decode path is unchanged)
         used = max((enc.tell() + 7) >> 3, enc.offs)
         payload = payload[:max(used, 2)]
         self.range_final = enc.rng & 0xFFFFFFFF
-        toc = silk_toc(frame_size, bw, 1)
+        toc = silk_toc(frame_size, bw, self.channels)
         return bytes([toc]) + payload
 
     def _encode_hybrid(self, pcm: np.ndarray, frame_size: int,

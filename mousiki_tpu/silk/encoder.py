@@ -803,3 +803,165 @@ def silk_encode_packet(senc: SilkEncoder, enc, pcm_api, fs_khz, api_fs_hz,
     senc.encode_frame(enc, x16, nb_subfr, bitrate_bps, coarsen)
     if enc.get_error():
         raise _BudgetExceeded
+
+
+# ---------------------------------------------------------------- stereo
+def quant_stereo_pred(w0_q13: float, w1_q13: float):
+    """Quantize MS predictor pair to codebook indices (mirror of
+    stereo_decode_pred / reference stereo_quant_pred.rs). Returns
+    (ix 2x3, decoded pred_q13 pair as the decoder computes it)."""
+    from .fixed_math import smlabb, smulwb
+
+    def dec_val(full, ix1):
+        low = T.SILK_STEREO_PRED_QUANT_Q13[full]
+        step = smulwb(T.SILK_STEREO_PRED_QUANT_Q13[full + 1] - low, 6554)
+        return smlabb(low, step, 2 * ix1 + 1)
+
+    def quant_one(target):
+        best = None
+        for full in range(15):
+            for ix1 in range(5):
+                v = dec_val(full, ix1)
+                e = abs(v - target)
+                if best is None or e < best[0]:
+                    best = (e, full, ix1, v)
+        _, full, ix1, v = best
+        return full // 3, full % 3, ix1, v
+
+    # decoder computes pred0 = p0_coded - p1_coded, pred1 = p1_coded
+    ix = [[0, 0, 0], [0, 0, 0]]
+    ix[1][2], ix[1][0], ix[1][1], p1 = quant_one(w1_q13)
+    ix[0][2], ix[0][0], ix[0][1], p0 = quant_one(w0_q13 + p1)
+    return ix, [p0 - p1, p1]
+
+
+def stereo_encode_pred(enc, ix) -> None:
+    """Symbol writer mirroring stereo_decode_pred."""
+    n = 5 * ix[0][2] + ix[1][2]
+    enc.enc_icdf(n, T.SILK_STEREO_PRED_JOINT_ICDF, 8)
+    for ch in range(2):
+        enc.enc_icdf(ix[ch][0], T.SILK_UNIFORM3_ICDF, 8)
+        enc.enc_icdf(ix[ch][1], T.SILK_UNIFORM5_ICDF, 8)
+
+
+class SilkStereoEncoder:
+    """Stereo SILK: LR->MS with quantized predictors, two channel encoders.
+
+    Mirrors the decoder's MS->LR math (dec_api.stereo_ms_to_lr): the side
+    channel codes side - P(mid) where P applies pred0 to the 3-tap smoothed
+    mid and pred1 to mid, both interpolated over the first 8 ms."""
+
+    def __init__(self):
+        self.mid = SilkEncoder()
+        self.side = SilkEncoder()
+        self.fs_khz = 0
+        self.api_fs_hz = 0
+        self.rs_l = None
+        self.rs_r = None
+        self.pred_prev_q13 = [0, 0]
+        self.mid_hist = [0, 0]   # 2-sample mid history for the smooth term
+
+    def snapshot(self):
+        import copy
+        return (self.mid.snapshot(), self.side.snapshot(), self.fs_khz,
+                self.api_fs_hz, copy.deepcopy(self.rs_l),
+                copy.deepcopy(self.rs_r), list(self.pred_prev_q13),
+                list(self.mid_hist))
+
+    def restore(self, snap):
+        import copy
+        (ms, ss, self.fs_khz, self.api_fs_hz, rl, rr, pp, mh) = snap
+        self.mid.restore(ms)
+        self.side.restore(ss)
+        self.rs_l = copy.deepcopy(rl)
+        self.rs_r = copy.deepcopy(rr)
+        self.pred_prev_q13 = list(pp)
+        self.mid_hist = list(mh)
+
+    def _set_fs(self, fs_khz, api_fs_hz, nb_subfr):
+        from .resampler import resampler_init
+        from .structs import ResamplerState
+        if self.fs_khz != fs_khz or self.api_fs_hz != api_fs_hz:
+            if api_fs_hz != fs_khz * 1000:
+                self.rs_l = ResamplerState()
+                self.rs_r = ResamplerState()
+                resampler_init(self.rs_l, api_fs_hz, fs_khz * 1000, True)
+                resampler_init(self.rs_r, api_fs_hz, fs_khz * 1000, True)
+            else:
+                self.rs_l = self.rs_r = None
+            self.fs_khz = fs_khz
+            self.api_fs_hz = api_fs_hz
+            self.pred_prev_q13 = [0, 0]
+            self.mid_hist = [0, 0]
+        # channel encoders run at the internal rate (no inner resampler)
+        self.mid.set_fs(fs_khz, fs_khz * 1000, nb_subfr)
+        self.side.set_fs(fs_khz, fs_khz * 1000, nb_subfr)
+
+    def encode_packet(self, enc, pcm_l, pcm_r, fs_khz, api_fs_hz, frame_ms,
+                      bitrate_bps, coarsen=1.0):
+        from .resampler import silk_resampler
+        nb_subfr = 4 if frame_ms == 20 else 2
+        self._set_fs(fs_khz, api_fs_hz, nb_subfr)
+        frame_length = fs_khz * frame_ms
+        if self.rs_l is not None:
+            l16 = list(silk_resampler(self.rs_l,
+                                      [sat16(int(round(v))) for v in pcm_l],
+                                      len(pcm_l)))
+            r16 = list(silk_resampler(self.rs_r,
+                                      [sat16(int(round(v))) for v in pcm_r],
+                                      len(pcm_r)))
+        else:
+            l16 = [sat16(int(round(v))) for v in pcm_l]
+            r16 = [sat16(int(round(v))) for v in pcm_r]
+        l16 = (l16 + [0] * frame_length)[:frame_length]
+        r16 = (r16 + [0] * frame_length)[:frame_length]
+
+        from .fixed_math import rshift_round
+        mid = [rshift_round(l16[n] + r16[n], 1) for n in range(frame_length)]
+        side = [sat16(rshift_round(l16[n] - r16[n], 1))
+                for n in range(frame_length)]
+
+        # predictor fit: side ~ w0*smooth/2^15 + w1*mid/2^13 (Q13 weights)
+        mh = self.mid_hist
+        midx = np.asarray(mh + mid, np.float64)     # 2 extra history samples
+        s = np.asarray(side, np.float64)
+        smooth = (midx[:-2] + midx[2:] + 2.0 * midx[1:-1])  # aligns with mid
+        basis = np.stack([smooth / (1 << 15), midx[1:-1] / (1 << 13)], 1)
+        g = basis.T @ basis + 1e-3 * np.eye(2)
+        w = np.linalg.solve(g, basis.T @ s)
+        w0 = float(np.clip(w[0], -13000, 13000))
+        w1 = float(np.clip(w[1], -13000, 13000))
+        ix, pred_q13 = quant_stereo_pred(w0, w1)
+
+        # side residual with the decoder's interpolation from the previous
+        # frame's predictors over the first 8 ms
+        interp_len = 8 * fs_khz
+        denom = 1.0 / interp_len
+        p0_prev, p1_prev = self.pred_prev_q13
+        sres = [0] * frame_length
+        for n in range(frame_length):
+            if n < interp_len:
+                f = (n + 1) * denom
+                p0 = p0_prev + f * (pred_q13[0] - p0_prev)
+                p1 = p1_prev + f * (pred_q13[1] - p1_prev)
+            else:
+                p0 = pred_q13[0]
+                p1 = pred_q13[1]
+            pred = smooth[n] * p0 / (1 << 15) + midx[n + 1] * p1 / (1 << 13)
+            sres[n] = sat16(int(round(side[n] - pred)))
+        self.pred_prev_q13 = list(pred_q13)
+        self.mid_hist = mid[-2:]
+
+        # flags: both channels VAD-active, no LBRR (side always coded, so
+        # the decoder never looks for a mid-only flag)
+        enc.enc_bit_logp(1, 1)
+        enc.enc_bit_logp(0, 1)
+        enc.enc_bit_logp(1, 1)
+        enc.enc_bit_logp(0, 1)
+        stereo_encode_pred(enc, ix)
+        self.mid.encode_frame(enc, mid, nb_subfr,
+                              int(bitrate_bps * 0.6), coarsen)
+        self.side.encode_frame(enc, sres, nb_subfr,
+                               int(bitrate_bps * 0.4), coarsen)
+        if enc.get_error():
+            raise _BudgetExceeded
