@@ -124,8 +124,8 @@ class OpusEncoder:
         from .bitstream.entcode import RangeEncoder
         from .silk.encoder import silk_encode_packet, _BudgetExceeded
 
-        if frame_size not in (480, 960):
-            raise NotImplementedError("SILK 10/20 ms this round")
+        if frame_size not in (480, 960, 1920, 2880):
+            raise NotImplementedError("SILK frames are 10/20/40/60 ms")
         bw = self.bandwidth
         if not getattr(self, "bandwidth_forced", False):
             # rate-driven internal bandwidth (control_audio_bandwidth.rs)

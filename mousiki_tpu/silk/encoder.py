@@ -786,21 +786,31 @@ class SilkEncoder:
 
 def silk_encode_packet(senc: SilkEncoder, enc, pcm_api, fs_khz, api_fs_hz,
                        frame_ms, bitrate_bps, coarsen=1.0):
-    """Top-level mono SILK packet payload: VAD/LBRR flags + one frame."""
+    """Top-level mono SILK packet payload: VAD/LBRR flags + 1-3 frames
+    (10/20 ms single, 40/60 ms multi-frame with conditional coding)."""
     from .resampler import silk_resampler
-    nb_subfr_cfg = 4 if frame_ms == 20 else 2
-    senc.set_fs(fs_khz, api_fs_hz, nb_subfr_cfg)
+    n_frames = max(1, frame_ms // 20)
+    sub_ms = frame_ms if frame_ms <= 20 else 20
+    nb_subfr = 4 if sub_ms == 20 else 2
+    senc.set_fs(fs_khz, api_fs_hz, nb_subfr)
     if senc.resampler is not None:
         x16 = silk_resampler(senc.resampler, [sat16(int(round(v)))
                                               for v in pcm_api], len(pcm_api))
     else:
         x16 = [sat16(int(round(v))) for v in pcm_api]
-    nb_subfr = 4 if frame_ms == 20 else 2
-    frame_length = fs_khz * frame_ms
-    x16 = (list(x16) + [0] * frame_length)[:frame_length]
-    enc.enc_bit_logp(1, 1)   # VAD flag: active
-    enc.enc_bit_logp(0, 1)   # LBRR flag
-    senc.encode_frame(enc, x16, nb_subfr, bitrate_bps, coarsen)
+    total_length = fs_khz * frame_ms
+    x16 = (list(x16) + [0] * total_length)[:total_length]
+    frame_length = fs_khz * sub_ms
+    for _ in range(n_frames):
+        enc.enc_bit_logp(1, 1)   # VAD flag: active
+    enc.enc_bit_logp(0, 1)       # LBRR flag
+    for i in range(n_frames):
+        chunk = x16[i * frame_length:(i + 1) * frame_length]
+        cond = 2 if i > 0 else 0
+        senc.encode_frame(enc, chunk, nb_subfr, bitrate_bps, coarsen,
+                          cond_coding=cond)
+        if enc.get_error():
+            raise _BudgetExceeded
     if enc.get_error():
         raise _BudgetExceeded
 
@@ -900,7 +910,9 @@ class SilkStereoEncoder:
     def encode_packet(self, enc, pcm_l, pcm_r, fs_khz, api_fs_hz, frame_ms,
                       bitrate_bps, coarsen=1.0):
         from .resampler import silk_resampler
-        nb_subfr = 4 if frame_ms == 20 else 2
+        n_frames = max(1, frame_ms // 20)
+        sub_ms = frame_ms if frame_ms <= 20 else 20
+        nb_subfr = 4 if sub_ms == 20 else 2
         self._set_fs(fs_khz, api_fs_hz, nb_subfr)
         frame_length = fs_khz * frame_ms
         if self.rs_l is not None:
@@ -952,16 +964,23 @@ class SilkStereoEncoder:
         self.pred_prev_q13 = list(pred_q13)
         self.mid_hist = mid[-2:]
 
-        # flags: both channels VAD-active, no LBRR (side always coded, so
-        # the decoder never looks for a mid-only flag)
-        enc.enc_bit_logp(1, 1)
-        enc.enc_bit_logp(0, 1)
-        enc.enc_bit_logp(1, 1)
-        enc.enc_bit_logp(0, 1)
-        stereo_encode_pred(enc, ix)
-        self.mid.encode_frame(enc, mid, nb_subfr,
-                              int(bitrate_bps * 0.6), coarsen)
-        self.side.encode_frame(enc, sres, nb_subfr,
-                               int(bitrate_bps * 0.4), coarsen)
+        # flags: both channels VAD-active for every frame, no LBRR (side is
+        # always coded, so the decoder never looks for a mid-only flag)
+        for _ in range(2):
+            for _ in range(n_frames):
+                enc.enc_bit_logp(1, 1)
+            enc.enc_bit_logp(0, 1)
+        sub_len = fs_khz * sub_ms
+        for i in range(n_frames):
+            stereo_encode_pred(enc, ix)
+            cond = 2 if i > 0 else 0
+            self.mid.encode_frame(enc, mid[i * sub_len:(i + 1) * sub_len],
+                                  nb_subfr, int(bitrate_bps * 0.6), coarsen,
+                                  cond_coding=cond)
+            self.side.encode_frame(enc, sres[i * sub_len:(i + 1) * sub_len],
+                                   nb_subfr, int(bitrate_bps * 0.4), coarsen,
+                                   cond_coding=cond)
+            if enc.get_error():
+                raise _BudgetExceeded
         if enc.get_error():
             raise _BudgetExceeded

@@ -224,3 +224,30 @@ def test_silk_stereo_encoder():
         best = max(best, 10 * np.log10(
             (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
     assert best > 10.0, best
+
+
+@pytest.mark.parametrize("frame_size,channels", [(1920, 1), (2880, 1), (1920, 2)])
+def test_silk_multiframe_packets(frame_size, channels):
+    """40/60 ms SILK packets: multi-frame payloads with conditional coding
+    (delta gains, delta pitch lags) must stay bit-exact in libopus."""
+    from mousiki_tpu.bitstream.packet import Mode
+    from mousiki_tpu.opus_encoder import APP_VOIP
+
+    t = np.arange(48000 * 2) / 48000.0
+    base = 0.4 * np.sin(2 * np.pi * 140 * t) * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+    if channels == 1:
+        sig = np.clip(base + 0.2 * np.sin(2 * np.pi * 800 * t), -0.95, 0.95)[:, None]
+    else:
+        sig = np.stack([np.clip(base, -0.95, 0.95),
+                        np.clip(0.3 * np.sin(2 * np.pi * 140 * t + 0.7), -0.95, 0.95)], 1)
+    enc = OpusEncoder(48000, channels, APP_VOIP)
+    enc.set_bitrate(24000 * channels)
+    enc.force_mode = Mode.SILK
+    ref = oracle.RefDecoder(48000, channels)
+    mydec = OpusDecoder(48000, channels)
+    for f in range((48000 * 2) // frame_size):
+        pkt = enc.encode(sig[f * frame_size:(f + 1) * frame_size], frame_size)
+        r = ref.decode_float(pkt, frame_size)
+        m = mydec.decode(pkt, frame_size)
+        assert ref.final_range() == mydec.final_range
+        assert np.abs(m - r).max() == 0.0
