@@ -10,6 +10,7 @@ device port is mechanical.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -505,38 +506,143 @@ class CeltDecoder:
         return pcm
 
     # ------------------------------------------------------------------
+    def _plc_pitch_search(self) -> int:
+        """Open-loop pitch on the decode history (celt_decode_lost:1429 uses
+        pitch_downsample + pitch_search); returns the lag at 48 kHz."""
+        mono = self.decode_mem[:, :DECODE_BUFFER_SIZE].mean(axis=0)
+        lp = 0.5 * (mono[0::2][:-1] + mono[1::2][:-1]) \
+            if len(mono) % 2 else 0.5 * (mono[0::2] + mono[1::2])
+        n = len(lp)
+        frame = lp[n - 512:]
+        e_f = float(frame @ frame) + 1e-9
+        best_l, best_s = PLC_PITCH_LAG_MAX, -1.0
+        for lag2 in range(PLC_PITCH_LAG_MIN // 2, PLC_PITCH_LAG_MAX // 2 + 1):
+            seg = lp[n - 512 - lag2: n - lag2]
+            c = float(frame @ seg)
+            if c <= 0:
+                continue
+            s = c / math.sqrt(e_f * (float(seg @ seg) + 1e-9))
+            if s > best_s:
+                best_s, best_l = s, lag2 * 2
+        return max(PLC_PITCH_LAG_MIN, min(PLC_PITCH_LAG_MAX, best_l))
+
+    @staticmethod
+    def _plc_lpc(x: np.ndarray, order: int = CELT_LPC_ORDER) -> np.ndarray:
+        """Windowed autocorrelation + Levinson (celt _celt_autocorr/_celt_lpc
+        float semantics incl. noise floor and lag windowing)."""
+        w = np.hanning(len(x) + 2)[1:-1]
+        xw = x * w
+        ac = np.correlate(xw, xw, "full")[len(x) - 1: len(x) + order]
+        ac[0] *= 1.0001
+        ac[0] += 1e-9 * len(x)
+        ac[1:] -= ac[1:] * (0.008 * np.arange(1, order + 1)) ** 2
+        a = np.zeros(order)
+        err = ac[0]
+        for i in range(order):
+            acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+            k = np.clip(acc / max(err, 1e-12), -0.98, 0.98)
+            a_new = a.copy()
+            a_new[i] = k
+            a_new[:i] = a[:i] - k * a[i - 1::-1][:i]
+            a = a_new
+            err *= 1 - k * k
+        return a * (0.99 ** np.arange(1, order + 1))  # bandwidth expansion
+
     def _decode_lost(self, N: int, LM: int, accum_pcm=None) -> np.ndarray:
-        """Basic PLC (loss concealment). TODO: full pitch-based extrapolation
-        (reference celt_decode_lost:1429); currently noise-fills from the
-        background energy which is conformant but lower quality."""
+        """Pitch-based PLC: extrapolate the excitation of the last pitch
+        period through the LPC envelope, then feed the extrapolated signal
+        through the normal forward-MDCT -> synthesis path so the TDAC
+        overlap with the next real frame stays consistent (reference
+        celt_decode_lost:1429; MDCT re-entry replaces prefilter_and_fold)."""
+        from ..ops.mdct import mdct_fold, mdct_matrix
         mode = self.mode
         CC = self.channels
-        nb = mode.num_ebands
         overlap = self.overlap
-        eff_end = min(max(self.start + 1, min(self.end, mode.effective_ebands)),
-                      mode.num_ebands)
+        d = CELT_LPC_ORDER
+        if self.loss_count == 0:
+            self.plc_pitch = self._plc_pitch_search()
+        pitch = self.plc_pitch
+        fade = 1.0 if self.loss_count == 0 else 0.8
+        half = overlap // 2
+        n_ext = N + overlap  # MDCT window advance: one full overlap of lookahead
+
+        ext = np.zeros((CC, n_ext), np.float64)
         for c in range(CC):
-            self.decode_mem[c, : DECODE_BUFFER_SIZE - N + overlap // 2] = \
-                self.decode_mem[c, N: DECODE_BUFFER_SIZE + overlap // 2]
-        # noise-based concealment using background energies
-        X = np.zeros((CC if self.stream_channels == 2 else 1, N), np.float64)
-        C = X.shape[0]
-        seed = self.rng
-        M = 1 << LM
-        eb = mode.ebands
-        for c in range(C):
-            for i in range(self.start, eff_end):
-                j0, j1 = M * int(eb[i]), M * int(eb[i + 1])
-                for j in range(j0, j1):
-                    seed = (1664525 * seed + 1013904223) & 0xFFFFFFFF
-                    signed = seed - (1 << 32) if seed & 0x80000000 else seed
-                    X[c, j] = float(signed >> 20)
-                norm = np.linalg.norm(X[c, j0:j1]) + 1e-15
-                X[c, j0:j1] /= norm
-        self.rng = seed
-        loss_e = np.maximum(self.background_log_e, self.old_ebands - 2.0)
-        self._synthesis(X, loss_e, self.start, eff_end, C, CC,
-                        LM == mode.max_lm, LM, 0)
+            buf = self.decode_mem[c, :DECODE_BUFFER_SIZE]
+            hist = buf[-COMBFILTER_MAXPERIOD:]
+            if self.loss_count == 0:
+                self.lpc[c] = self._plc_lpc(hist, d)
+            a = self.lpc[c]
+            # excitation (LPC residual) of the recent history
+            exc = hist.copy()
+            for j in range(d):
+                exc[j + 1:] -= a[j] * hist[: len(hist) - j - 1]
+            # per-period attenuation from successive period energies
+            e1 = float(exc[-pitch:] @ exc[-pitch:])
+            e2 = float(exc[-2 * pitch: -pitch] @ exc[-2 * pitch: -pitch]) \
+                if 2 * pitch <= len(exc) else e1
+            decay = math.sqrt(min(1.0, e1 / max(e2, 1e-9)))
+            atten = fade
+            # periodic excitation continuation
+            e_ext = np.empty(n_ext)
+            src_pos = len(exc) - pitch
+            for n in range(n_ext):
+                if n > 0 and n % pitch == 0:
+                    atten *= decay
+                e_ext[n] = exc[src_pos + (n % pitch)] * atten
+            # LPC synthesis with decoder-history initial conditions
+            mem = list(buf[-d:])
+            out = np.empty(n_ext)
+            for n in range(n_ext):
+                v = e_ext[n]
+                for j in range(d):
+                    v += a[j] * mem[-1 - j]
+                v = max(-65536.0, min(65536.0, v))
+                out[n] = v
+                mem.append(v)
+                mem = mem[-d:]
+            ext[c] = out
+
+        # re-enter the standard transform path: forward MDCT of
+        # [last overlap of history | extrapolated N], then normal synthesis
+        F = mdct_matrix(N)
+        w = mode.window.astype(np.float64)
+        # decode_mem holds the post-postfilter signal, but the TDAC raw
+        # tails live in the pre-postfilter domain: undo the comb filter on
+        # the re-entry window (the prefilter_and_fold role in the
+        # reference), synthesize, then re-apply the comb on the PLC frame.
+        T = max(self.postfilter_period, COMBFILTER_MINPERIOD)
+        g = self.postfilter_gain
+        tap = self.postfilter_tapset
+        gains = _COMB_GAINS[tap]
+        for c in range(CC):
+            full = np.concatenate([self.decode_mem[c, :DECODE_BUFFER_SIZE],
+                                   ext[c]])
+            if g != 0.0:
+                pre = full.copy()
+                idx = np.arange(T + 2, len(full))
+                pre[idx] = (full[idx]
+                            - g * gains[0] * full[idx - T]
+                            - g * gains[1] * (full[idx - T + 1]
+                                              + full[idx - T - 1])
+                            - g * gains[2] * (full[idx - T + 2]
+                                              + full[idx - T - 2]))
+            else:
+                pre = full
+            inb = pre[DECODE_BUFFER_SIZE: DECODE_BUFFER_SIZE + N + overlap]
+            freq = mdct_fold(inb, w, N) @ F.T
+            self.decode_mem[c, : DECODE_BUFFER_SIZE - N + half] = \
+                self.decode_mem[c, N: DECODE_BUFFER_SIZE + half]
+            raw = freq[None, :] @ imdct_matrix(N).T
+            pos = DECODE_BUFFER_SIZE - N
+            prev_tail = self.decode_mem[c, pos: pos + half].copy()
+            out, new_tail = celt_overlap_add(raw, prev_tail, mode.window)
+            self.decode_mem[c, pos: pos + N] = out
+            self.decode_mem[c, pos + N: pos + N + half] = new_tail
+            if g != 0.0:
+                comb_filter(self.decode_mem[c], pos, T, T, N, g, g, tap, tap,
+                            mode.window, overlap)
+
         self.loss_count += 1
         self.loss_duration += N
         return self._deemphasis(N, CC, accum_pcm)

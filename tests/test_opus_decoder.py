@@ -116,3 +116,33 @@ def test_plc_and_fec():
             r = ref.decode_float(pkt, 960)
             m = dec.decode(pkt, 960)
         assert np.abs(m - r).max() < 5e-5, f"frame {f}: {np.abs(m-r).max()}"
+
+
+def test_celt_plc_quality():
+    """Pitch-based CELT PLC: under 15% random loss on tonal content the
+    concealed stream must stay close to the original and never blow up."""
+    import random
+
+    enc = oracle.RefEncoder(48000, 1, oracle.APP_RESTRICTED_LOWDELAY)
+    enc.ctl_set(oracle.SET_BITRATE, 64000)
+    t = np.arange(48000 * 2) / 48000.0
+    sig = np.clip(0.5 * np.sin(2 * np.pi * 220 * t)
+                  * (1 + 0.3 * np.sin(2 * np.pi * 2 * t)), -0.9, 0.9
+                  ).astype(np.float32)[:, None]
+    p16 = oracle.float_to_i16(sig)
+    pkts = [enc.encode(p16[f * 960:(f + 1) * 960].reshape(-1), 960)
+            for f in range(100)]
+    rng = random.Random(3)
+    dec = OpusDecoder(48000, 1)
+    out = np.concatenate([
+        dec.decode(None if rng.random() < 0.15 else pkt, 960)
+        for pkt in pkts])[:, 0]
+    assert np.abs(out).max() < 1.5  # no blowup
+    a = sig[: len(out), 0]
+    best = -99
+    for lag in range(0, 400):
+        b = out[lag:][: len(a) - lag]
+        aa = a[: len(b)]
+        best = max(best, 10 * np.log10(
+            (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
+    assert best > 15.0, best
