@@ -100,6 +100,25 @@ class OpusEncoder:
         if pcm.ndim == 1:
             pcm = pcm[:, None]
         mode = self.force_mode or self.mode
+        # DTX: during sustained silence emit TOC-only packets, refreshing
+        # comfort noise every 400 ms (decide_dtx_mode, opus_encoder.rs:4365)
+        if getattr(self, "dtx", False):
+            energy = float(np.square(pcm).mean())
+            if energy < 1e-7:
+                self._dtx_count = getattr(self, "_dtx_count", 0) + 1
+            else:
+                self._dtx_count = 0
+            frames_per_400ms = max(1, (self.fs * 2 // 5) // frame_size)
+            if (self._dtx_count > 2
+                    and (self._dtx_count - 3) % frames_per_400ms != 0):
+                self.in_dtx = True
+                if mode == Mode.CELT:
+                    toc = celt_toc(frame_size, self.bandwidth, self.channels)
+                else:
+                    toc = silk_toc(max(frame_size, 480), Bandwidth.WIDEBAND,
+                                   self.channels)
+                return bytes([toc])
+            self.in_dtx = False
         if mode == Mode.SILK and self.application == APP_VOIP \
                 and self.bitrate >= 32000 * self.channels \
                 and self.force_mode is None and self.channels == 1:
@@ -142,6 +161,10 @@ class OpusEncoder:
                              (self.bitrate * frame_size) // (8 * self.fs) + 10))
         stereo = self.channels == 2 and pcm.shape[1] == 2
         worker = self.silk_stereo if stereo else self.silk
+        if not stereo:
+            worker.fec_enabled = bool(getattr(self, "inband_fec", False)
+                                      and getattr(self, "packet_loss_perc", 0)
+                                      > 0)
         pcm_i = pcm[:, 0] * 32768.0
         if stereo:
             pcm_r = pcm[:, 1] * 32768.0

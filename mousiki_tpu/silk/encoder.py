@@ -478,21 +478,25 @@ class SilkEncoder:
         self.mirror = ChannelDecoderState()
         self.x_hist = None  # float input history at internal rate
         self.fb_gamma = None  # None = auto by quantizer fineness
+        self.fec_enabled = False
+        self.lbrr_store = None  # (ix, pulses) of the previous frame's LBRR
 
     def snapshot(self):
         import copy
         return (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
                 copy.deepcopy(self.resampler), copy.deepcopy(self.mirror),
-                None if self.x_hist is None else self.x_hist.copy())
+                None if self.x_hist is None else self.x_hist.copy(),
+                copy.deepcopy(self.lbrr_store))
 
     def restore(self, snap):
         import copy
         (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
-         resampler, mirror, xh) = snap
+         resampler, mirror, xh, lbrr) = snap
         # deep-copy so repeated restores from one snapshot stay independent
         self.resampler = copy.deepcopy(resampler)
         self.mirror = copy.deepcopy(mirror)
         self.x_hist = None if xh is None else xh.copy()
+        self.lbrr_store = copy.deepcopy(lbrr)
 
     def set_fs(self, fs_khz: int, api_fs_hz: int, nb_subfr: int = 4):
         from .resampler import resampler_init
@@ -747,6 +751,27 @@ class SilkEncoder:
             gains_q16, st.last_gain_index, cond, nb_subfr)
         ix.gains_indices = gains_idx + [0] * (4 - len(gains_idx))
 
+        if self.fec_enabled:
+            # LBRR: an independently-coded coarser variant of THIS frame,
+            # transmitted in the NEXT packet (reference silk/enc_api LBRR).
+            import copy
+            ix2 = copy.deepcopy(ix)
+            lbrr_gains = [min(1 << 30, g * 5) for g in gains_q16]
+            st_copy = copy.deepcopy(st)
+            gq, _, _ = gains_quant(lbrr_gains, st_copy.last_gain_index,
+                                   False, nb_subfr)
+            ix2.gains_indices = gq + [0] * (4 - len(gq))
+            if voiced:
+                ix2.ltp_scale_index = 2  # rely less on cross-frame LTP
+            st_copy.indices = ix2
+            ctrl2 = DecCtrl()
+            ctrl2.ltp_scale_q14 = 0
+            decode_parameters(st_copy, ctrl2, 0)
+            pulses2 = [0] * frame_length
+            encode_core(st_copy, ctrl2, x, pulses2,
+                        res=res[len(self.x_hist):], fb_gamma=0.0)
+            self.lbrr_store = (ix2, pulses2)
+
         encode_indices(st, enc, ix, cond_coding)
 
         # mirror-decode the side info to get the exact decoder parameters
@@ -801,9 +826,18 @@ def silk_encode_packet(senc: SilkEncoder, enc, pcm_api, fs_khz, api_fs_hz,
     total_length = fs_khz * frame_ms
     x16 = (list(x16) + [0] * total_length)[:total_length]
     frame_length = fs_khz * sub_ms
+    lbrr = senc.lbrr_store if (senc.fec_enabled and n_frames == 1
+                               and senc.lbrr_store is not None
+                               and coarsen < 500) else None
     for _ in range(n_frames):
         enc.enc_bit_logp(1, 1)   # VAD flag: active
-    enc.enc_bit_logp(0, 1)       # LBRR flag
+    enc.enc_bit_logp(1 if lbrr else 0, 1)   # LBRR flag
+    if lbrr is not None:
+        # single-frame packet: LBRR flag implies the one LBRR frame
+        lbrr_ix, lbrr_pulses = lbrr
+        encode_indices(senc.mirror, enc, lbrr_ix, 0)
+        encode_pulses(enc, lbrr_ix.signal_type, lbrr_ix.quant_offset_type,
+                      list(lbrr_pulses), frame_length)
     for i in range(n_frames):
         chunk = x16[i * frame_length:(i + 1) * frame_length]
         cond = 2 if i > 0 else 0

