@@ -122,6 +122,28 @@ class CeltEncoder:
                 tmp += tell
             nb_compressed_bytes = max(2, min(
                 nb_compressed_bytes, (tmp + 4 * mode.fs) // (8 * mode.fs)))
+            if self.vbr and own_enc:
+                # quality-driven VBR with a bit reservoir: louder / busier
+                # frames borrow bytes, quiet frames repay (simplified
+                # celt_encoder.rs vbr_rate loop)
+                x = pcm[:, :1] if pcm.ndim > 1 else pcm[:, None]
+                e = float(np.square(pcm).mean())
+                loud = 10.0 * np.log10(e + 1e-12)
+                if not hasattr(self, "_vbr_loud_avg"):
+                    self._vbr_loud_avg = loud
+                self._vbr_loud_avg += 0.05 * (loud - self._vbr_loud_avg)
+                scale = 2.0 ** ((loud - self._vbr_loud_avg) / 12.0)
+                scale = max(0.6, min(1.6, scale))
+                # reservoir keeps long-term average on target (in bytes)
+                scale *= max(0.7, min(1.4, 1.0 - self.vbr_reservoir
+                                      / (8.0 * nb_compressed_bytes + 1)))
+                target = int(round(nb_compressed_bytes * scale))
+                target = max(8, min(1275, target))
+                self.vbr_reservoir += target - nb_compressed_bytes
+                self.vbr_reservoir = max(-20 * nb_compressed_bytes,
+                                         min(20 * nb_compressed_bytes,
+                                             self.vbr_reservoir))
+                nb_compressed_bytes = target
         effective_bytes = nb_compressed_bytes - nb_filled_bytes
         if own_enc:
             enc.shrink(nb_compressed_bytes)

@@ -133,7 +133,9 @@ class OpusEncoder:
         nbytes = max(2, min(max_bytes,
                             (self.bitrate * frame_size) // (8 * self.fs)))
         self.celt.bitrate = self.bitrate
-        payload = self.celt.encode_with_ec(pcm, frame_size, nbytes)
+        self.celt.vbr = self.vbr
+        payload = self.celt.encode_with_ec(pcm, frame_size,
+                                           nbytes if not self.vbr else 1275)
         self.range_final = self.celt.rng
         toc = celt_toc(frame_size, self.bandwidth, self.channels)
         return bytes([toc]) + payload

@@ -40,7 +40,7 @@ def decode_indices(st: ChannelDecoderState, dec, frame_index: int,
     ix.nlsf_indices[0] = dec.dec_icdf(cb.cb1_icdf[half: half + cb.n_vectors], 8)
     ec_ix, _pred = nlsf_unpack(cb, ix.nlsf_indices[0])
     for i in range(cb.order):
-        icdf = cb.ec_icdf[ec_ix[i]: ec_ix[i] + 8]
+        icdf = cb.ec_icdf[ec_ix[i]: ec_ix[i] + 9]
         val = dec.dec_icdf(icdf, 8)
         if val == 0:
             val -= dec.dec_icdf(T.SILK_NLSF_EXT_ICDF, 8)

@@ -151,7 +151,7 @@ def encode_indices(st_like, enc, ix, cond_coding, pitch_contour_icdf=None,
     ec_ix, _ = nlsf_unpack(cb, ix.nlsf_indices[0])
     for i in range(cb.order):
         val = ix.nlsf_indices[i + 1]
-        icdf = cb.ec_icdf[ec_ix[i]: ec_ix[i] + 8]
+        icdf = cb.ec_icdf[ec_ix[i]: ec_ix[i] + 9]
         if val >= 4:
             enc.enc_icdf(8, icdf, 8)
             enc.enc_icdf(val - 4, T.SILK_NLSF_EXT_ICDF, 8)
