@@ -147,6 +147,13 @@ class OggStreamReader:
         self._queue: list[tuple[bytes, int]] = []  # (packet, granule)
         self.serial = None
 
+    def reset(self) -> None:
+        """Rewind to the start of the stream (for seeking)."""
+        self.offset = 0
+        self._partial = b""
+        self._queue = []
+        self.serial = None
+
     def next_packet(self):
         """Returns (packet_bytes, granule_of_page) or None at end."""
         while not self._queue:

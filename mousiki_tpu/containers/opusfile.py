@@ -88,3 +88,72 @@ class OggOpusReader:
         if gain:
             pcm = pcm * (10.0 ** (gain / (20.0 * 256.0)))
         return pcm[self.preskip:]
+
+    # -- seeking (opusfile pcm_seek parity, reader.rs:275-293) ------------
+    def pcm_total(self) -> int:
+        """Total 48 kHz samples after preskip (scans granule positions)."""
+        last = 0
+        for _pkt, gran in self.packets():
+            if gran is not None and gran > 0:
+                last = gran
+        self.stream.reset()
+        self.stream.next_packet()  # head
+        self.stream.next_packet()  # tags
+        return max(0, last - self.preskip)
+
+    def pcm_seek(self, target: int, decoder=None):
+        """Seek to an absolute 48 kHz sample offset (post-preskip domain).
+
+        Rewinds, skips packets whose page granule ends before the target,
+        re-primes the decoder with up to 200 ms of preroll (the reference
+        decodes ahead after a raw seek to rebuild state), and returns a
+        decoder positioned so the next decoded sample is `target`; also
+        returns the number of samples to trim from the first decode."""
+        from ..bitstream.packet import packet_get_nb_samples
+        from ..opus_decoder import OpusDecoder
+
+        dec = decoder or OpusDecoder(48000, self.channels)
+        target_abs = target + self.preskip
+        self.stream.reset()
+        self.stream.next_packet()  # head
+        self.stream.next_packet()  # tags
+
+        # collect packets with running sample offsets
+        entries = []
+        pos = 0
+        for pkt, _gran in self.packets():
+            n = packet_get_nb_samples(pkt, 48000)
+            entries.append((pos, n, pkt))
+            pos += n
+        # find the packet containing the target; preroll (state re-prime)
+        idx = 0
+        for i, (p0, n, _pkt) in enumerate(entries):
+            if p0 + n > target_abs:
+                idx = i
+                break
+        else:
+            idx = max(0, len(entries) - 1)
+        start = max(0, idx - 10)
+        for p0, n, pkt in entries[start:idx]:
+            dec.decode(pkt, n)
+        trim = target_abs - entries[idx][0] if entries else 0
+        self._seek_entries = entries[idx:]
+        return dec, trim
+
+    def read_from(self, target: int, n_samples: int, decoder=None) -> np.ndarray:
+        """Seek + decode n_samples at `target` (post-preskip 48 kHz)."""
+        dec, trim = self.pcm_seek(target, decoder)
+        out = []
+        got = -trim
+        for _p0, n, pkt in self._seek_entries:
+            out.append(dec.decode(pkt, n))
+            got += n
+            if got >= n_samples:
+                break
+        if not out:
+            return np.zeros((0, self.channels))
+        pcm = np.concatenate(out)[trim: trim + n_samples]
+        gain = self.head["gain_q8"]
+        if gain:
+            pcm = pcm * (10.0 ** (gain / (20.0 * 256.0)))
+        return pcm

@@ -72,6 +72,8 @@ class OpusEncoder:
         self.silk_stereo = SilkStereoEncoder()
         self.range_final = 0
         self.force_mode = None
+        self.analysis_state = None  # lazy TonalityAnalysisState (APP_AUDIO)
+        self.analysis_info = None
         if application == APP_VOIP:
             self.mode = Mode.SILK
             self.bandwidth = Bandwidth.WIDEBAND
@@ -100,6 +102,22 @@ class OpusEncoder:
         if pcm.ndim == 1:
             pcm = pcm[:, None]
         mode = self.force_mode or self.mode
+        if (self.application == APP_AUDIO and self.force_mode is None
+                and frame_size >= 960):
+            # analysis-driven mode decision (run_analysis, opus_encoder.rs)
+            from .analysis import TonalityAnalysisState, run_analysis
+            if self.analysis_state is None:
+                self.analysis_state = TonalityAnalysisState()
+            self.analysis_info = run_analysis(self.analysis_state, pcm,
+                                              frame_size, self.channels)
+            info = self.analysis_info
+            if info.valid:
+                if info.music_prob > 0.5 or self.bitrate >= 64000 * self.channels:
+                    mode = Mode.CELT
+                elif self.bitrate >= 32000 and self.channels == 1:
+                    mode = Mode.HYBRID
+                else:
+                    mode = Mode.SILK
         # DTX: during sustained silence emit TOC-only packets, refreshing
         # comfort noise every 400 ms (decide_dtx_mode, opus_encoder.rs:4365)
         if getattr(self, "dtx", False):

@@ -72,3 +72,32 @@ def test_full_file_roundtrip():
     b = pcm[: len(a), 0]
     snr = 10 * np.log10((a ** 2).mean() / ((a - b) ** 2).mean() + 1e-12)
     assert snr > 5.0, snr
+
+
+def test_opusfile_seek():
+    """pcm_seek: decode-from-offset must match the straight-through decode
+    (after preroll re-priming) to concealment-level accuracy."""
+    import numpy as np
+    from mousiki_tpu.containers.opusfile import OggOpusReader, OggOpusWriter
+    from mousiki_tpu.opus_encoder import OpusEncoder
+
+    t = np.arange(48000 * 2) / 48000.0
+    sig = np.stack([0.4 * np.sin(2 * np.pi * 330 * t),
+                    0.3 * np.sin(2 * np.pi * 550 * t)], 1)
+    enc = OpusEncoder(48000, 2)
+    enc.set_bitrate(96000)
+    w = OggOpusWriter(2, preskip=0)
+    for f in range(100):
+        w.write_packet(enc.encode(sig[f * 960:(f + 1) * 960], 960), 960)
+    blob = w.finish()
+
+    rd = OggOpusReader(blob)
+    full = rd.decode_all()
+    rd2 = OggOpusReader(blob)
+    assert rd2.pcm_total() == 96000
+    target = 960 * 37 + 123
+    got = rd2.read_from(target, 4800)
+    want = full[target: target + 4800]
+    err = np.abs(got - want).max()
+    assert got.shape == want.shape
+    assert err < 2e-2, err  # preroll re-priming: near-identical audio
