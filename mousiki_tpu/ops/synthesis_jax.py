@@ -238,9 +238,26 @@ def comb_filter_batched(consts, buf, pos, N, t0, t1, g0, g1, tap0, tap1):
     return buf
 
 
+def _use_pallas() -> bool:
+    import os
+    if os.environ.get("MOUSIKI_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def deemphasis(x, mem, coef=0.85):
-    """y[n] = x[n] + coef*y[n-1] via associative scan; returns (y, new_mem)."""
+    """y[n] = x[n] + coef*y[n-1]; Pallas log-step scan on TPU, associative
+    scan elsewhere. Returns (y, new_mem)."""
     S, C, N = x.shape
+    if _use_pallas():
+        from .pallas_kernels import deemphasis_pallas
+        y2, m2 = deemphasis_pallas(x.reshape(S * C, N).astype(jnp.float32),
+                                   mem.reshape(S * C).astype(jnp.float32),
+                                   float(coef))
+        return y2.reshape(S, C, N), m2.reshape(S, C)
     a = jnp.full((S, C, N), coef, x.dtype)
     b = x.at[..., 0].add(coef * mem)
 
