@@ -123,3 +123,18 @@ class CeltStreamPipeline:
         desc = self._host_decode(payloads, frame_size)
         pcm, self.state = self._step(self.consts, self.state, desc)
         return pcm
+
+    def decode_stream(self, frames_iter, frame_size: int = 960):
+        """Generator over frames of S payloads, overlapping the host symbol
+        stage of frame k+1 with the device synthesis of frame k (SURVEY.md
+        §7.4): device dispatch is asynchronous, so the next host decode runs
+        while the chip works; consumers block only when they read a result.
+        """
+        pending = None
+        for payloads in frames_iter:
+            desc = self._host_decode(payloads, frame_size)
+            if pending is not None:
+                yield pending
+            pending, self.state = self._step(self.consts, self.state, desc)
+        if pending is not None:
+            yield pending

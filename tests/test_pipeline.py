@@ -72,3 +72,22 @@ def test_pipeline_sharded_cpu_mesh():
         pcm = np.asarray(pipe.step(payloads, 960))
         want = ref.decode_with_ec(payloads[0], 960)
         assert np.abs(pcm[0] - want).max() < 2e-4
+
+
+@needs_oracle
+def test_pipeline_decode_stream_overlap():
+    """The pipelined generator must produce the same PCM as step-by-step."""
+    from mousiki_tpu.celt import host_native
+    if not host_native.available():
+        pytest.skip("native host lib unavailable")
+    S, F = 2, 5
+    streams = _make_streams(S, F, 2, [96000])
+    p1 = CeltStreamPipeline(S, channels=2, use_native=True)
+    p2 = CeltStreamPipeline(S, channels=2, use_native=True)
+    seq = [np.asarray(p1.step([streams[s][f] for s in range(S)], 960))
+           for f in range(F)]
+    ove = [np.asarray(x) for x in p2.decode_stream(
+        ([streams[s][f] for s in range(S)] for f in range(F)), 960)]
+    assert len(ove) == F
+    for a, b in zip(seq, ove):
+        assert np.abs(a - b).max() == 0.0
