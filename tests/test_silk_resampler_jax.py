@@ -1,0 +1,36 @@
+"""Batched device up-resampler vs the bit-exact host fixed-point resampler."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from mousiki_tpu.ops.silk_resampler_jax import (Up48Plan, init_up48_state,
+                                                make_up48_plan, up48_step)
+from mousiki_tpu.silk.resampler import resampler_init, silk_resampler
+from mousiki_tpu.silk.structs import ResamplerState
+
+
+def test_up48_matches_host():
+    rng = np.random.default_rng(0)
+    t = np.arange(320 * 6) / 16000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * rng.standard_normal(len(t)))
+    x16 = np.clip(sig * 32767, -32768, 32767).astype(np.int64)
+
+    host = ResamplerState()
+    resampler_init(host, 16000, 48000, False)
+    plan = make_up48_plan(320)
+    S = 3
+    st = init_up48_state(S)
+    for f in range(6):
+        frame = x16[f * 320:(f + 1) * 320]
+        want = np.asarray(silk_resampler(host, list(frame), 320), float)
+        got, st = up48_step(jnp.asarray(np.tile(frame, (S, 1)), jnp.float32),
+                            st, plan)
+        got = np.asarray(got)
+        assert got.shape == (S, 960)
+        err = np.abs(got[0] - want).max()
+        assert err < 40.0, (f, err)   # ~1e-3 of full scale (fixed vs float)
+        assert np.abs(got[2] - got[0]).max() == 0.0
