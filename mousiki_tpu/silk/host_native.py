@@ -1,0 +1,91 @@
+"""ctypes binding for the native (C++) SILK host decoder.
+
+native/silk_host.cpp mirrors the bit-exact Python decoder for the clean
+mono path (VAD/LBRR flags, side info, pulses, parameters, core synthesis)
+producing int16 PCM at the internal rate; differential tests assert exact
+equality against decode_frame. The loss paths (PLC/CNG) and stereo remain
+in Python — the native stage covers the steady-state serving hot path.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libsilk_host.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "silk_host.cpp")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) or (
+            os.path.exists(_SRC_PATH)
+            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _SO_PATH, _SRC_PATH],
+                check=True, capture_output=True, cwd=_NATIVE_DIR)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    try:
+        lib = C.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.silk_host_create.restype = C.c_void_p
+    lib.silk_host_destroy.argtypes = [C.c_void_p]
+    lib.silk_host_reset.argtypes = [C.c_void_p]
+    lib.silk_host_decode.restype = C.c_int
+    lib.silk_host_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_int, C.c_int,
+                                     C.c_int, C.POINTER(C.c_int16)]
+    lib.silk_host_rng.restype = C.c_uint32
+    lib.silk_host_rng.argtypes = [C.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeSilkHost:
+    """One mono SILK stream's native host decoder (internal-rate output)."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native silk host library unavailable")
+        self._lib = lib
+        self._st = lib.silk_host_create()
+
+    def __del__(self):
+        if getattr(self, "_st", None) and self._lib is not None:
+            self._lib.silk_host_destroy(self._st)
+            self._st = None
+
+    def reset(self):
+        self._lib.silk_host_reset(self._st)
+
+    @property
+    def rng(self) -> int:
+        return self._lib.silk_host_rng(self._st)
+
+    def decode(self, payload: bytes, fs_khz: int, frame_ms: int) -> np.ndarray:
+        """Decode one mono SILK payload; returns int16 at fs_khz kHz."""
+        n = fs_khz * frame_ms
+        out = np.zeros(n, np.int16)
+        rc = self._lib.silk_host_decode(
+            self._st, payload, len(payload), fs_khz, frame_ms,
+            out.ctypes.data_as(C.POINTER(C.c_int16)))
+        if rc < 0:
+            raise ValueError(f"native silk decode failed (rc={rc})")
+        return out[:rc]

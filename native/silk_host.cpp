@@ -1,0 +1,999 @@
+// Native SILK host decoder: range decode -> int16 PCM at the internal rate.
+//
+// Bit-exact C++ twin of the validated Python host decoder
+// (mousiki_tpu/silk/{decode_indices,decode_pulses,decode_params,
+// decode_core,fixed_math}.py; reference src/silk/* per SURVEY.md §2.3).
+// Covers the clean mono decode path (the loss paths — PLC/CNG — stay in
+// Python/device); also exports the dense frame parameters the batched TPU
+// synthesis kernel consumes (ops/silk_synthesis_jax.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libsilk_host.so silk_host.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <algorithm>
+
+#include "silk_tables.h"
+
+namespace {
+
+// ---------------------------------------------------------------- range dec
+struct EcDec {
+  const uint8_t* buf;
+  uint32_t storage;
+  uint32_t end_offs;
+  uint32_t end_window;
+  int nend_bits;
+  int nbits_total;
+  uint32_t offs;
+  uint32_t rng;
+  uint32_t val;
+  uint32_t ext;
+  int rem;
+  int error;
+};
+
+inline int ec_ilog(uint32_t v) { return v ? 32 - __builtin_clz(v) : 0; }
+inline int ec_read_byte(EcDec* d) {
+  return d->offs < d->storage ? d->buf[d->offs++] : 0;
+}
+
+void ec_dec_normalize(EcDec* d) {
+  while (d->rng <= (1u << 23)) {
+    d->nbits_total += 8;
+    d->rng <<= 8;
+    int sym = d->rem;
+    d->rem = ec_read_byte(d);
+    sym = ((sym << 8) | d->rem) >> 1;
+    d->val = ((d->val << 8) + (255 & ~sym)) & 0x7FFFFFFFu;
+  }
+}
+
+void ec_dec_init(EcDec* d, const uint8_t* buf, uint32_t storage) {
+  memset(d, 0, sizeof(*d));
+  d->buf = buf;
+  d->storage = storage;
+  d->nbits_total = 33 - 24;
+  d->rng = 1u << 7;
+  d->rem = ec_read_byte(d);
+  d->val = d->rng - 1 - (uint32_t)(d->rem >> 1);
+  ec_dec_normalize(d);
+}
+
+inline int ec_tell(const EcDec* d) { return d->nbits_total - ec_ilog(d->rng); }
+
+int ec_dec_bit_logp(EcDec* d, int logp) {
+  uint32_t r = d->rng, dv = d->val, s = r >> logp;
+  int ret = dv < s;
+  if (!ret) d->val = dv - s;
+  d->rng = ret ? s : r - s;
+  ec_dec_normalize(d);
+  return ret;
+}
+
+int ec_dec_icdf(EcDec* d, const uint8_t* icdf, int ftb) {
+  uint32_t s = d->rng, dv = d->val, r = s >> ftb, t;
+  int ret = -1;
+  do {
+    t = s;
+    s = r * icdf[++ret];
+  } while (dv < s);
+  d->val = dv - s;
+  d->rng = t - s;
+  ec_dec_normalize(d);
+  return ret;
+}
+
+// ---------------------------------------------------------------- fixed math
+inline int32_t I32(int64_t x) { return (int32_t)(uint32_t)x; }
+inline int16_t I16(int32_t x) { return (int16_t)(uint16_t)x; }
+inline int32_t SAT16(int32_t x) {
+  return x > 32767 ? 32767 : (x < -32768 ? -32768 : x);
+}
+inline int32_t SAT32(int64_t x) {
+  return x > 0x7FFFFFFFll ? 0x7FFFFFFF
+                          : (x < -0x80000000ll ? (int32_t)0x80000000 : (int32_t)x);
+}
+inline int32_t SMULWB(int32_t a, int32_t b) {
+  return I32(((int64_t)a * I16(b)) >> 16);
+}
+inline int32_t SMLAWB(int32_t a, int32_t b, int32_t c) {
+  return I32(a + (((int64_t)b * I16(c)) >> 16));
+}
+inline int32_t SMULBB(int32_t a, int32_t b) {
+  return I32((int32_t)I16(a) * (int32_t)I16(b));
+}
+inline int32_t SMULWW(int32_t a, int32_t b) {
+  return I32(((int64_t)a * b) >> 16);
+}
+inline int32_t SMLAWW(int32_t a, int32_t b, int32_t c) {
+  return I32(a + (((int64_t)b * c) >> 16));
+}
+inline int32_t SMMUL(int32_t a, int32_t b) {
+  return I32(((int64_t)a * b) >> 32);
+}
+inline int32_t ADD_SAT32(int32_t a, int32_t b) {
+  return SAT32((int64_t)a + b);
+}
+inline int32_t SUB_SAT32(int32_t a, int32_t b) {
+  return SAT32((int64_t)a - b);
+}
+inline int32_t LSHIFT_SAT32(int64_t a, int shift) {
+  return SAT32(a << shift);
+}
+inline int32_t RSHIFT_ROUND(int32_t a, int shift) {
+  if (shift == 1) return (a >> 1) + (a & 1);
+  return ((a >> (shift - 1)) + 1) >> 1;
+}
+inline int64_t RSHIFT_ROUND64(int64_t a, int shift) {
+  return ((a >> (shift - 1)) + 1) >> 1;
+}
+inline int CLZ32(int32_t x) {
+  return x == 0 ? 32 : __builtin_clz((uint32_t)x);
+}
+inline int32_t DIV32_16(int32_t a, int32_t b) { return a / b; }
+inline int32_t DIV32(int32_t a, int32_t b) { return a / b; }
+
+int32_t silk_div32_varq(int32_t a32, int32_t b32, int qres) {
+  int a_headrm = CLZ32(a32 < 0 ? -a32 : a32) - 1;
+  int32_t a32_nrm = I32((int64_t)a32 << a_headrm);
+  int b_headrm = CLZ32(b32 < 0 ? -b32 : b32) - 1;
+  int32_t b32_nrm = I32((int64_t)b32 << b_headrm);
+  int32_t b32_inv = DIV32_16(0x7FFFFFFF >> 2, b32_nrm >> 16);
+  int32_t result = SMULWB(a32_nrm, b32_inv);
+  a32_nrm = I32(a32_nrm - I32((int64_t)SMMUL(b32_nrm, result) << 3));
+  result = SMLAWB(result, a32_nrm, b32_inv);
+  int lshift = 29 + a_headrm - b_headrm - qres;
+  if (lshift < 0) return LSHIFT_SAT32(result, -lshift);
+  if (lshift < 32) return result >> lshift;
+  return 0;
+}
+
+int32_t silk_inverse32_varq(int32_t b32, int qres) {
+  int b_headrm = CLZ32(b32 < 0 ? -b32 : b32) - 1;
+  int32_t b32_nrm = I32((int64_t)b32 << b_headrm);
+  int32_t b32_inv = DIV32_16(0x7FFFFFFF >> 2, b32_nrm >> 16);
+  int32_t result = I32((int64_t)b32_inv << 16);
+  int32_t err_q32 = I32((int64_t)I32((1 << 29) - SMULWB(b32_nrm, b32_inv)) << 3);
+  result = SMLAWW(result, err_q32, b32_inv);
+  int lshift = 61 - b_headrm - qres;
+  if (lshift <= 0) return LSHIFT_SAT32(result, -lshift);
+  if (lshift < 32) return result >> lshift;
+  return 0;
+}
+
+inline uint32_t ROTR32(uint32_t x, int r) {
+  r &= 31;
+  return (x >> r) | (x << ((32 - r) & 31));
+}
+
+int32_t silk_log2lin(int32_t in_log_q7) {
+  if (in_log_q7 < 0) return 0;
+  if (in_log_q7 >= 3967) return 0x7FFFFFFF;
+  int32_t out = I32(1 << (in_log_q7 >> 7));
+  int32_t frac_q7 = in_log_q7 & 0x7F;
+  int32_t corr = SMLAWB(frac_q7, SMULBB(frac_q7, 128 - frac_q7), -174);
+  if (in_log_q7 < 2048)
+    out = I32(out + (((int64_t)out * corr) >> 7));
+  else
+    out = I32(out + (int64_t)(out >> 7) * corr);
+  return out;
+}
+
+void silk_bwexpander_32(int32_t* ar, int d, int32_t chirp_q16) {
+  int32_t chirp_minus_one_q16 = chirp_q16 - 65536;
+  for (int i = 0; i < d - 1; i++) {
+    ar[i] = SMULWW(chirp_q16, ar[i]);
+    chirp_q16 += (int32_t)RSHIFT_ROUND64(
+        (int64_t)chirp_q16 * chirp_minus_one_q16, 16);
+  }
+  ar[d - 1] = SMULWW(chirp_q16, ar[d - 1]);
+}
+
+void silk_bwexpander(int16_t* ar, int d, int32_t chirp_q16) {
+  int32_t chirp_minus_one_q16 = chirp_q16 - 65536;
+  for (int i = 0; i < d - 1; i++) {
+    ar[i] = (int16_t)I16((int32_t)RSHIFT_ROUND64((int64_t)chirp_q16 * ar[i], 16));
+    chirp_q16 += (int32_t)RSHIFT_ROUND64((int64_t)chirp_q16 * chirp_minus_one_q16, 16);
+  }
+  ar[d - 1] = (int16_t)I16((int32_t)RSHIFT_ROUND64((int64_t)chirp_q16 * ar[d - 1], 16));
+}
+
+}  // namespace
+
+namespace {
+
+constexpr int MAX_D = 16;
+constexpr int LTP_ORDER = 5;
+constexpr int MAX_FRAME = 320;
+constexpr int MAX_NB_SUBFR = 4;
+constexpr int QUANT_LEVEL_ADJUST_Q10 = 80;
+constexpr int N_LEVELS_QGAIN = 64;
+constexpr int OFFSET_GQ = (2 * 128) / 6 + 16 * 128;
+constexpr int INV_SCALE_Q16 = (65536 * (((88 - 2) * 128) / 6)) / (N_LEVELS_QGAIN - 1);
+constexpr int NLSF_QUANT_LEVEL_ADJ_Q10 = 102;
+constexpr int QA_NLSF = 16;
+constexpr int QA_INV = 24;
+constexpr int32_t A_LIMIT_Q24 = (int32_t)(0.99975 * (1 << 24) + 0.5);
+constexpr int32_t INV_MAX_PRED_GAIN_Q30 = (int32_t)((1.0 / 1e4) * (1 << 30));
+constexpr int RAND_MULT = 196314165;
+constexpr int RAND_INC = 907633515;
+
+struct SideInfo {
+  int gains_indices[4];
+  int ltp_index[4];
+  int nlsf_indices[MAX_D + 1];
+  int lag_index, contour_index;
+  int signal_type, quant_offset_type;
+  int nlsf_interp_coef_q2;
+  int per_index, ltp_scale_index, seed;
+};
+
+struct SilkState {
+  uint32_t last_rng;
+  int fs_khz, nb_subfr, frame_length, subfr_length, ltp_mem_length, lpc_order;
+  int last_gain_index;
+  int32_t prev_gain_q16;
+  int first_frame_after_reset;
+  int ec_prev_signal_type, ec_prev_lag_index;
+  int lag_prev;
+  int prev_signal_type;
+  int nframes_per_packet, nframes_decoded;
+  int vad_flags[3], lbrr_flags[3], lbrr_flag;
+  int16_t prev_nlsf_q15[MAX_D];
+  int32_t s_lpc_q14_buf[MAX_D];
+  int16_t out_buf[MAX_FRAME + 2 * 20 * 16];
+  int32_t exc_q14[MAX_FRAME];
+  SideInfo ix;
+};
+
+struct DecCtrl {
+  int pitch_l[4];
+  int32_t gains_q16[4];
+  int16_t pred_coef_q12[2][MAX_D];
+  int16_t ltp_coef_q14[4 * LTP_ORDER];
+  int ltp_scale_q14;
+};
+
+// NLSF codebook view over the generated tables
+struct NlsfCb {
+  int n_vectors, order, qstep_q16;
+  const uint8_t* cb1_nlsf_q8;
+  const int16_t* cb1_wght_q9;
+  const uint8_t* cb1_icdf;
+  const uint8_t* pred_q8;
+  const uint8_t* ec_sel;
+  const uint8_t* ec_icdf;
+  const int16_t* delta_min_q15;
+};
+
+NlsfCb nlsf_cb(int wb) {
+  if (wb)
+    return {kNLSF_WB_NVEC, kNLSF_WB_ORDER, kNLSF_WB_QSTEP_Q16,
+            kNLSF_WB_CB1_NLSF_Q8, kNLSF_WB_CB1_WGHT_Q9, kNLSF_WB_CB1_ICDF,
+            kNLSF_WB_PRED_Q8, kNLSF_WB_EC_SEL, kNLSF_WB_EC_ICDF,
+            kNLSF_WB_DELTA_MIN_Q15};
+  return {kNLSF_NBMB_NVEC, kNLSF_NBMB_ORDER, kNLSF_NBMB_QSTEP_Q16,
+          kNLSF_NBMB_CB1_NLSF_Q8, kNLSF_NBMB_CB1_WGHT_Q9, kNLSF_NBMB_CB1_ICDF,
+          kNLSF_NBMB_PRED_Q8, kNLSF_NBMB_EC_SEL, kNLSF_NBMB_EC_ICDF,
+          kNLSF_NBMB_DELTA_MIN_Q15};
+}
+
+void nlsf_unpack(const NlsfCb& cb, int ci, int* ec_ix, int* pred_q8) {
+  for (int i = 0; i < cb.order / 2; i++) {
+    int entry = cb.ec_sel[ci * cb.order / 2 + i];
+    ec_ix[2 * i] = ((entry >> 1) & 7) * 9;
+    pred_q8[2 * i] = cb.pred_q8[2 * i + (entry & 1) * (cb.order - 1)];
+    ec_ix[2 * i + 1] = ((entry >> 5) & 7) * 9;
+    pred_q8[2 * i + 1] = cb.pred_q8[2 * i + ((entry >> 4) & 1) * (cb.order - 1) + 1];
+  }
+}
+
+// ----------------------------------------------------------- decode_indices
+void decode_indices(SilkState* st, EcDec* dec, int frame_index,
+                    int decode_lbrr, int cond_coding,
+                    const uint8_t* contour_icdf, const uint8_t* lag_low_icdf,
+                    int lag_low_n) {
+  SideInfo& ix = st->ix;
+  int val;
+  if (decode_lbrr || st->vad_flags[frame_index])
+    val = ec_dec_icdf(dec, kSILK_TYPE_OFFSET_VAD_ICDF, 8) + 2;
+  else
+    val = ec_dec_icdf(dec, kSILK_TYPE_OFFSET_NO_VAD_ICDF, 8);
+  ix.signal_type = val >> 1;
+  ix.quant_offset_type = val & 1;
+
+  if (cond_coding == 2) {
+    ix.gains_indices[0] = ec_dec_icdf(dec, kSILK_DELTA_GAIN_ICDF, 8);
+  } else {
+    ix.gains_indices[0] = ec_dec_icdf(dec, kSILK_GAIN_ICDF[ix.signal_type], 8)
+                          << 3;
+    ix.gains_indices[0] += ec_dec_icdf(dec, kSILK_UNIFORM8_ICDF, 8);
+  }
+  for (int i = 1; i < st->nb_subfr; i++)
+    ix.gains_indices[i] = ec_dec_icdf(dec, kSILK_DELTA_GAIN_ICDF, 8);
+
+  NlsfCb cb = nlsf_cb(st->lpc_order == 16);
+  int half = (ix.signal_type == 2 ? 1 : 0) * cb.n_vectors;
+  ix.nlsf_indices[0] = ec_dec_icdf(dec, cb.cb1_icdf + half, 8);
+  int ec_ix[MAX_D], pred_q8[MAX_D];
+  nlsf_unpack(cb, ix.nlsf_indices[0], ec_ix, pred_q8);
+  for (int i = 0; i < cb.order; i++) {
+    int v = ec_dec_icdf(dec, cb.ec_icdf + ec_ix[i], 8);
+    if (v == 0)
+      v -= ec_dec_icdf(dec, kSILK_NLSF_EXT_ICDF, 8);
+    else if (v == 8)
+      v += ec_dec_icdf(dec, kSILK_NLSF_EXT_ICDF, 8);
+    ix.nlsf_indices[i + 1] = v - 4;
+  }
+
+  if (st->nb_subfr == 4)
+    ix.nlsf_interp_coef_q2 =
+        ec_dec_icdf(dec, kSILK_NLSF_INTERPOLATION_FACTOR_ICDF, 8);
+  else
+    ix.nlsf_interp_coef_q2 = 4;
+
+  if (ix.signal_type == 2) {
+    int decoded = 0, lag_index = 0;
+    if (cond_coding == 2 && st->ec_prev_signal_type == 2) {
+      int delta = ec_dec_icdf(dec, kPITCH_DELTA_ICDF, 8);
+      if (delta > 0) {
+        lag_index = st->ec_prev_lag_index + (delta - 9);
+        decoded = 1;
+      }
+    }
+    if (!decoded) {
+      int high = ec_dec_icdf(dec, kPITCH_LAG_ICDF, 8);
+      lag_index = high * (st->fs_khz >> 1)
+                  + ec_dec_icdf(dec, lag_low_icdf, 8);
+    }
+    ix.lag_index = lag_index;
+    st->ec_prev_lag_index = lag_index;
+    ix.contour_index = ec_dec_icdf(dec, contour_icdf, 8);
+    ix.per_index = ec_dec_icdf(dec, kSILK_LTP_PER_INDEX_ICDF, 8);
+    const uint8_t* gicdf = ix.per_index == 0 ? kLTP_GAIN_ICDF0
+                           : (ix.per_index == 1 ? kLTP_GAIN_ICDF1
+                                                : kLTP_GAIN_ICDF2);
+    for (int k = 0; k < st->nb_subfr; k++)
+      ix.ltp_index[k] = ec_dec_icdf(dec, gicdf, 8);
+    if (cond_coding == 0)
+      ix.ltp_scale_index = ec_dec_icdf(dec, kSILK_LTPSCALE_ICDF, 8);
+    else
+      ix.ltp_scale_index = 0;
+  }
+  st->ec_prev_signal_type = ix.signal_type;
+  ix.seed = ec_dec_icdf(dec, kSILK_UNIFORM4_ICDF, 8);
+}
+
+// ------------------------------------------------------------ decode_pulses
+const uint8_t* shell_table(int lvl) {
+  switch (lvl) {
+    case 0: return kSILK_SHELL_CODE_TABLE0;
+    case 1: return kSILK_SHELL_CODE_TABLE1;
+    case 2: return kSILK_SHELL_CODE_TABLE2;
+    default: return kSILK_SHELL_CODE_TABLE3;
+  }
+}
+
+void dec_split(EcDec* dec, int p, const uint8_t* tbl, int* c1, int* c2) {
+  if (p > 0) {
+    int off = kSILK_SHELL_CODE_TABLE_OFFSETS[p];
+    *c1 = ec_dec_icdf(dec, tbl + off, 8);
+    *c2 = p - *c1;
+  } else {
+    *c1 = *c2 = 0;
+  }
+}
+
+void shell_decoder(EcDec* dec, int pulses4, int* out) {
+  const uint8_t *t0 = shell_table(0), *t1 = shell_table(1),
+                *t2 = shell_table(2), *t3 = shell_table(3);
+  int p3[2], p2a[2], p2b[2], p1[2];
+  dec_split(dec, pulses4, t3, &p3[0], &p3[1]);
+  dec_split(dec, p3[0], t2, &p2a[0], &p2a[1]);
+  dec_split(dec, p2a[0], t1, &p1[0], &p1[1]);
+  dec_split(dec, p1[0], t0, &out[0], &out[1]);
+  dec_split(dec, p1[1], t0, &out[2], &out[3]);
+  dec_split(dec, p2a[1], t1, &p1[0], &p1[1]);
+  dec_split(dec, p1[0], t0, &out[4], &out[5]);
+  dec_split(dec, p1[1], t0, &out[6], &out[7]);
+  dec_split(dec, p3[1], t2, &p2b[0], &p2b[1]);
+  dec_split(dec, p2b[0], t1, &p1[0], &p1[1]);
+  dec_split(dec, p1[0], t0, &out[8], &out[9]);
+  dec_split(dec, p1[1], t0, &out[10], &out[11]);
+  dec_split(dec, p2b[1], t1, &p1[0], &p1[1]);
+  dec_split(dec, p1[0], t0, &out[12], &out[13]);
+  dec_split(dec, p1[1], t0, &out[14], &out[15]);
+}
+
+void decode_pulses(EcDec* dec, int signal_type, int quant_offset_type,
+                   int frame_length, int* pulses) {
+  int rate_level = ec_dec_icdf(dec, kSILK_RATE_LEVELS_ICDF[signal_type >> 1], 8);
+  int n_blocks = frame_length >> 4;
+  if (n_blocks * 16 < frame_length) n_blocks++;
+
+  int sum_pulses[20] = {0}, n_lshifts[20] = {0};
+  for (int i = 0; i < n_blocks; i++) {
+    sum_pulses[i] = ec_dec_icdf(dec, kSILK_PULSES_PER_BLOCK_ICDF[rate_level], 8);
+    while (sum_pulses[i] == 17) {
+      n_lshifts[i]++;
+      const uint8_t* tbl = kSILK_PULSES_PER_BLOCK_ICDF[9];
+      sum_pulses[i] = n_lshifts[i] == 10 ? ec_dec_icdf(dec, tbl + 1, 8)
+                                         : ec_dec_icdf(dec, tbl, 8);
+    }
+  }
+  for (int i = 0; i < n_blocks * 16; i++) pulses[i] = 0;
+  for (int i = 0; i < n_blocks; i++)
+    if (sum_pulses[i] > 0) shell_decoder(dec, sum_pulses[i], pulses + i * 16);
+
+  for (int i = 0; i < n_blocks; i++) {
+    if (n_lshifts[i] > 0) {
+      int nls = n_lshifts[i];
+      for (int k = 0; k < 16; k++) {
+        int q = pulses[i * 16 + k];
+        for (int s = 0; s < nls; s++)
+          q = (q << 1) + ec_dec_icdf(dec, kSILK_LSB_ICDF, 8);
+        pulses[i * 16 + k] = q;
+      }
+      sum_pulses[i] |= nls << 5;
+    }
+  }
+  // signs
+  int base = 7 * (quant_offset_type + (signal_type << 1));
+  for (int i = 0; i < n_blocks; i++) {
+    if (sum_pulses[i] > 0) {
+      uint8_t icdf[2] = {kSILK_SIGN_ICDF[base + std::min(sum_pulses[i] & 0x1F, 6)], 0};
+      for (int j = 0; j < 16; j++)
+        if (pulses[i * 16 + j] > 0)
+          pulses[i * 16 + j] *= 2 * ec_dec_icdf(dec, icdf, 8) - 1;
+    }
+  }
+}
+
+}  // namespace
+
+namespace {
+
+// ------------------------------------------------------------ decode_params
+void gains_dequant(const int* idx, int* prev_ind, int conditional,
+                   int nb_subfr, int32_t* gains_q16) {
+  for (int k = 0; k < nb_subfr; k++) {
+    if (k == 0 && !conditional) {
+      *prev_ind = std::max(idx[k], *prev_ind - 16);
+    } else {
+      int ind_tmp = idx[k] + kMIN_DELTA_GAIN_QUANT;
+      int double_step = 2 * kMAX_DELTA_GAIN_QUANT - N_LEVELS_QGAIN + *prev_ind;
+      if (ind_tmp > double_step)
+        *prev_ind += (ind_tmp << 1) - double_step;
+      else
+        *prev_ind += ind_tmp;
+    }
+    *prev_ind = std::max(0, std::min(N_LEVELS_QGAIN - 1, *prev_ind));
+    gains_q16[k] = silk_log2lin(
+        std::min(SMULWB(INV_SCALE_Q16, *prev_ind) + OFFSET_GQ, 3967));
+  }
+}
+
+void nlsf_residual_dequant(const int* indices, const int* pred_q8,
+                           int qstep_q16, int order, int* out) {
+  int out_q10 = 0;
+  for (int i = order - 1; i >= 0; i--) {
+    int pred_q10 = SMULBB(out_q10, pred_q8[i]) >> 8;
+    out_q10 = I16(indices[i] << 10);
+    if (out_q10 > 0)
+      out_q10 = I16(out_q10 - NLSF_QUANT_LEVEL_ADJ_Q10);
+    else if (out_q10 < 0)
+      out_q10 = I16(out_q10 + NLSF_QUANT_LEVEL_ADJ_Q10);
+    out_q10 = SMLAWB(pred_q10, out_q10, qstep_q16);
+    out[i] = out_q10;
+  }
+}
+
+void nlsf_stabilize(int16_t* nlsf, const int16_t* dmin, int L) {
+  for (int loop = 0; loop < 20; loop++) {
+    int min_diff = nlsf[0] - dmin[0];
+    int I = 0;
+    for (int i = 1; i < L; i++) {
+      int diff = nlsf[i] - (nlsf[i - 1] + dmin[i]);
+      if (diff < min_diff) { min_diff = diff; I = i; }
+    }
+    int diff = (1 << 15) - (nlsf[L - 1] + dmin[L]);
+    if (diff < min_diff) { min_diff = diff; I = L; }
+    if (min_diff >= 0) return;
+    if (I == 0) {
+      nlsf[0] = dmin[0];
+    } else if (I == L) {
+      nlsf[L - 1] = (1 << 15) - dmin[L];
+    } else {
+      int min_center = dmin[I] >> 1;
+      for (int k = 0; k < I; k++) min_center += dmin[k];
+      int max_center = (1 << 15) - (dmin[I] >> 1);
+      for (int k = L; k > I; k--) max_center -= dmin[k];
+      int center = RSHIFT_ROUND(nlsf[I - 1] + nlsf[I], 1);
+      center = std::max(min_center, std::min(max_center, center));
+      nlsf[I - 1] = (int16_t)(center - (dmin[I] >> 1));
+      nlsf[I] = (int16_t)(nlsf[I - 1] + dmin[I]);
+    }
+  }
+  // fallback: sort + clamp
+  std::sort(nlsf, nlsf + L);
+  nlsf[0] = std::max(nlsf[0], dmin[0]);
+  for (int i = 1; i < L; i++)
+    nlsf[i] = std::max(nlsf[i],
+                       (int16_t)std::min(32767, nlsf[i - 1] + dmin[i]));
+  nlsf[L - 1] = std::min(nlsf[L - 1], (int16_t)((1 << 15) - dmin[L]));
+  for (int i = L - 2; i >= 0; i--)
+    nlsf[i] = std::min(nlsf[i], (int16_t)(nlsf[i + 1] - dmin[i + 1]));
+}
+
+void nlsf_decode(const int* indices, const NlsfCb& cb, int16_t* nlsf_q15) {
+  int ec_ix[MAX_D], pred_q8[MAX_D];
+  nlsf_unpack(cb, indices[0], ec_ix, pred_q8);
+  int res_q10[MAX_D];
+  nlsf_residual_dequant(indices + 1, pred_q8, cb.qstep_q16, cb.order, res_q10);
+  int base = indices[0] * cb.order;
+  for (int i = 0; i < cb.order; i++) {
+    int w = cb.cb1_wght_q9[base + i];
+    int v = DIV32_16(I32((int64_t)res_q10[i] << 14), w)
+            + ((int)cb.cb1_nlsf_q8[base + i] << 7);
+    nlsf_q15[i] = (int16_t)std::max(0, std::min(32767, v));
+  }
+  nlsf_stabilize(nlsf_q15, cb.delta_min_q15, cb.order);
+}
+
+static const int kOrdering16[16] = {0, 15, 8, 7, 4, 11, 12, 3,
+                                    2, 13, 10, 5, 6, 9, 14, 1};
+static const int kOrdering10[10] = {0, 9, 6, 3, 4, 5, 8, 1, 2, 7};
+
+void nlsf2a_find_poly(const int32_t* clsf, int dd, int stride, int32_t* out) {
+  out[0] = 1 << QA_NLSF;
+  out[1] = -clsf[0];
+  for (int k = 1; k < dd; k++) {
+    int64_t ftmp = clsf[k * stride];
+    out[k + 1] = I32(((int64_t)out[k - 1] << 1)
+                     - (int32_t)RSHIFT_ROUND64(ftmp * out[k], QA_NLSF));
+    for (int n = k; n > 1; n--)
+      out[n] = I32((int64_t)out[n] + out[n - 2]
+                   - (int32_t)RSHIFT_ROUND64(ftmp * out[n - 1], QA_NLSF));
+    out[1] = I32(out[1] - (int32_t)ftmp);
+  }
+}
+
+void lpc_fit(int32_t* a_qin, int qout, int qin, int d, int16_t* a_qout) {
+  int it;
+  for (it = 0; it < 10; it++) {
+    int32_t maxabs = 0;
+    int idx = 0;
+    for (int k = 0; k < d; k++) {
+      int32_t v = a_qin[k] < 0 ? -a_qin[k] : a_qin[k];
+      if (v > maxabs) { maxabs = v; idx = k; }
+    }
+    maxabs = RSHIFT_ROUND(maxabs, qin - qout);
+    if (maxabs > 32767) {
+      maxabs = std::min(maxabs, (int32_t)163838);
+      int32_t chirp_q16 = (int32_t)(0.999 * 65536)
+          - DIV32(I32((int64_t)(maxabs - 32767) << 14),
+                  ((int64_t)maxabs * (idx + 1)) >> 2);
+      silk_bwexpander_32(a_qin, d, chirp_q16);
+    } else {
+      break;
+    }
+  }
+  if (it == 10) {
+    for (int k = 0; k < d; k++) {
+      a_qout[k] = (int16_t)SAT16(RSHIFT_ROUND(a_qin[k], qin - qout));
+      a_qin[k] = I32((int64_t)a_qout[k] << (qin - qout));
+    }
+  } else {
+    for (int k = 0; k < d; k++)
+      a_qout[k] = (int16_t)I16(RSHIFT_ROUND(a_qin[k], qin - qout));
+  }
+}
+
+inline int32_t mul32_frac_q(int32_t a, int32_t b, int q) {
+  return I32(RSHIFT_ROUND64((int64_t)a * b, q));
+}
+
+int32_t lpc_inverse_pred_gain(const int16_t* a_q12, int order) {
+  int64_t a_qa[MAX_D];
+  int32_t dc_resp = 0;
+  for (int k = 0; k < order; k++) {
+    dc_resp += a_q12[k];
+    a_qa[k] = I32((int32_t)a_q12[k] << (QA_INV - 12));
+  }
+  if (dc_resp >= 4096) return 0;
+  int32_t inv_gain_q30 = 1 << 30;
+  for (int k = order - 1; k > 0; k--) {
+    if (a_qa[k] > A_LIMIT_Q24 || a_qa[k] < -A_LIMIT_Q24) return 0;
+    int32_t rc_q31 = I32(-((int64_t)a_qa[k] << (31 - QA_INV)));
+    int32_t rc_mult1_q30 = I32((1 << 30) - SMMUL(rc_q31, rc_q31));
+    inv_gain_q30 = I32((int64_t)SMMUL(inv_gain_q30, rc_mult1_q30) << 2);
+    if (inv_gain_q30 < INV_MAX_PRED_GAIN_Q30) return 0;
+    int mult2q = 32 - CLZ32(rc_mult1_q30 < 0 ? -rc_mult1_q30 : rc_mult1_q30);
+    int32_t rc_mult2 = silk_inverse32_varq(rc_mult1_q30, mult2q + 30);
+    for (int n = 0; n < (k + 1) >> 1; n++) {
+      int64_t tmp1 = a_qa[n];
+      int64_t tmp2 = a_qa[k - n - 1];
+      int64_t t64 = RSHIFT_ROUND64(
+          (int64_t)SUB_SAT32((int32_t)tmp1,
+                             mul32_frac_q((int32_t)tmp2, rc_q31, 31))
+          * rc_mult2, mult2q);
+      if (t64 > 0x7FFFFFFFll || t64 < -0x80000000ll) return 0;
+      a_qa[n] = t64;
+      t64 = RSHIFT_ROUND64(
+          (int64_t)SUB_SAT32((int32_t)tmp2,
+                             mul32_frac_q((int32_t)tmp1, rc_q31, 31))
+          * rc_mult2, mult2q);
+      if (t64 > 0x7FFFFFFFll || t64 < -0x80000000ll) return 0;
+      a_qa[k - n - 1] = t64;
+    }
+  }
+  if (a_qa[0] > A_LIMIT_Q24 || a_qa[0] < -A_LIMIT_Q24) return 0;
+  int32_t rc_q31 = I32(-((int64_t)a_qa[0] << (31 - QA_INV)));
+  int32_t rc_mult1_q30 = I32((1 << 30) - SMMUL(rc_q31, rc_q31));
+  inv_gain_q30 = I32((int64_t)SMMUL(inv_gain_q30, rc_mult1_q30) << 2);
+  if (inv_gain_q30 < INV_MAX_PRED_GAIN_Q30) return 0;
+  return inv_gain_q30;
+}
+
+void nlsf2a(const int16_t* nlsf_q15, int d, int16_t* a_q12) {
+  const int* ordering = d == 16 ? kOrdering16 : kOrdering10;
+  int32_t clsf[MAX_D];
+  for (int k = 0; k < d; k++) {
+    int f_int = nlsf_q15[k] >> 8;
+    int f_frac = nlsf_q15[k] - (f_int << 8);
+    int cos_val = kSILK_LSF_COS_TAB_FIX_Q12[f_int];
+    int delta = kSILK_LSF_COS_TAB_FIX_Q12[f_int + 1] - cos_val;
+    clsf[ordering[k]] = RSHIFT_ROUND((cos_val << 8) + delta * f_frac,
+                                     20 - QA_NLSF);
+  }
+  int dd = d >> 1;
+  int32_t P[MAX_D / 2 + 1], Q[MAX_D / 2 + 1];
+  nlsf2a_find_poly(clsf + 0, dd, 2, P);
+  nlsf2a_find_poly(clsf + 1, dd, 2, Q);
+  int32_t a32_qa1[MAX_D];
+  for (int k = 0; k < dd; k++) {
+    int32_t ptmp = I32((int64_t)P[k + 1] + P[k]);
+    int32_t qtmp = I32((int64_t)Q[k + 1] - Q[k]);
+    a32_qa1[k] = I32(-(int64_t)qtmp - ptmp);
+    a32_qa1[d - k - 1] = I32((int64_t)qtmp - ptmp);
+  }
+  lpc_fit(a32_qa1, 12, QA_NLSF + 1, d, a_q12);
+  for (int i = 0; i < 20; i++) {
+    if (lpc_inverse_pred_gain(a_q12, d) != 0) break;
+    silk_bwexpander_32(a32_qa1, d, 65536 - (2 << i));
+    for (int k = 0; k < d; k++)
+      a_q12[k] = (int16_t)I16(RSHIFT_ROUND(a32_qa1[k], QA_NLSF + 1 - 12));
+  }
+}
+
+void decode_pitch(int lag_index, int contour_index, int fs_khz, int nb_subfr,
+                  int* pitch_l) {
+  int min_lag = 2 * fs_khz, max_lag = 18 * fs_khz;
+  int lag = min_lag + lag_index;
+  for (int k = 0; k < nb_subfr; k++) {
+    int off;
+    if (fs_khz == 8)
+      off = nb_subfr == 4 ? (int)kSILK_CB_LAGS_STAGE2[k][contour_index]
+                          : (int)kSILK_CB_LAGS_STAGE2_10_MS[k][contour_index];
+    else
+      off = nb_subfr == 4 ? (int)kSILK_CB_LAGS_STAGE3[k][contour_index]
+                          : (int)kSILK_CB_LAGS_STAGE3_10_MS[k][contour_index];
+    pitch_l[k] = std::max(min_lag, std::min(max_lag, lag + off));
+  }
+}
+
+void decode_parameters(SilkState* st, DecCtrl* ctrl, int cond_coding) {
+  SideInfo& ix = st->ix;
+  gains_dequant(ix.gains_indices, &st->last_gain_index, cond_coding == 2,
+                st->nb_subfr, ctrl->gains_q16);
+
+  NlsfCb cb = nlsf_cb(st->lpc_order == 16);
+  int16_t nlsf_q15[MAX_D];
+  nlsf_decode(ix.nlsf_indices, cb, nlsf_q15);
+  nlsf2a(nlsf_q15, st->lpc_order, ctrl->pred_coef_q12[1]);
+
+  if (st->first_frame_after_reset) ix.nlsf_interp_coef_q2 = 4;
+  if (ix.nlsf_interp_coef_q2 < 4) {
+    int16_t nlsf0[MAX_D];
+    for (int i = 0; i < st->lpc_order; i++)
+      nlsf0[i] = (int16_t)(st->prev_nlsf_q15[i]
+                           + ((ix.nlsf_interp_coef_q2
+                               * (nlsf_q15[i] - st->prev_nlsf_q15[i])) >> 2));
+    nlsf2a(nlsf0, st->lpc_order, ctrl->pred_coef_q12[0]);
+  } else {
+    memcpy(ctrl->pred_coef_q12[0], ctrl->pred_coef_q12[1],
+           sizeof(ctrl->pred_coef_q12[0]));
+  }
+  memcpy(st->prev_nlsf_q15, nlsf_q15, st->lpc_order * sizeof(int16_t));
+
+  if (ix.signal_type == 2) {
+    decode_pitch(ix.lag_index, ix.contour_index, st->fs_khz, st->nb_subfr,
+                 ctrl->pitch_l);
+    for (int k = 0; k < st->nb_subfr; k++) {
+      const int16_t* cbk = ix.per_index == 0 ? &kLTP_CB0[0][0]
+                           : (ix.per_index == 1 ? &kLTP_CB1[0][0]
+                                                : &kLTP_CB2[0][0]);
+      for (int i = 0; i < LTP_ORDER; i++)
+        ctrl->ltp_coef_q14[k * LTP_ORDER + i] =
+            (int16_t)((int16_t)cbk[ix.ltp_index[k] * LTP_ORDER + i] << 7);
+    }
+    ctrl->ltp_scale_q14 = kSILK_LTPSCALES_TABLE_Q14[ix.ltp_scale_index];
+  } else {
+    memset(ctrl->pitch_l, 0, sizeof(ctrl->pitch_l));
+    memset(ctrl->ltp_coef_q14, 0, sizeof(ctrl->ltp_coef_q14));
+    ix.per_index = 0;
+    ctrl->ltp_scale_q14 = 0;
+  }
+}
+
+// -------------------------------------------------------------- decode_core
+inline int32_t silk_rand(int32_t seed) {
+  return I32(RAND_INC + (int64_t)I32((int64_t)seed * RAND_MULT));
+}
+
+void lpc_analysis_filter(int16_t* out, const int16_t* inp, int off,
+                         const int16_t* B, int length, int d) {
+  for (int ix = d; ix < length; ix++) {
+    int p = off + ix - 1;
+    int32_t out32_q12 = 0;
+    for (int j = 0; j < d; j++)
+      out32_q12 = I32(out32_q12 + (int32_t)inp[p - j] * B[j]);
+    out32_q12 = I32(((int64_t)inp[p + 1] << 12) - out32_q12);
+    out[ix] = (int16_t)SAT16(RSHIFT_ROUND(out32_q12, 12));
+  }
+  for (int ix = 0; ix < d; ix++) out[ix] = 0;
+}
+
+void decode_core(SilkState* st, DecCtrl* ctrl, const int* pulses,
+                 int16_t* xq) {
+  SideInfo& ix = st->ix;
+  int offset_q10 = (int)kSILK_QUANTIZATION_OFFSETS_Q10
+      [ix.signal_type >> 1][ix.quant_offset_type];
+  int nlsf_interp_flag = ix.nlsf_interp_coef_q2 < 4 ? 1 : 0;
+
+  int32_t rand_seed = ix.seed;
+  for (int i = 0; i < st->frame_length; i++) {
+    rand_seed = silk_rand(rand_seed);
+    int32_t v = I32((int64_t)pulses[i] << 14);
+    if (v > 0) v -= QUANT_LEVEL_ADJUST_Q10 << 4;
+    else if (v < 0) v += QUANT_LEVEL_ADJUST_Q10 << 4;
+    v = I32((int64_t)v + (offset_q10 << 4));
+    if (rand_seed < 0) v = -v;
+    st->exc_q14[i] = v;
+    rand_seed = I32((int64_t)rand_seed + pulses[i]);
+  }
+
+  int32_t sLPC[MAX_D + MAX_FRAME / 2];
+  memcpy(sLPC, st->s_lpc_q14_buf, sizeof(st->s_lpc_q14_buf));
+  int16_t sLTP[2 * 20 * 16];
+  int32_t sLTP_q15[2 * 20 * 16 + MAX_FRAME];
+  memset(sLTP_q15, 0, sizeof(sLTP_q15));
+  int sLTP_buf_idx = st->ltp_mem_length;
+  int lag = 0;
+
+  for (int k = 0; k < st->nb_subfr; k++) {
+    const int16_t* A_q12 = ctrl->pred_coef_q12[k >> 1];
+    const int16_t* B_q14 = ctrl->ltp_coef_q14 + k * LTP_ORDER;
+    int signal_type = ix.signal_type;
+
+    int32_t gain_q10 = ctrl->gains_q16[k] >> 6;
+    int32_t inv_gain_q31 = silk_inverse32_varq(ctrl->gains_q16[k], 47);
+    int32_t gain_adj_q16 = 1 << 16;
+    if (ctrl->gains_q16[k] != st->prev_gain_q16) {
+      gain_adj_q16 = silk_div32_varq(st->prev_gain_q16, ctrl->gains_q16[k], 16);
+      for (int i = 0; i < MAX_D; i++)
+        sLPC[i] = SMULWW(gain_adj_q16, sLPC[i]);
+    }
+    st->prev_gain_q16 = ctrl->gains_q16[k];
+
+    if (signal_type == 2) {
+      lag = ctrl->pitch_l[k];
+      if (k == 0 || (k == 2 && nlsf_interp_flag)) {
+        int start_idx = st->ltp_mem_length - lag - st->lpc_order
+                        - LTP_ORDER / 2;
+        if (k == 2)
+          for (int i = 0; i < 2 * st->subfr_length; i++)
+            st->out_buf[st->ltp_mem_length + i] = xq[i];
+        lpc_analysis_filter(sLTP + start_idx, st->out_buf,
+                            start_idx + k * st->subfr_length, A_q12,
+                            st->ltp_mem_length - start_idx, st->lpc_order);
+        if (k == 0)
+          inv_gain_q31 = I32((int64_t)SMULWB(inv_gain_q31,
+                                             ctrl->ltp_scale_q14) << 2);
+        for (int i = 0; i < lag + LTP_ORDER / 2; i++)
+          sLTP_q15[sLTP_buf_idx - i - 1] =
+              SMULWB(inv_gain_q31, sLTP[st->ltp_mem_length - i - 1]);
+      } else if (gain_adj_q16 != 1 << 16) {
+        for (int i = 0; i < lag + LTP_ORDER / 2; i++)
+          sLTP_q15[sLTP_buf_idx - i - 1] =
+              SMULWW(gain_adj_q16, sLTP_q15[sLTP_buf_idx - i - 1]);
+      }
+    }
+
+    int32_t* res_q14;
+    int32_t res_buf[MAX_FRAME / 2];
+    if (signal_type == 2) {
+      int pl = sLTP_buf_idx - lag + LTP_ORDER / 2;
+      for (int i = 0; i < st->subfr_length; i++) {
+        int32_t p = 2;
+        p = SMLAWB(p, sLTP_q15[pl + 0], B_q14[0]);
+        p = SMLAWB(p, sLTP_q15[pl - 1], B_q14[1]);
+        p = SMLAWB(p, sLTP_q15[pl - 2], B_q14[2]);
+        p = SMLAWB(p, sLTP_q15[pl - 3], B_q14[3]);
+        p = SMLAWB(p, sLTP_q15[pl - 4], B_q14[4]);
+        pl++;
+        res_buf[i] = I32((int64_t)st->exc_q14[k * st->subfr_length + i]
+                         + I32((int64_t)p << 1));
+        sLTP_q15[sLTP_buf_idx] = I32((int64_t)res_buf[i] << 1);
+        sLTP_buf_idx++;
+      }
+      res_q14 = res_buf;
+    } else {
+      res_q14 = st->exc_q14 + k * st->subfr_length;
+    }
+
+    for (int i = 0; i < st->subfr_length; i++) {
+      int32_t lpc_pred_q10 = st->lpc_order >> 1;
+      for (int j = 0; j < st->lpc_order; j++)
+        lpc_pred_q10 = SMLAWB(lpc_pred_q10, sLPC[MAX_D + i - 1 - j], A_q12[j]);
+      sLPC[MAX_D + i] = ADD_SAT32(res_q14[i],
+                                  LSHIFT_SAT32((int64_t)lpc_pred_q10, 4));
+      xq[k * st->subfr_length + i] =
+          (int16_t)SAT16(RSHIFT_ROUND(SMULWW(sLPC[MAX_D + i], gain_q10), 8));
+    }
+    memmove(sLPC, sLPC + st->subfr_length, MAX_D * sizeof(int32_t));
+  }
+  memcpy(st->s_lpc_q14_buf, sLPC, sizeof(st->s_lpc_q14_buf));
+}
+
+}  // namespace
+
+namespace {
+
+void state_set_fs(SilkState* st, int fs_khz, int nb_subfr) {
+  st->nb_subfr = nb_subfr;
+  st->subfr_length = 5 * fs_khz;
+  int frame_length = nb_subfr * st->subfr_length;
+  if (st->fs_khz != fs_khz || frame_length != st->frame_length) {
+    if (st->fs_khz != fs_khz) {
+      st->ltp_mem_length = 20 * fs_khz;
+      st->lpc_order = (fs_khz == 16) ? 16 : 10;
+      st->first_frame_after_reset = 1;
+      st->lag_prev = 100;
+      st->last_gain_index = 10;
+      st->prev_signal_type = 0;
+      memset(st->out_buf, 0, sizeof(st->out_buf));
+      memset(st->s_lpc_q14_buf, 0, sizeof(st->s_lpc_q14_buf));
+    }
+    st->fs_khz = fs_khz;
+    st->frame_length = frame_length;
+  }
+}
+
+void decode_one_frame(SilkState* st, EcDec* dec, int cond_coding,
+                      const uint8_t* contour_icdf,
+                      const uint8_t* lag_low_icdf, int16_t* xq,
+                      DecCtrl* ctrl_out, int* pulses_out) {
+  DecCtrl ctrl;
+  memset(&ctrl, 0, sizeof(ctrl));
+  decode_indices(st, dec, st->nframes_decoded, 0, cond_coding, contour_icdf,
+                 lag_low_icdf, st->fs_khz >> 1);
+  int pulses[MAX_FRAME + 16];
+  decode_pulses(dec, st->ix.signal_type, st->ix.quant_offset_type,
+                st->frame_length, pulses);
+  decode_parameters(st, &ctrl, cond_coding);
+  decode_core(st, &ctrl, pulses, xq);
+  st->prev_signal_type = st->ix.signal_type;
+  st->first_frame_after_reset = 0;
+  // out_buf shift + store (decode_frame postamble, clean path)
+  int mv_len = st->ltp_mem_length - st->frame_length;
+  memmove(st->out_buf, st->out_buf + st->frame_length,
+          mv_len * sizeof(int16_t));
+  memcpy(st->out_buf + mv_len, xq, st->frame_length * sizeof(int16_t));
+  st->lag_prev = ctrl.pitch_l[st->nb_subfr - 1];
+  if (ctrl_out) *ctrl_out = ctrl;
+  if (pulses_out)
+    memcpy(pulses_out, pulses, st->frame_length * sizeof(int));
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ C API
+extern "C" {
+
+void* silk_host_create() {
+  SilkState* st = new SilkState();
+  memset(st, 0, sizeof(*st));
+  st->prev_gain_q16 = 65536;
+  st->first_frame_after_reset = 1;
+  st->last_gain_index = 10;
+  return st;
+}
+
+void silk_host_destroy(void* p) { delete (SilkState*)p; }
+
+void silk_host_reset(void* p) {
+  SilkState* st = (SilkState*)p;
+  memset(st, 0, sizeof(*st));
+  st->prev_gain_q16 = 65536;
+  st->first_frame_after_reset = 1;
+  st->last_gain_index = 10;
+}
+
+// Decode a mono SILK payload (frame_ms in {10,20,40,60}) at the internal
+// rate fs_khz in {8,12,16}. xq_out must hold fs_khz*frame_ms samples.
+// Optional exports for the device synthesis kernel (pass NULL to skip):
+//   params layout per frame: exc[L] f32, a[2*16] f32, b[nb*5] f32,
+//   pitch[nb] i32, gains[nb] f32, voiced i32, ltp_scale f32
+// Returns number of samples, or < 0 on error.
+int silk_host_decode(void* p, const uint8_t* data, int len, int fs_khz,
+                     int frame_ms, int16_t* xq_out) {
+  SilkState* st = (SilkState*)p;
+  if (!data || len < 1) return -1;
+  int n_frames = frame_ms >= 20 ? frame_ms / 20 : 1;
+  int sub_ms = frame_ms <= 20 ? frame_ms : 20;
+  int nb_subfr = sub_ms == 20 ? 4 : 2;
+  state_set_fs(st, fs_khz, nb_subfr);
+  st->nframes_per_packet = n_frames;
+  st->nframes_decoded = 0;
+
+  const uint8_t* contour_icdf;
+  if (fs_khz == 8)
+    contour_icdf = nb_subfr == 4 ? kPITCH_CONTOUR_NB_ICDF
+                                 : kPITCH_CONTOUR_10_MS_NB_ICDF;
+  else
+    contour_icdf = nb_subfr == 4 ? kPITCH_CONTOUR_ICDF
+                                 : kPITCH_CONTOUR_10_MS_ICDF;
+  const uint8_t* lag_low = fs_khz == 16 ? kSILK_UNIFORM8_ICDF
+                           : (fs_khz == 12 ? kSILK_UNIFORM6_ICDF
+                                           : kSILK_UNIFORM4_ICDF);
+
+  EcDec dec;
+  ec_dec_init(&dec, data, (uint32_t)len);
+  // VAD + LBRR flags (mono)
+  for (int i = 0; i < n_frames; i++)
+    st->vad_flags[i] = ec_dec_bit_logp(&dec, 1);
+  st->lbrr_flag = ec_dec_bit_logp(&dec, 1);
+  for (int i = 0; i < 3; i++) st->lbrr_flags[i] = 0;
+  if (st->lbrr_flag) {
+    if (n_frames == 1) {
+      st->lbrr_flags[0] = 1;
+    } else {
+      const uint8_t* icdf = n_frames == 2 ? kLBRR_FLAGS_ICDF0
+                                          : kLBRR_FLAGS_ICDF1;
+      int sym = ec_dec_icdf(&dec, icdf, 8) + 1;
+      for (int i = 0; i < n_frames; i++)
+        st->lbrr_flags[i] = (sym >> i) & 1;
+    }
+    // skip-parse LBRR frames so the stream position matches
+    int16_t scratch[MAX_FRAME];
+    for (int i = 0; i < n_frames; i++) {
+      if (st->lbrr_flags[i]) {
+        int cond = (i > 0 && st->lbrr_flags[i - 1]) ? 2 : 0;
+        decode_indices(st, &dec, i, 1, cond, contour_icdf, lag_low,
+                       fs_khz >> 1);
+        int pulses[MAX_FRAME + 16];
+        decode_pulses(&dec, st->ix.signal_type, st->ix.quant_offset_type,
+                      st->frame_length, pulses);
+        (void)scratch;
+      }
+    }
+  }
+
+  int total = 0;
+  for (int i = 0; i < n_frames; i++) {
+    int cond = i > 0 ? 2 : 0;
+    decode_one_frame(st, &dec, cond, contour_icdf, lag_low, xq_out + total,
+                     nullptr, nullptr);
+    st->nframes_decoded++;
+    total += st->frame_length;
+  }
+  st->last_rng = dec.rng;
+  return dec.error ? -2 : total;
+}
+
+uint32_t silk_host_rng(void* p) { return ((SilkState*)p)->last_rng; }
+
+}  // extern "C"
