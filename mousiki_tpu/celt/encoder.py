@@ -178,15 +178,49 @@ class CeltEncoder:
             # pretend we've used all bits
             enc.nbits_total += total_bits - enc.tell()
 
-        # --- prefilter (pitch) header ---
+        # --- prefilter (pitch prediction, inverse of the decoder's
+        # postfilter; reference run_prefilter celt_encoder.rs:3200) ---
         pf_on = 0
         pitch_index = COMBFILTER_MINPERIOD
         gain1 = 0.0
         qg = 0
+        prefilter_tapset = 0
+        enabled = (self.start == 0 and not silence
+                   and enc.tell() + 16 <= total_bits
+                   and self.complexity >= 5 and nb_compressed_bytes > 12)
+        if enabled:
+            pitch_index, gain1 = self._prefilter_pitch(inb, N, CC)
+            # quantize the gain like the decoder will read it
+            qg = max(0, min(7, int(np.floor(0.5 + gain1 * 32 / 3)) - 1))
+            gain1 = 0.09375 * (qg + 1)
+            pf_threshold = 0.2 if nb_compressed_bytes > 25 else 0.4
+            if gain1 > pf_threshold and pitch_index > COMBFILTER_MINPERIOD:
+                pf_on = 1
+            else:
+                gain1 = 0.0
+        # apply (or coast) the prefilter with overlap blending from the
+        # previous frame's parameters, even when pf_on = 0
+        if self.start == 0 and not silence:
+            self._apply_prefilter(inb, N, CC,
+                                  pitch_index if pf_on else COMBFILTER_MINPERIOD,
+                                  gain1 if pf_on else 0.0, prefilter_tapset)
         if self.start == 0 and not silence and enc.tell() + 16 <= total_bits:
             enc.enc_bit_logp(pf_on, 1)
-            # pf_on = 0: nothing else coded
-        prefilter_tapset = self.tapset_decision
+            if pf_on:
+                octave = max(0, ec_ilog(pitch_index + 1) - 5)
+                enc.enc_uint(octave, 6)
+                enc.enc_bits(pitch_index + 1 - (16 << octave), 4 + octave)
+                enc.enc_bits(qg, 3)
+                if enc.tell() + 2 <= total_bits:
+                    enc.enc_icdf(prefilter_tapset, TAPSET_ICDF, 2)
+        if pf_on:
+            self.prefilter_period = pitch_index
+            self.prefilter_gain = gain1
+            self.prefilter_tapset = prefilter_tapset
+        else:
+            self.prefilter_period = COMBFILTER_MINPERIOD
+            self.prefilter_gain = 0.0
+            self.prefilter_tapset = 0
 
         # --- transient analysis ---
         is_transient = 0
@@ -346,6 +380,92 @@ class CeltEncoder:
                 coeffs = mdct_fold(seg, w, NB) @ F.T
                 freq[c, b::B] = coeffs
         return freq
+
+    def _prefilter_pitch(self, inb, N, CC):
+        """Open-loop pitch + gain on the preemphasized input (downsample 2x,
+        normalized autocorrelation with sub-multiple preference)."""
+        hist = self.prefilter_mem
+        mono = np.concatenate([hist.mean(axis=0),
+                               inb[:, self.overlap:].mean(axis=0)])
+        lp = 0.5 * (mono[0::2] + mono[1::2])
+        n = len(lp)
+        frame = lp[-(N // 2):]
+        e_f = float(frame @ frame) + 1e-9
+        best_l, best_s = COMBFILTER_MINPERIOD, 0.0
+        lo = COMBFILTER_MINPERIOD // 2 + 1
+        hi = min(COMBFILTER_MAXPERIOD // 2 - 1, n - N // 2 - 1)
+        for lag in range(lo, hi):
+            seg = lp[n - N // 2 - lag: n - lag]
+            c = float(frame @ seg)
+            if c <= 0:
+                continue
+            s = c / np.sqrt(e_f * (float(seg @ seg) + 1e-9))
+            if s > best_s:
+                best_s, best_l = s, lag
+        # prefer sub-multiples (avoid period doubling)
+        for div in (2, 3):
+            cand = best_l // div
+            if cand >= lo:
+                seg = lp[n - N // 2 - cand: n - cand]
+                c = float(frame @ seg)
+                if c > 0:
+                    s = c / np.sqrt(e_f * (float(seg @ seg) + 1e-9))
+                    if s > 0.85 * best_s:
+                        best_l = cand
+                        best_s = max(best_s, s)
+                        break
+        # refine at full rate (the 2x-downsampled search is +/-1 sample off,
+        # which misaligns the decoder's postfilter re-addition)
+        nf = len(mono)
+        fr = mono[-N:]
+        e_fr = float(fr @ fr) + 1e-9
+        best_p, best_fs = 2 * best_l, 0.0
+        for p in range(max(COMBFILTER_MINPERIOD, 2 * best_l - 2),
+                       min(COMBFILTER_MAXPERIOD - 2, 2 * best_l + 3)):
+            seg = mono[nf - N - p: nf - p]
+            c = float(fr @ seg)
+            if c <= 0:
+                continue
+            s = c / np.sqrt(e_fr * (float(seg @ seg) + 1e-9))
+            if s > best_fs:
+                best_fs, best_p = s, p
+        return best_p, min(1.0, 0.7 * best_fs)
+
+    def _apply_prefilter(self, inb, N, CC, period, gain, tapset):
+        """Pitch prefilter: x[n] = s[n] - g * s[n-T] reading the ORIGINAL
+        signal (FIR inverse of the decoder's feedback postfilter), with the
+        window-blend handoff from the previous frame's parameters."""
+        from .decoder import _COMB_GAINS
+        overlap = self.overlap
+        w2 = self.mode.window.astype(np.float64) ** 2
+        t0 = max(self.prefilter_period, COMBFILTER_MINPERIOD)
+        t1 = max(period, COMBFILTER_MINPERIOD)
+        g0, g1 = self.prefilter_gain, gain
+        tg0 = _COMB_GAINS[self.prefilter_tapset]
+        tg1 = _COMB_GAINS[tapset]
+        for c in range(CC):
+            ref = np.concatenate([self.prefilter_mem[c], inb[c, overlap:]])
+            pos = COMBFILTER_MAXPERIOD
+            n = np.arange(N)
+
+            def taps(t, tg):
+                return (tg[0] * ref[pos + n - t]
+                        + tg[1] * (ref[pos + n - t + 1] + ref[pos + n - t - 1])
+                        + tg[2] * (ref[pos + n - t + 2] + ref[pos + n - t - 2]))
+
+            p0 = g0 * taps(t0, tg0)
+            p1 = g1 * taps(t1, tg1)
+            f = np.ones(N)
+            f[:overlap] = w2
+            same = g0 == g1 and t0 == t1 and self.prefilter_tapset == tapset
+            if same:
+                f[:] = 1.0
+            out = ref[pos: pos + N] - (1.0 - f) * p0 - f * p1
+            inb[c, overlap:] = out
+            # history keeps the ORIGINAL (unfiltered) signal
+            self.prefilter_mem[c] = ref[N: N + COMBFILTER_MAXPERIOD]
+        # the MDCT overlap memory must hold the *prefiltered* signal
+        self.in_mem = inb[:, N: N + self.overlap].copy()
 
     def _transient_analysis(self, inb, N, CC) -> bool:
         """Simplified transient detector: short-window energy ratio on the
