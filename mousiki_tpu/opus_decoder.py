@@ -242,12 +242,50 @@ class OpusDecoder:
         out[:] = (w[:, None] * in2[:overlap]) + ((1.0 - w)[:, None] * in1[:overlap])
 
     # ------------------------------------------------------------------
+    def set_deep_plc(self, fargan_model, pitch_model=None) -> None:
+        """Enable neural concealment (SetDnnBlob ctl equivalent): loads the
+        FARGAN vocoder (+PitchDNN) used instead of classic PLC on loss
+        (reference deep_plc.rs lpcnet_plc_conceal)."""
+        from .models.deep_plc import DeepPlcState
+        self.deep_plc = DeepPlcState(fargan_model=fargan_model,
+                                     pitch_model=pitch_model)
+
+    def inject_dred_features(self, features_list) -> None:
+        """Queue DRED-recovered feature vectors for upcoming losses."""
+        if getattr(self, "deep_plc", None) is not None:
+            self.deep_plc.inject_fec_features(features_list)
+
+    def _deep_plc_conceal(self, frame_size: int) -> np.ndarray:
+        """Neural concealment: FARGAN at 16 kHz, repeated up to fs, blended
+        into the classic PLC over 2.5 ms for continuity."""
+        classic = []
+        count = 0
+        while count < frame_size:
+            r = self._decode_frame(None, frame_size - count)
+            classic.append(r)
+            count += len(r)
+        classic = np.concatenate(classic)
+        n16 = frame_size * 16000 // self.fs
+        n16 = max(160, (n16 // 160) * 160)
+        neural = self.deep_plc.conceal(n16)
+        rep = self.fs // 16000
+        neural_up = np.repeat(neural, rep)[:frame_size]
+        out = np.tile(neural_up[:, None], (1, self.channels))
+        f5 = min(self.fs // 400, frame_size)
+        ramp = np.linspace(0.0, 1.0, f5)[:, None]
+        out[:f5] = (1 - ramp) * classic[:f5] + ramp * out[:f5]
+        return out
+
     def decode(self, data: bytes | None, frame_size: int,
                decode_fec: bool = False) -> np.ndarray:
         """Decode an Opus packet -> float PCM array (N, channels)."""
         if data is None or len(data) == 0:
             if frame_size % (self.fs // 400) != 0:
                 raise ValueError("bad PLC size")
+            if getattr(self, "deep_plc", None) is not None:
+                out = self._deep_plc_conceal(frame_size)
+                self.last_packet_duration = frame_size
+                return out
             out = []
             count = 0
             while count < frame_size:
@@ -257,6 +295,7 @@ class OpusDecoder:
             self.last_packet_duration = count
             return np.concatenate(out)
 
+        deep = getattr(self, "deep_plc", None)
         packet_mode = toc_mode(data[0])
         packet_bandwidth = toc_bandwidth(data[0])
         packet_frame_size = samples_per_frame(data, self.fs)
@@ -294,6 +333,10 @@ class OpusDecoder:
             outs.append(self._decode_frame(f, packet_frame_size))
         result = np.concatenate(outs)
         self.last_packet_duration = len(result)
+        if deep is not None:
+            # feature tracking over good audio (10 ms hops at 16 kHz)
+            mono16 = result.mean(axis=1)[:: self.fs // 16000]
+            deep.update(mono16)
         return result
 
     def _decode_fec_frame(self, data: bytes, frame_size: int) -> np.ndarray:

@@ -102,3 +102,32 @@ def test_feature_extractor_and_deep_plc():
     plc.inject_fec_features([feats[-1], feats[-1]])
     out2 = plc.conceal(160)
     assert np.isfinite(out2).all()
+
+
+def test_deep_plc_in_decoder():
+    """With a (synthetic) model loaded, loss concealment runs through
+    FARGAN and blends into the classic PLC without artifacts blowing up."""
+    from mousiki_tpu.models.fargan import random_model
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.opus_encoder import OpusEncoder, APP_VOIP
+    from mousiki_tpu.bitstream.packet import Mode
+
+    t = np.arange(48000) / 48000.0
+    sig = np.clip(0.5 * np.sin(2 * np.pi * 220 * t), -0.9, 0.9)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    enc.force_mode = Mode.SILK
+    dec = OpusDecoder(48000, 1)
+    dec.set_deep_plc(random_model(jax.random.PRNGKey(0)))
+    for f in range(6):
+        out = dec.decode(enc.encode(sig[f * 960:(f + 1) * 960], 960), 960)
+        assert np.isfinite(out).all()
+    lost = dec.decode(None, 960)  # neural concealment path
+    assert lost.shape == (960, 1)
+    assert np.isfinite(lost).all()
+    dec.inject_dred_features([np.zeros(20)])
+    lost2 = dec.decode(None, 960)
+    assert np.isfinite(lost2).all()
+    # recovery continues normally
+    out = dec.decode(enc.encode(sig[:960], 960), 960)
+    assert np.isfinite(out).all()
