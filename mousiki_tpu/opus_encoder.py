@@ -139,7 +139,7 @@ class OpusEncoder:
             self.in_dtx = False
         if mode == Mode.SILK and self.application == APP_VOIP \
                 and self.bitrate >= 32000 * self.channels \
-                and self.force_mode is None and self.channels == 1:
+                and self.force_mode is None:
             mode = Mode.HYBRID  # mid/high-rate speech: SILK WB + CELT HF
         if mode == Mode.HYBRID:
             return self._encode_hybrid(pcm, frame_size, max_bytes)
@@ -256,8 +256,6 @@ class OpusEncoder:
 
         if frame_size not in (480, 960):
             raise NotImplementedError("hybrid is 10/20 ms")
-        if self.channels != 1:
-            raise NotImplementedError("hybrid mono this round")
         bw = self.bandwidth
         if bw not in (Bandwidth.SUPERWIDEBAND, Bandwidth.FULLBAND):
             bw = Bandwidth.FULLBAND
@@ -266,19 +264,31 @@ class OpusEncoder:
                         (self.bitrate * frame_size) // (8 * self.fs)))
         # rate split (compute_silk_rate_for_hybrid simplified): SILK gets the
         # base share, shrinking as the total rate grows
-        silk_share = 0.65 if self.bitrate < 40000 else 0.55
+        silk_share = 0.65 if self.bitrate < 40000 * self.channels else 0.55
         silk_bits_target = int(8 * L * silk_share)
+        stereo = self.channels == 2 and pcm.shape[1] == 2
+        worker = self.silk_stereo if stereo else self.silk
+        if not stereo:
+            worker.fec_enabled = False
         pcm_i = pcm[:, 0] * 32768.0
+        if stereo:
+            pcm_r = pcm[:, 1] * 32768.0
 
-        snap = self.silk.snapshot()
-        base = getattr(self.silk, "coarsen_state", 1.0)
+        snap = worker.snapshot()
+        base = getattr(worker, "coarsen_state", 1.0)
 
         def attempt(c):
-            self.silk.restore(snap)
+            worker.restore(snap)
             e = RangeEncoder(L)
             try:
-                silk_encode_packet(self.silk, e, pcm_i, 16, self.fs,
-                                   frame_ms, int(self.bitrate * silk_share), c)
+                if stereo:
+                    worker.encode_packet(e, pcm_i, pcm_r, 16, self.fs,
+                                         frame_ms,
+                                         int(self.bitrate * silk_share), c)
+                else:
+                    silk_encode_packet(worker, e, pcm_i, 16, self.fs,
+                                       frame_ms,
+                                       int(self.bitrate * silk_share), c)
             except _BudgetExceeded:
                 return None
             if e.get_error() or e.tell() > silk_bits_target:
@@ -309,7 +319,7 @@ class OpusEncoder:
                 enc = attempt(best_c)
                 break
             best_c, enc = c2, e2
-        self.silk.coarsen_state = max(0.05, min(best_c, 80.0))
+        worker.coarsen_state = max(0.05, min(best_c, 80.0))
 
         # redundancy flag: written iff the decoder will look for it
         if enc.tell() + 37 <= 8 * L:
@@ -318,7 +328,7 @@ class OpusEncoder:
         # CELT high bands continue in the same range coder
         self.celt.start = 17
         self.celt.end = 19 if bw == Bandwidth.SUPERWIDEBAND else 21
-        self.celt.stream_channels = 1
+        self.celt.stream_channels = self.channels
         self.celt.bitrate = -1  # fill the remaining packet exactly
         self.celt.encode_with_ec(pcm, frame_size, L, enc=enc)
         enc.done()
@@ -326,7 +336,7 @@ class OpusEncoder:
             raise ValueError("hybrid celt overflow")
         payload = enc.data()[:L]
         self.range_final = enc.rng & 0xFFFFFFFF
-        toc = hybrid_toc(frame_size, bw, 1)
+        toc = hybrid_toc(frame_size, bw, self.channels)
         return bytes([toc]) + payload
 
     @property

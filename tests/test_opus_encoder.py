@@ -306,3 +306,38 @@ def test_dtx():
         assert np.abs(out).max() < 0.01
     assert sizes.count(1) >= 18          # mostly TOC-only
     assert any(s > 1 for s in sizes[3:])  # periodic refresh
+
+
+def test_hybrid_stereo_encoder():
+    """Stereo hybrid: SILK mid/side + CELT stereo high bands, range-exact."""
+    from mousiki_tpu.opus_encoder import APP_VOIP
+
+    t = np.arange(48000 * 2) / 48000.0
+    L = np.clip(0.4 * np.sin(2 * np.pi * 140 * t)
+                * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+                + 0.1 * np.sin(2 * np.pi * 10000 * t), -0.95, 0.95)
+    R = np.clip(0.3 * np.sin(2 * np.pi * 140 * t + 0.7)
+                + 0.1 * np.sin(2 * np.pi * 9000 * t), -0.95, 0.95)
+    sig = np.stack([L, R], 1)
+    enc = OpusEncoder(48000, 2, APP_VOIP)
+    enc.set_bitrate(80000)
+    ref = oracle.RefDecoder(48000, 2)
+    mydec = OpusDecoder(48000, 2)
+    outs = []
+    for f in range(25):
+        pkt = enc.encode(sig[f * 960:(f + 1) * 960], 960)
+        assert (pkt[0] >> 3) in (12, 13, 14, 15) and (pkt[0] & 0x4)
+        r = ref.decode_float(pkt, 960)
+        m = mydec.decode(pkt, 960)
+        assert ref.final_range() == mydec.final_range
+        assert np.abs(m - r).max() < 1e-5
+        outs.append(r)
+    out = np.concatenate(outs)
+    a = sig[: len(out)]
+    best = -99
+    for lag in range(0, 600):
+        b = out[lag:][: len(a) - lag]
+        aa = a[: len(b)]
+        best = max(best, 10 * np.log10(
+            (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
+    assert best > 12.0, best
