@@ -210,6 +210,31 @@ def opus_tags(vendor: str = "mousiki_tpu", comments: list[str] | None = None) ->
     return bytes(out)
 
 
+def parse_opus_tags(data: bytes) -> dict:
+    """Parse an OpusTags packet -> {vendor, comments} (RFC 7845 §5.2)."""
+    if data[:8] != b"OpusTags":
+        raise ValueError("not an OpusTags packet")
+    pos = 8
+    (vlen,) = _unpack("<I", data, pos)
+    pos += 4
+    vendor = data[pos: pos + vlen].decode("utf-8", "replace")
+    pos += vlen
+    (n,) = _unpack("<I", data, pos)
+    pos += 4
+    comments = []
+    for _ in range(n):
+        (clen,) = _unpack("<I", data, pos)
+        pos += 4
+        comments.append(data[pos: pos + clen].decode("utf-8", "replace"))
+        pos += clen
+    return {"vendor": vendor, "comments": comments}
+
+
+def _unpack(fmt, data, pos):
+    import struct
+    return struct.unpack_from(fmt, data, pos)
+
+
 def parse_opus_head(data: bytes) -> dict:
     if data[:8] != b"OpusHead":
         raise ValueError("not an OpusHead")

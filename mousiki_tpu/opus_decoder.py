@@ -369,6 +369,20 @@ class OpusDecoder:
         self.prev_mode = mode
         return pcm[:frame_size]
 
+    # -- sample-format wrappers (opus_decode / opus_decode24 parity) -----
+    def decode_int16(self, data: bytes | None, frame_size: int,
+                     decode_fec: bool = False) -> np.ndarray:
+        """opus_decode: int16 output with float->int16 rounding."""
+        pcm = self.decode(data, frame_size, decode_fec)
+        return np.clip(np.rint(pcm * 32768.0), -32768, 32767).astype(np.int16)
+
+    def decode_int24(self, data: bytes | None, frame_size: int,
+                     decode_fec: bool = False) -> np.ndarray:
+        """opus_decode24: signed 24-bit samples stored in int32."""
+        pcm = self.decode(data, frame_size, decode_fec)
+        v = np.rint(pcm * (32768.0 * 256.0))
+        return np.clip(v, -(1 << 23), (1 << 23) - 1).astype(np.int32)
+
     @property
     def final_range(self) -> int:
         return self.range_final

@@ -339,6 +339,19 @@ class OpusEncoder:
         toc = hybrid_toc(frame_size, bw, self.channels)
         return bytes([toc]) + payload
 
+    # -- sample-format wrappers (opus_encode / opus_encode24 parity) -----
+    def encode_int16(self, pcm16: np.ndarray, frame_size: int,
+                     max_bytes: int = 1275) -> bytes:
+        """opus_encode: int16 input."""
+        return self.encode(np.asarray(pcm16, np.float64) / 32768.0,
+                           frame_size, max_bytes)
+
+    def encode_int24(self, pcm24: np.ndarray, frame_size: int,
+                     max_bytes: int = 1275) -> bytes:
+        """opus_encode24: signed 24-bit-in-int32 input."""
+        return self.encode(np.asarray(pcm24, np.float64) / (32768.0 * 256.0),
+                           frame_size, max_bytes)
+
     @property
     def final_range(self) -> int:
         return self.range_final

@@ -105,3 +105,30 @@ def test_tictoc():
     rep = reg.report()
     assert "stage_a" in rep and "stage_b" in rep
     D.ENABLED = False
+
+
+def test_sample_format_wrappers():
+    from mousiki_tpu.bitstream.packet import Mode
+
+    t = np.arange(960) / 48000.0
+    sig16 = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)[:, None]
+    enc = OpusEncoder(48000, 1)
+    pkt = enc.encode_int16(sig16, 960)
+    dec = OpusDecoder(48000, 1)
+    o16 = dec.decode_int16(pkt, 960)
+    assert o16.dtype == np.int16 and o16.shape == (960, 1)
+    dec24 = OpusDecoder(48000, 1)
+    o24 = dec24.decode_int24(pkt, 960)
+    assert o24.dtype == np.int32
+    assert np.abs(o24 // 256 - o16.astype(np.int32)).max() <= 1
+    pkt24 = enc.encode_int24(sig16.astype(np.int32) * 256, 960)
+    assert len(pkt24) > 10
+
+
+def test_opus_tags_roundtrip():
+    from mousiki_tpu.containers.ogg import opus_tags, parse_opus_tags
+
+    blob = opus_tags("vend", ["TITLE=x", "ARTIST=y"])
+    out = parse_opus_tags(blob)
+    assert out["vendor"] == "vend"
+    assert out["comments"] == ["TITLE=x", "ARTIST=y"]
