@@ -101,6 +101,14 @@ class OpusEncoder:
         """Encode one frame of float PCM (frame_size, channels) -> packet."""
         if pcm.ndim == 1:
             pcm = pcm[:, None]
+        if frame_size in (3840, 4800, 5760):
+            # 80/100/120 ms: encode 20 ms subframes and merge them into one
+            # code-3 packet with the repacketizer (opus_encoder.rs multiframe)
+            from .bitstream.repacketizer import Repacketizer
+            rp = Repacketizer()
+            for off in range(0, frame_size, 960):
+                rp.cat(self.encode(pcm[off: off + 960], 960, max_bytes))
+            return rp.out(min(65535, max_bytes * (frame_size // 960)))
         mode = self.force_mode or self.mode
         if (self.application == APP_AUDIO and self.force_mode is None
                 and frame_size >= 960):

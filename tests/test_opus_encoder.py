@@ -341,3 +341,20 @@ def test_hybrid_stereo_encoder():
         best = max(best, 10 * np.log10(
             (aa ** 2).mean() / ((aa - b) ** 2).mean() + 1e-12))
     assert best > 12.0, best
+
+
+@pytest.mark.parametrize("frame_size", [3840, 4800, 5760])
+def test_long_packets_via_repacketizer(frame_size):
+    """80/100/120 ms packets (code 3 merge): decode exactly in libopus."""
+    t = np.arange(48000 * 2) / 48000.0
+    sig = np.stack([np.clip(0.4 * np.sin(2 * np.pi * 330 * t), -0.9, 0.9)] * 2, 1)
+    enc = OpusEncoder(48000, 2)
+    enc.set_bitrate(96000)
+    ref = oracle.RefDecoder(48000, 2)
+    mydec = OpusDecoder(48000, 2)
+    for f in range((48000 * 2) // frame_size):
+        pkt = enc.encode(sig[f * frame_size:(f + 1) * frame_size], frame_size)
+        r = ref.decode_float(pkt, frame_size)
+        m = mydec.decode(pkt, frame_size)
+        assert ref.final_range() == mydec.final_range
+        assert np.abs(m - r).max() < 2e-4
