@@ -138,3 +138,39 @@ class CeltStreamPipeline:
             pending, self.state = self._step(self.consts, self.state, desc)
         if pending is not None:
             yield pending
+
+
+class SilkStreamPipeline:
+    """Decode S parallel mono SILK streams: native host symbol+synthesis
+    stage (int16-exact, ~20 us/frame/core) feeding the batched device
+    16 kHz -> 48 kHz up-resampler. The speech-side counterpart of
+    CeltStreamPipeline (SURVEY.md §7 step 4)."""
+
+    def __init__(self, n_streams: int, fs_khz: int = 16, frame_ms: int = 20):
+        from .ops.silk_resampler_jax import (init_up48_state, make_up48_plan,
+                                             up48_step)
+        from .silk import host_native as silk_native
+
+        if not silk_native.available():
+            raise RuntimeError("native silk host library unavailable")
+        if fs_khz != 16:
+            raise NotImplementedError("device up-resampler is 16k->48k")
+        self.S = n_streams
+        self.fs_khz = fs_khz
+        self.frame_ms = frame_ms
+        self.hosts = [silk_native.NativeSilkHost() for _ in range(n_streams)]
+        self._plan = make_up48_plan(fs_khz * frame_ms)
+        self._rs_state = init_up48_state(n_streams)
+        self._up48_step = up48_step
+
+    def step(self, payloads: list):
+        """payloads: S SILK payload byte strings -> (S, 48*frame_ms) f32."""
+        import jax.numpy as jnp
+
+        L = self.fs_khz * self.frame_ms
+        x = np.empty((self.S, L), np.float32)
+        for s, pl in enumerate(payloads):
+            x[s] = self.hosts[s].decode(pl, self.fs_khz, self.frame_ms)
+        out, self._rs_state = self._up48_step(jnp.asarray(x), self._rs_state,
+                                              self._plan)
+        return out / 32768.0

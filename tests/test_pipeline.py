@@ -91,3 +91,55 @@ def test_pipeline_decode_stream_overlap():
     assert len(ove) == F
     for a, b in zip(seq, ove):
         assert np.abs(a - b).max() == 0.0
+
+
+@needs_oracle
+def test_silk_pipeline():
+    """Native SILK host + device resampler vs the full Python decoder."""
+    from mousiki_tpu.bitstream.packet import Mode, parse_packet
+    from mousiki_tpu.opus_encoder import OpusEncoder, APP_VOIP
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import SilkStreamPipeline
+    from mousiki_tpu.silk import host_native as silk_native
+    if not silk_native.available():
+        pytest.skip("native silk host unavailable")
+
+    t = np.arange(48000) / 48000.0
+    sig = np.clip(0.4 * np.sin(2 * np.pi * 150 * t)
+                  * (1 + 0.3 * np.sin(2 * np.pi * 3 * t)), -0.9, 0.9)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    enc.force_mode = Mode.SILK
+    pkts = [enc.encode(sig[f * 960:(f + 1) * 960], 960) for f in range(20)]
+    payloads = [parse_packet(p).frames[0] for p in pkts]
+
+    pipe = SilkStreamPipeline(2)
+    ref = OpusDecoder(48000, 1)
+    got, want = [], []
+    for pl, pkt in zip(payloads, pkts):
+        got.append(np.asarray(pipe.step([pl, pl]))[0])
+        want.append(ref.decode(pkt, 960)[:, 0])
+    got = np.concatenate(got)
+    want = np.concatenate(want)
+    # same content modulo a constant resampler delay offset (the device
+    # up48 plan's input-delay bookkeeping differs from the decoder's host
+    # resampler by a few samples): compare at the best lag, either sign
+    best, lag0 = -1e9, 0
+    for lag in range(-16, 64):
+        if lag >= 0:
+            b = got[lag:][: len(want) - lag]
+            a = want[: len(b)]
+        else:
+            a = want[-lag:][: len(got) + lag]
+            b = got[: len(a)]
+        v = -np.mean((a - b) ** 2)
+        if v > best:
+            best, lag0 = v, lag
+    if lag0 >= 0:
+        b = got[lag0:][: len(want) - lag0]
+        a = want[: len(b)]
+    else:
+        a = want[-lag0:][: len(got) + lag0]
+        b = got[: len(a)]
+    snr = 10 * np.log10((a ** 2).mean() / ((a - b) ** 2).mean() + 1e-12)
+    assert snr > 40.0, (snr, lag0)
