@@ -74,6 +74,9 @@ class OpusEncoder:
         self.force_mode = None
         self.analysis_state = None  # lazy TonalityAnalysisState (APP_AUDIO)
         self.analysis_info = None
+        from .hp_filter import HighPassState
+        self.hp_state = HighPassState()  # input HP / DC-reject filter
+        self._last_silk_mirror = None
         if application == APP_VOIP:
             self.mode = Mode.SILK
             self.bandwidth = Bandwidth.WIDEBAND
@@ -149,10 +152,23 @@ class OpusEncoder:
                 and self.bitrate >= 32000 * self.channels \
                 and self.force_mode is None:
             mode = Mode.HYBRID  # mid/high-rate speech: SILK WB + CELT HF
+        # input high-pass: VOIP runs a variable-cutoff (60-100 Hz) HP whose
+        # corner tracks the voiced pitch; other applications DC-reject at
+        # 3 Hz (opus_encoder.rs:2080-2530, silk/hp_variable_cutoff.rs)
+        from .hp_filter import dc_reject, hp_cutoff
+        if self.application == APP_VOIP:
+            cutoff = self.hp_state.cutoff_hz(celt_only=mode == Mode.CELT)
+            pcm = hp_cutoff(pcm, cutoff, self.hp_state.mem, self.fs)
+        else:
+            pcm = dc_reject(pcm, 3, self.hp_state.mem, self.fs)
         if mode == Mode.HYBRID:
-            return self._encode_hybrid(pcm, frame_size, max_bytes)
+            out = self._encode_hybrid(pcm, frame_size, max_bytes)
+            self._update_hp_tracker()
+            return out
         if mode == Mode.SILK:
-            return self._encode_silk(pcm, frame_size, max_bytes)
+            out = self._encode_silk(pcm, frame_size, max_bytes)
+            self._update_hp_tracker()
+            return out
         if frame_size not in (120, 240, 480, 960):
             raise NotImplementedError("2.5-20 ms frames (CELT) this round")
         # byte budget from bitrate (CBR semantics; VBR shrinks inside celt)
@@ -165,6 +181,19 @@ class OpusEncoder:
         self.range_final = self.celt.rng
         toc = celt_toc(frame_size, self.bandwidth, self.channels)
         return bytes([toc]) + payload
+
+    def _update_hp_tracker(self):
+        """Feed the VOIP HP cutoff tracker from the last SILK frame's pitch
+        decision (the encoder's mirror decoder state holds prev lag/type)."""
+        worker = getattr(self, "_last_silk_worker", None)
+        if worker is None:
+            return
+        mirror = getattr(worker, "mirror", None)
+        if mirror is None:  # stereo worker: track the mid channel
+            mirror = getattr(getattr(worker, "mid", None), "mirror", None)
+        if mirror is not None and mirror.fs_khz > 0:
+            self.hp_state.update_from_silk(mirror.prev_signal_type,
+                                           mirror.lag_prev, mirror.fs_khz)
 
     def _encode_silk(self, pcm: np.ndarray, frame_size: int,
                      max_bytes: int) -> bytes:
@@ -189,6 +218,7 @@ class OpusEncoder:
                              (self.bitrate * frame_size) // (8 * self.fs) + 10))
         stereo = self.channels == 2 and pcm.shape[1] == 2
         worker = self.silk_stereo if stereo else self.silk
+        self._last_silk_worker = worker
         if not stereo:
             worker.fec_enabled = bool(getattr(self, "inband_fec", False)
                                       and getattr(self, "packet_loss_perc", 0)
@@ -276,6 +306,7 @@ class OpusEncoder:
         silk_bits_target = int(8 * L * silk_share)
         stereo = self.channels == 2 and pcm.shape[1] == 2
         worker = self.silk_stereo if stereo else self.silk
+        self._last_silk_worker = worker
         if not stereo:
             worker.fec_enabled = False
         pcm_i = pcm[:, 0] * 32768.0

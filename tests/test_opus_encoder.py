@@ -358,3 +358,63 @@ def test_long_packets_via_repacketizer(frame_size):
         m = mydec.decode(pkt, frame_size)
         assert ref.final_range() == mydec.final_range
         assert np.abs(m - r).max() < 2e-4
+
+
+def test_hp_filter_tracks_and_rejects_dc():
+    """VOIP input HP: DC offset removed, cutoff tracks voiced pitch
+    (opus_encoder.rs hp_cutoff + silk/hp_variable_cutoff.rs)."""
+    from mousiki_tpu.hp_filter import HighPassState, dc_reject, hp_cutoff
+
+    # dc_reject closed form == reference recurrence
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((960, 2))
+    mem = np.zeros(4)
+    mem[0], mem[2] = 0.3, -0.2
+    got = dc_reject(x, 3, mem, 48000)
+    coef, coef2 = 6.3 * 3 / 48000, 1 - 6.3 * 3 / 48000
+    m = [0.3, -0.2]
+    want = np.empty_like(x)
+    for i in range(960):
+        for c in range(2):
+            want[i, c] = x[i, c] - m[c]
+            m[c] = coef * x[i, c] + coef2 * m[c]
+    assert np.abs(got - want).max() < 1e-12
+    assert abs(mem[0] - m[0]) < 1e-12 and abs(mem[2] - m[1]) < 1e-12
+
+    # variable HP: strong attenuation at 20 Hz, transparent at 1 kHz
+    t = np.arange(48000) / 48000.0
+    memf = np.zeros(4)
+    lo = hp_cutoff(np.sin(2 * np.pi * 20 * t)[:, None], 100, memf, 48000)
+    memf = np.zeros(4)
+    hi = hp_cutoff(np.sin(2 * np.pi * 1000 * t)[:, None], 100, memf, 48000)
+    assert np.sqrt((lo[24000:] ** 2).mean() * 2) < 0.1
+    assert abs(np.sqrt((hi[24000:] ** 2).mean() * 2) - 1.0) < 0.01
+
+    # cutoff tracker: voiced 300 Hz pitch pulls the corner above 60 Hz
+    st = HighPassState()
+    assert st.cutoff_hz() == 60
+    for _ in range(50):
+        st.update_from_silk(2, 16000 // 300, 16)
+    for _ in range(300):
+        cut = st.cutoff_hz()
+    assert 70 <= cut <= 100
+
+
+def test_encoder_hp_removes_dc_end_to_end():
+    """A DC-offset voiced signal encoded at VOIP should decode (in libopus)
+    with the DC gone and the tone intact."""
+    from mousiki_tpu.bitstream.packet import Mode
+    from mousiki_tpu.opus_encoder import APP_VOIP
+    t = np.arange(48000) / 48000.0
+    sig = (0.25 + 0.3 * np.sin(2 * np.pi * 220 * t))[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    enc.force_mode = Mode.SILK
+    dec = oracle.RefDecoder(48000, 1)
+    out = np.concatenate(
+        [dec.decode_float(enc.encode(sig[f * 960:(f + 1) * 960], 960), 960)
+         for f in range(50)])[:, 0]
+    tail = out[24000:]
+    assert abs(tail.mean()) < 0.02, tail.mean()        # DC rejected
+    assert np.sqrt((tail - tail.mean()) @ (tail - tail.mean())
+                   / len(tail)) > 0.1                  # tone survived
