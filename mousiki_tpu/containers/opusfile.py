@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from .ogg import (OggStreamReader, OggStreamWriter, opus_head, opus_tags,
-                  parse_opus_head)
+                  parse_opus_head, parse_opus_tags, parse_page)
 
 
 class OggOpusWriter:
@@ -157,3 +157,145 @@ class OggOpusReader:
         if gain:
             pcm = pcm * (10.0 ** (gain / (20.0 * 256.0)))
         return pcm
+
+
+class _Link:
+    """One logical stream of a (possibly chained) Ogg Opus file."""
+
+    def __init__(self, serial: int, head: dict):
+        self.serial = serial
+        self.head = head
+        self.tags_raw = b""
+        self.packets: list[tuple[bytes, int | None]] = []
+        self.last_granule = 0
+        self._partial = b""
+        self._n_header_pkts = 0
+
+    def pcm_total(self) -> int:
+        return max(0, self.last_granule - self.head["preskip"])
+
+
+class OpusFile:
+    """Chained/multiplexed-aware opusfile equivalent (reader.rs OpusFile).
+
+    A chained file is several complete Ogg Opus streams concatenated
+    (reader.rs link scan); a multiplexed file interleaves pages of other
+    serial numbers, which are skipped. Exposes the per-link query surface
+    (link_count/serialno/channel_count/pcm_total/head/tags) and decoding
+    that advances across link boundaries with a fresh decoder + preskip
+    per link (reader.rs:908-925 chained_files_advance_across_links)."""
+
+    def __init__(self, data: bytes):
+        self.links: list[_Link] = []
+        self._scan(data)
+        if not self.links:
+            raise ValueError("no Ogg Opus stream found")
+
+    def _scan(self, data: bytes):
+        by_serial: dict[int, _Link] = {}
+        ended: set[int] = set()
+        offset = 0
+        in_bos_cluster = False
+        while True:
+            idx = data.find(b"OggS", offset)
+            if idx < 0:
+                return
+            parsed = parse_page(data, idx)
+            if parsed is None:
+                offset = idx + 4
+                continue
+            page, lacing, offset = parsed
+            link = by_serial.get(page.serial)
+            if page.bos:
+                # a new logical stream; in a multiplexed segment all BOS
+                # pages come first and only the first Opus stream is the
+                # link (opusfile picks the first it encounters)
+                body = b"".join(page.segments)
+                if body[:8] == b"OpusHead" and not in_bos_cluster:
+                    link = _Link(page.serial, parse_opus_head(body))
+                    link._n_header_pkts = 1
+                    self.links.append(link)
+                    # a new chain segment obsoletes previous serials
+                    by_serial = {page.serial: link}
+                    ended.discard(page.serial)
+                in_bos_cluster = True
+                continue
+            in_bos_cluster = False
+            if link is None or page.serial in ended:
+                continue  # multiplexed foreign stream (or stale serial)
+            if not page.continued:
+                link._partial = b""
+            acc = link._partial
+            for lv, seg in zip(lacing, page.segments):
+                acc += seg
+                if lv < 255:
+                    if link._n_header_pkts == 1:
+                        link.tags_raw = acc
+                        link._n_header_pkts = 2
+                    else:
+                        link.packets.append((acc, page.granule_pos))
+                    acc = b""
+            link._partial = acc
+            if page.granule_pos not in (None, -1, 0xFFFFFFFFFFFFFFFF):
+                link.last_granule = max(link.last_granule, page.granule_pos)
+            if page.eos:
+                ended.add(page.serial)
+
+    # -- query surface (reader.rs:222-260) -------------------------------
+    @property
+    def link_count(self) -> int:
+        return len(self.links)
+
+    def serialno(self, link: int = 0) -> int:
+        return self.links[link].serial
+
+    def channel_count(self, link: int = 0) -> int:
+        return self.links[link].head["channels"]
+
+    def head(self, link: int = 0) -> dict:
+        return self.links[link].head
+
+    def tags(self, link: int = 0) -> dict:
+        raw = self.links[link].tags_raw
+        return parse_opus_tags(raw) if raw[:8] == b"OpusTags" else {
+            "vendor": "", "comments": []}
+
+    def pictures(self, link: int = 0) -> list:
+        from .picture import picture_from_tags
+        return picture_from_tags(self.tags(link)["comments"])
+
+    def pcm_total(self, link: int | None = None) -> int:
+        if link is not None:
+            return self.links[link].pcm_total()
+        return sum(li.pcm_total() for li in self.links)
+
+    # -- decoding ---------------------------------------------------------
+    def decode_all(self) -> np.ndarray:
+        """Decode every link to (N, 2) stereo float PCM at 48 kHz
+        (read_float_stereo semantics: mono links are mirrored to stereo)."""
+        from ..bitstream.packet import packet_get_nb_samples
+        from ..opus_decoder import OpusDecoder
+
+        chunks = []
+        for li in self.links:
+            ch = li.head["channels"]
+            dec = OpusDecoder(48000, ch)
+            out = []
+            for pkt, _g in li.packets:
+                n = packet_get_nb_samples(pkt, 48000)
+                out.append(dec.decode(pkt, n))
+            if not out:
+                continue
+            pcm = np.concatenate(out)
+            gain = li.head["gain_q8"]
+            if gain:
+                pcm = pcm * (10.0 ** (gain / (20.0 * 256.0)))
+            pcm = pcm[li.head["preskip"]:]
+            if li.last_granule:
+                pcm = pcm[: li.pcm_total()]
+            if ch == 1:
+                pcm = np.repeat(pcm, 2, axis=1)
+            chunks.append(pcm[:, :2])
+        if not chunks:
+            return np.zeros((0, 2))
+        return np.concatenate(chunks)

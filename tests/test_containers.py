@@ -101,3 +101,107 @@ def test_opusfile_seek():
     err = np.abs(got - want).max()
     assert got.shape == want.shape
     assert err < 2e-2, err  # preroll re-priming: near-identical audio
+
+
+def _make_stream(freq, nframes, channels, serial, comments=None):
+    from mousiki_tpu.opus_encoder import OpusEncoder
+
+    enc = OpusEncoder(48000, channels)
+    enc.set_bitrate(64000 * channels)
+    t = np.arange(960 * nframes) / 48000.0
+    sig = np.tile((0.4 * np.sin(2 * np.pi * freq * t))[:, None],
+                  (1, channels))
+    w = OggOpusWriter(channels, serial=serial, comments=comments)
+    for f in range(nframes):
+        w.write_packet(enc.encode(sig[f * 960:(f + 1) * 960], 960), 960)
+    return w.finish()
+
+
+def test_chained_file_links_and_decode():
+    """Two concatenated Ogg Opus streams = one chained file; the reader
+    exposes both links and decodes across the boundary
+    (reference opusfile/reader.rs chained_files_advance_across_links)."""
+    from mousiki_tpu.containers.opusfile import OpusFile
+
+    a = _make_stream(440, 10, 1, serial=111, comments=["TITLE=first"])
+    b = _make_stream(880, 6, 2, serial=222, comments=["TITLE=second"])
+    f = OpusFile(a + b)
+    assert f.link_count == 2
+    assert f.serialno(0) == 111 and f.serialno(1) == 222
+    assert f.channel_count(0) == 1 and f.channel_count(1) == 2
+    # the writer's granule convention: preskip + written samples
+    assert f.pcm_total(0) == 10 * 960
+    assert f.pcm_total(1) == 6 * 960
+    assert f.tags(0)["comments"] == ["TITLE=first"]
+    assert f.tags(1)["comments"] == ["TITLE=second"]
+    pcm = f.decode_all()
+    assert pcm.shape == (f.pcm_total() - 2 * 312, 2)
+    # both tones present in their halves (skip codec ramp-in)
+    n0 = 10 * 960 - 312
+    assert np.abs(pcm[n0 // 2: n0]).max() > 0.1
+    assert np.abs(pcm[n0 + (len(pcm) - n0) // 4:]).max() > 0.1
+
+
+def test_multiplexed_foreign_stream_skipped():
+    """Pages of a non-Opus serial interleaved with the Opus stream are
+    ignored (multiplexed file support, reader.rs serialno filtering)."""
+    from mousiki_tpu.containers.opusfile import OpusFile
+
+    a = _make_stream(440, 6, 1, serial=111)
+    # craft a foreign stream: BOS + one data page under another serial
+    fw = OggStreamWriter(999)
+    foreign = [fw.page_out([b"\x01vorbis-ish-header"], 0, bos=True),
+               fw.page_out([b"foreign-data"], 1000),
+               fw.page_out([b"foreign-end"], 2000, eos=True)]
+    # interleave: foreign BOS after opus BOS page, data pages in the middle
+    pages = []
+    off = 0
+    while off < len(a):
+        _pg, _lac, nxt = parse_page(a, off)
+        pages.append(a[off:nxt])
+        off = nxt
+    mux = (pages[0] + foreign[0] + b"".join(pages[1:3]) + foreign[1]
+           + b"".join(pages[3:]) + foreign[2])
+    f = OpusFile(mux)
+    assert f.link_count == 1
+    assert f.serialno(0) == 111
+    assert f.pcm_total() == 6 * 960
+    assert f.decode_all().shape == (f.pcm_total() - 312, 2)
+
+
+def test_picture_tag_parse():
+    """METADATA_BLOCK_PICTURE parsing with PNG header-derived dimensions
+    (reference opusfile/picture.rs)."""
+    import base64
+    import struct
+
+    from mousiki_tpu.containers.picture import (FORMAT_PNG, OpusPictureTag,
+                                                picture_from_tags)
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBB", 32, 32, 8, 6) + b"\x00\x00\x00"
+           + b"\x00\x00\x00\x00")
+    block = (struct.pack(">I", 3)
+             + struct.pack(">I", 9) + b"image/png"
+             + struct.pack(">I", 5) + b"cover"
+             + struct.pack(">IIII", 0, 0, 0, 0)
+             + struct.pack(">I", len(png)) + png)
+    tag = "METADATA_BLOCK_PICTURE=" + base64.b64encode(block).decode()
+    pic = OpusPictureTag.parse(tag)
+    assert pic.picture_type == 3
+    assert pic.mime_type == b"image/png"
+    assert pic.description == b"cover"
+    assert (pic.width, pic.height, pic.depth, pic.colors) == (32, 32, 32, 0)
+    assert pic.format == FORMAT_PNG
+    assert pic.data == png
+    assert len(picture_from_tags([tag, "TITLE=x"])) == 1
+
+    # file icon (type 1) must be a 32x32 PNG: a GIF icon is rejected
+    gif = b"GIF89a" + struct.pack("<HH", 32, 32) + b"\x00\x00\x00\x00"
+    bad = (struct.pack(">I", 1)
+           + struct.pack(">I", 9) + b"image/gif"
+           + struct.pack(">I", 0)
+           + struct.pack(">IIII", 0, 0, 0, 0)
+           + struct.pack(">I", len(gif)) + gif)
+    with pytest.raises(ValueError):
+        OpusPictureTag.parse(base64.b64encode(bad).decode())
