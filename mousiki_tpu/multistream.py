@@ -104,28 +104,133 @@ def _strip_self_delim(sub: bytes, parsed) -> bytes:
     return bytes(out)
 
 
+def surround_rate_allocation(streams: int, coupled: int,
+                             lfe_stream: int | None, bitrate_bps: int,
+                             frame_size: int, fs: int) -> list[int]:
+    """Per-stream bitrate split for surround layouts.
+
+    Parity: reference opus_multistream.rs:407-470 surround_rate_allocation —
+    each stream carries a fixed per-channel overhead (40 bits/frame/channel),
+    the LFE gets a small capped share (ratio 32/256 of a channel plus a
+    15 bits/frame offset), coupled streams weigh 2x a mono channel
+    (ratio 512/256), and the remainder splits proportionally."""
+    nb_lfe = 1 if lfe_stream is not None else 0
+    nb_uncoupled = streams - coupled - nb_lfe
+    nb_normal = 2 * coupled + nb_uncoupled
+    if nb_normal <= 0:
+        return [max(0, bitrate_bps // max(1, streams))] * streams
+    frame_rate = max(50, fs // frame_size)
+    channel_offset = 40 * frame_rate
+    lfe_offset = min(bitrate_bps // 20, 3000) + 15 * frame_rate
+    stream_offset = max(0, min(20000, (
+        (bitrate_bps - channel_offset * nb_normal - lfe_offset * nb_lfe)
+        // nb_normal) // 2))
+    coupled_ratio, lfe_ratio = 512, 32
+    total = (nb_uncoupled << 8) + coupled_ratio * coupled + lfe_ratio * nb_lfe
+    channel_rate = 256 * (bitrate_bps - lfe_offset * nb_lfe
+                          - stream_offset * (coupled + nb_uncoupled)
+                          - channel_offset * nb_normal) // total
+    rates = []
+    for s in range(streams):
+        if s < coupled:
+            rates.append(2 * channel_offset
+                         + max(0, stream_offset
+                               + ((channel_rate * coupled_ratio) >> 8)))
+        elif s == lfe_stream:
+            rates.append(max(0, lfe_offset + ((channel_rate * lfe_ratio) >> 8)))
+        else:
+            rates.append(channel_offset + max(0, stream_offset + channel_rate))
+    return rates
+
+
+def surround_masks(pcm: np.ndarray, mapping: list[int], streams: int,
+                   coupled: int) -> list[np.ndarray]:
+    """Per-stream 21-band energy masks from the multichannel input.
+
+    Simplified surround_analysis (libopus computes this with a 21-band
+    MDCT energy max-pool across channel positions; the reference takes the
+    result as an input array, opus_multistream.rs:1128): each channel's
+    band log-energy is compared against the loudest channel per band, so
+    channels buried under others get negative masks -> fewer bits via
+    compute_surround_masking_rate_offset. FFT-binned per CELT band edges."""
+    from .celt.modes import EBAND5MS
+
+    n, channels = pcm.shape
+    spec = np.abs(np.fft.rfft(pcm * np.hanning(n)[:, None], axis=0)) ** 2
+    # band edges in bins: EBAND5MS units are 2.5 ms MDCT bins (n/2 total
+    # spectrum bins correspond to 100 units at 20 ms)
+    scale = (n // 2) / 100.0
+    band_e = np.empty((channels, 21))
+    for b in range(21):
+        lo = int(EBAND5MS[b] * scale)
+        hi = max(lo + 1, int(EBAND5MS[b + 1] * scale))
+        band_e[:, b] = spec[lo:hi].sum(axis=0) + 1e-12
+    log_e = 0.5 * np.log2(band_e)
+    mask_log_e = log_e.max(axis=0)  # loudest channel per band is the masker
+    chan_mask = np.clip(log_e - mask_log_e[None, :], -2.0, 0.5)
+
+    inv = {m: ch for ch, m in enumerate(mapping) if m != 255}
+    masks = []
+    idx = 0
+    for s in range(streams):
+        nch = 2 if s < coupled else 1
+        rows = []
+        for k in range(nch):
+            ch = inv.get(idx + k)
+            rows.append(chan_mask[ch] if ch is not None
+                        else np.full(21, -2.0))
+        idx += nch
+        masks.append(np.concatenate(rows))
+    return masks
+
+
 class MultistreamEncoder:
     def __init__(self, fs: int, channels: int, streams: int,
-                 coupled_streams: int, mapping: list[int]):
+                 coupled_streams: int, mapping: list[int],
+                 lfe_stream: int | None = None):
         self.fs = fs
         self.channels = channels
         self.streams = streams
         self.coupled = coupled_streams
         self.mapping = list(mapping)
+        self.lfe_stream = lfe_stream
+        self.bitrate = 64000 * (2 * coupled_streams
+                                + (streams - coupled_streams))
         self.encoders = [OpusEncoder(fs, 2 if s < coupled_streams else 1)
                          for s in range(streams)]
 
     @classmethod
     def surround(cls, fs: int, channels: int):
         streams, coupled, mapping = DEFAULT_SURROUND[channels]
-        return cls(fs, channels, streams, coupled, mapping)
+        # family-1 5.1/7.1 layouts carry the LFE as the last mono stream
+        lfe = streams - 1 if channels in (6, 8) else None
+        return cls(fs, channels, streams, coupled, mapping, lfe_stream=lfe)
 
     def set_bitrate(self, total_bps: int):
-        per = total_bps // self.streams
-        for e in self.encoders:
-            e.set_bitrate(per)
+        self.bitrate = total_bps
+        self._apply_rates(960)
 
-    def encode(self, pcm: np.ndarray, frame_size: int) -> bytes:
+    def _apply_rates(self, frame_size: int):
+        rates = surround_rate_allocation(self.streams, self.coupled,
+                                         self.lfe_stream, self.bitrate,
+                                         frame_size, self.fs)
+        for e, r in zip(self.encoders, rates):
+            e.set_bitrate(r)
+
+    def encode(self, pcm: np.ndarray, frame_size: int,
+               stream_energy_masks: list | None = None) -> bytes:
+        """Encode one multichannel frame. stream_energy_masks optionally
+        carries a 21-band-per-channel masking array per stream
+        (opus_multistream.rs:1128 stream_energy_masks) which offsets that
+        stream's SILK rate; surround() instances compute one automatically
+        when none is given (surround_masks)."""
+        self._apply_rates(frame_size)
+        if stream_energy_masks is None and self.lfe_stream is not None:
+            stream_energy_masks = surround_masks(
+                pcm, self.mapping, self.streams, self.coupled)
+        for s, e in enumerate(self.encoders):
+            e.energy_mask = (stream_energy_masks[s]
+                             if stream_energy_masks else None)
         # inverse mapping: stream-channel index -> input channel
         inv = {}
         for ch, m in enumerate(self.mapping):

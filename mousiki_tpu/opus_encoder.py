@@ -15,6 +15,29 @@ APP_VOIP = 2048
 APP_AUDIO = 2049
 APP_RESTRICTED_LOWDELAY = 2051
 
+
+def compute_surround_masking_rate_offset(energy_masking, bandwidth,
+                                         channels: int) -> int:
+    """Surround masking SILK rate offset in bits/s (can be negative).
+
+    Parity: reference opus_encoder.rs:1552-1587 — average the clamped
+    per-band masking depth (21 bands per channel, [-2, 0.5], positive
+    halved) over the bands the current bandwidth codes, add the +0.2
+    floor, and scale by the internal sample rate."""
+    from .bitstream.packet import Bandwidth
+    end, srate = {Bandwidth.NARROWBAND: (13, 8000),
+                  Bandwidth.MEDIUMBAND: (15, 12000)}.get(bandwidth,
+                                                         (17, 16000))
+    mask_sum = 0.0
+    for c in range(channels):
+        for i in range(end):
+            idx = 21 * c + i
+            if idx < len(energy_masking):
+                mask = max(-2.0, min(0.5, float(energy_masking[idx])))
+                mask_sum += mask * 0.5 if mask > 0 else mask
+    depth = mask_sum / (end * channels) + 0.2
+    return int(srate * depth)
+
 _CELT_BW_TO_CONFIG = {
     Bandwidth.NARROWBAND: 16,
     Bandwidth.WIDEBAND: 20,
@@ -77,6 +100,7 @@ class OpusEncoder:
         from .hp_filter import HighPassState
         self.hp_state = HighPassState()  # input HP / DC-reject filter
         self._last_silk_mirror = None
+        self.energy_mask = None  # 21-band/channel surround masking input
         if application == APP_VOIP:
             self.mode = Mode.SILK
             self.bandwidth = Bandwidth.WIDEBAND
@@ -214,8 +238,14 @@ class OpusEncoder:
             bw = min(bw, self.bandwidth)
         fs_khz = _SILK_BW_TO_KHZ[bw]
         frame_ms = frame_size * 1000 // self.fs
+        rate = self.bitrate
+        if getattr(self, "energy_mask", None) is not None:
+            # surround masking rate offset (opus_encoder.rs:1552,
+            # applied to the SILK rate in encode_frame_native)
+            rate = max(6000, rate + compute_surround_masking_rate_offset(
+                self.energy_mask, bw, self.channels))
         nbytes = max(10, min(max_bytes,
-                             (self.bitrate * frame_size) // (8 * self.fs) + 10))
+                             (rate * frame_size) // (8 * self.fs) + 10))
         stereo = self.channels == 2 and pcm.shape[1] == 2
         worker = self.silk_stereo if stereo else self.silk
         self._last_silk_worker = worker

@@ -62,3 +62,62 @@ def test_multistream_roundtrip_vs_libopus(channels):
         assert n == 960, n
         ref = ref.reshape(960, channels)
         assert np.abs(mine - ref).max() < 1e-4, f"frame {f}"
+
+
+def test_surround_rate_allocation():
+    """Rate split matches the reference formula's structure: coupled gets
+    ~2x a mono channel, LFE a small capped share, totals stay sane
+    (opus_multistream.rs:407-470)."""
+    from mousiki_tpu.multistream import (MultistreamEncoder,
+                                         surround_rate_allocation)
+
+    # 5.1: 4 streams (2 coupled + C + LFE), LFE last
+    rates = surround_rate_allocation(4, 2, 3, 256000, 960, 48000)
+    assert len(rates) == 4
+    assert all(r > 0 for r in rates)
+    assert rates[0] == rates[1]                 # both coupled equal
+    assert rates[0] > rates[2] > rates[3]       # coupled > centre > LFE
+    assert rates[3] < 40000                     # LFE capped small
+    # coupled carries ~2x the per-channel payload of the mono centre
+    assert 1.5 < rates[0] / rates[2] < 2.5
+    assert abs(sum(rates) - 256000) < 256000 // 10
+
+    enc = MultistreamEncoder.surround(48000, 6)
+    assert enc.lfe_stream == 3
+    enc.set_bitrate(256000)
+    got = [e.bitrate for e in enc.encoders]
+    assert got == rates
+
+
+def test_surround_masking_offset_and_masks():
+    """Energy-mask plumbing: quiet channels get negative masks and a
+    negative SILK rate offset; a flat mask yields the +0.2 floor
+    (opus_encoder.rs:1552-1587)."""
+    from mousiki_tpu.bitstream.packet import Bandwidth
+    from mousiki_tpu.multistream import MultistreamEncoder, surround_masks
+    from mousiki_tpu.opus_encoder import compute_surround_masking_rate_offset
+
+    # all-zero mask -> depth = 0.2 -> +3200 bps at WB
+    assert compute_surround_masking_rate_offset(
+        np.zeros(21), Bandwidth.WIDEBAND, 1) == 3200
+    # deeply masked -> -2 per band -> 16000*(-2+0.2) = -28800
+    assert compute_surround_masking_rate_offset(
+        np.full(21, -5.0), Bandwidth.WIDEBAND, 1) == -28800
+
+    # 5.1 input where the LFE/centre are quiet vs loud fronts
+    t = np.arange(960) / 48000.0
+    pcm = np.zeros((960, 6))
+    pcm[:, 0] = 0.8 * np.sin(2 * np.pi * 500 * t)   # L loud
+    pcm[:, 1] = 0.01 * np.sin(2 * np.pi * 500 * t)  # C quiet
+    pcm[:, 2] = 0.8 * np.cos(2 * np.pi * 500 * t)   # R loud
+    streams, coupled, mapping = 4, 2, [0, 4, 1, 2, 3, 5]
+    masks = surround_masks(pcm, mapping, streams, coupled)
+    assert len(masks) == 4 and masks[0].shape == (42,)
+    # the quiet centre (stream 2) is masked below the loud fronts
+    assert masks[2].mean() < masks[0].mean() - 0.5
+
+    enc = MultistreamEncoder.surround(48000, 6)
+    enc.set_bitrate(300000)
+    pkt = enc.encode(pcm, 960)
+    assert len(pkt) > 0
+    assert enc.encoders[2].energy_mask is not None
