@@ -16,12 +16,14 @@ class OggOpusWriter:
     """Minimal libopusenc equivalent: packets -> .opus byte stream."""
 
     def __init__(self, channels: int, preskip: int = 312, serial: int = 0x6d6b74,
-                 vendor: str = "mousiki_tpu", comments=None):
+                 vendor: str = "mousiki_tpu", comments=None,
+                 input_rate: int = 48000):
         self.channels = channels
         self.preskip = preskip
         self.writer = OggStreamWriter(serial)
         self.pages = [
-            self.writer.page_out([opus_head(channels, preskip)], 0, bos=True),
+            self.writer.page_out([opus_head(channels, preskip, input_rate)],
+                                 0, bos=True),
             self.writer.page_out([opus_tags(vendor, comments)], 0),
         ]
         self.granule = preskip
@@ -299,3 +301,49 @@ class OpusFile:
         if not chunks:
             return np.zeros((0, 2))
         return np.concatenate(chunks)
+
+
+class OpusEnc:
+    """libopusenc equivalent: arbitrary-rate PCM in -> .opus bytes out.
+
+    Parity: reference src/libopusenc/encoder.rs (ope_encoder_create +
+    write + drain): input at any rate is brought to 48 kHz by the
+    polyphase Kaiser resampler (ops/input_resampler.py, the speex
+    front-end equivalent), chunked into 20 ms frames, Opus-encoded, and
+    Ogg-muxed with the resampler+codec delay recorded as preskip."""
+
+    def __init__(self, rate: int, channels: int, bitrate: int = 96000,
+                 comments=None, quality: int = 5, serial: int = 0x6d6b74):
+        from ..opus_encoder import APP_AUDIO, OpusEncoder
+        from ..ops.input_resampler import ArbitraryResampler
+
+        self.rate = rate
+        self.channels = channels
+        self.enc = OpusEncoder(48000, channels, APP_AUDIO)
+        self.enc.set_bitrate(bitrate)
+        self.rs = None if rate == 48000 else ArbitraryResampler(
+            rate, 48000, channels, quality)
+        preskip = 312 + (self.rs.output_latency if self.rs else 0)
+        self.writer = OggOpusWriter(channels, preskip=preskip, serial=serial,
+                                    comments=comments, input_rate=rate)
+        self._pcm = np.zeros((0, channels))
+
+    def write(self, pcm: np.ndarray) -> None:
+        """Feed float PCM (n, channels) at the input rate."""
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        x = self.rs.process(pcm) if self.rs else pcm
+        self._pcm = np.concatenate([self._pcm, x], axis=0)
+        while self._pcm.shape[0] >= 960:
+            frame, self._pcm = self._pcm[:960], self._pcm[960:]
+            self.writer.write_packet(self.enc.encode(frame, 960), 960)
+
+    def finish(self) -> bytes:
+        """Flush (zero-padding the last partial frame) and emit the file."""
+        tail = self._pcm.shape[0]
+        if tail:
+            frame = np.concatenate(
+                [self._pcm, np.zeros((960 - tail, self.channels))], axis=0)
+            self.writer.write_packet(self.enc.encode(frame, 960), 960)
+            self._pcm = self._pcm[:0]
+        return self.writer.finish()
