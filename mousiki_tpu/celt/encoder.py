@@ -24,8 +24,8 @@ from .decoder import (COMBFILTER_MAXPERIOD, COMBFILTER_MINPERIOD,
                       init_caps)
 from .modes import CeltMode, MAX_FINE_BITS, opus_custom_mode
 from .ops_float import (amp2_log2, compute_band_energies, normalise_bands)
-from .quant_bands import (BETA_COEF, BETA_INTRA, E_PROB_MODEL, PRED_COEF,
-                          SMALL_ENERGY_ICDF)
+from .quant_bands import (BETA_COEF, BETA_INTRA, E_MEANS, E_PROB_MODEL,
+                          PRED_COEF, SMALL_ENERGY_ICDF)
 from .rate import clt_compute_allocation
 from ..ops.mdct import mdct_fold, mdct_matrix
 from .vq import SPREAD_NORMAL
@@ -238,6 +238,7 @@ class CeltEncoder:
         X = normalise_bands(mode, freq, band_e, eff_end, M, C)
 
         # --- coarse energy ---
+        old_be_prev = self.old_band_e.copy()  # pre-quant state for dynalloc
         error = np.zeros((2, nb), np.float64)
         self._quant_coarse_energy(
             enc, band_log_e, error, total_bits, C, LM, eff_end,
@@ -255,9 +256,11 @@ class CeltEncoder:
                 self.spread_decision = SPREAD_NORMAL
             enc.enc_icdf(self.spread_decision, SPREAD_ICDF, 5)
 
-        # --- dynalloc (no boosts in v1) ---
+        # --- dynalloc ---
         cap = init_caps(mode, LM, C)
         offsets = [0] * nb
+        want = self._dynalloc_analysis(band_log_e, old_be_prev, C, LM,
+                                       effective_bytes, bool(is_transient))
         dynalloc_logp = 6
         total_bits_q3 = total_bits << BITRES
         tell_frac = enc.tell_frac()
@@ -266,12 +269,24 @@ class CeltEncoder:
             quanta = min(width << BITRES, max(6 << BITRES, width))
             dynalloc_loop_logp = dynalloc_logp
             boost = 0
-            # encode the "no boost" flag chain (single 0 bit when affordable)
-            if (tell_frac + (dynalloc_loop_logp << BITRES) < total_bits_q3
+            j = 0
+            # flag chain mirroring the decoder's parse loop exactly
+            # (decoder.py:295-310): 1-flags add `quanta` boost, a 0-flag
+            # (when affordable) terminates
+            while (tell_frac + (dynalloc_loop_logp << BITRES) < total_bits_q3
                     and boost < cap[i]):
-                enc.enc_bit_logp(0, dynalloc_loop_logp)
+                flag = 1 if j < want[i] else 0
+                enc.enc_bit_logp(flag, dynalloc_loop_logp)
                 tell_frac = enc.tell_frac()
+                if not flag:
+                    break
+                boost += quanta
+                total_bits_q3 -= quanta
+                dynalloc_loop_logp = 1
+                j += 1
             offsets[i] = boost
+            if boost:
+                dynalloc_logp = max(2, dynalloc_logp - 1)
 
         # --- trim ---
         alloc_trim = 5
@@ -478,6 +493,81 @@ class CeltEncoder:
         ratio = e[:, 1:] / np.maximum(e[:, :-1].cumsum(axis=1)
                                       / np.arange(1, e.shape[1])[None, :], 1e-9)
         return bool((ratio > 16.0).any())
+
+    def _dynalloc_analysis(self, band_log_e, old_band_e, C, LM,
+                           effective_bytes, is_transient):
+        """Per-band boost counts for the dynalloc flag chain.
+
+        Parity: reference celt/celt_encoder.rs:2861-3190 dynalloc_analysis —
+        a piecewise-linear "follower" tracks the spectral floor (1.5 dB/band
+        rise, 2 dB/band backtrack from the last peak, 5-point median floor,
+        noise floor clamp); bands standing proud of the follower earn boost
+        quanta, doubled below band 8 and halved above 12, capped at 4 and by
+        a 2/3-of-budget CBR limit. Simplifications: bandLogE2 ~= bandLogE
+        (no second MDCT grain), no surround/tone/leak inputs."""
+        mode = self.mode
+        nb = mode.num_ebands
+        start, end = self.start, self.end
+        want = [0] * nb
+        if effective_bytes < 30 + 5 * LM:
+            return want
+        eb = mode.ebands
+        idx = np.arange(end, dtype=np.float64)
+        noise_floor = (0.0625 * mode.log_n[:end].astype(np.float64) + 0.5
+                       + (9.0 - self.lsb_depth)
+                       - np.asarray(E_MEANS[:end], np.float64)
+                       + 0.0062 * (idx + 5.0) ** 2)
+        follower = np.zeros((C, end))
+        for c in range(C):
+            ble3 = band_log_e[c, :end].astype(np.float64).copy()
+            if LM == 0:
+                k = min(end, 8)
+                ble3[:k] = np.maximum(ble3[:k], old_band_e[c, :k])
+            f = np.empty(end)
+            f[0] = ble3[0]
+            last = 0
+            for i in range(1, end):
+                if ble3[i] > ble3[i - 1] + 0.5:
+                    last = i
+                f[i] = min(f[i - 1] + 1.5, ble3[i])
+            for i in range(last - 1, -1, -1):
+                f[i] = min(f[i], min(f[i + 1] + 2.0, ble3[i]))
+            if end >= 3:
+                med0 = float(np.median(ble3[:3])) - 1.0
+                f[0] = max(f[0], med0)
+                f[1] = max(f[1], med0)
+                med1 = float(np.median(ble3[end - 3:])) - 1.0
+                f[end - 2] = max(f[end - 2], med1)
+                f[end - 1] = max(f[end - 1], med1)
+            for i in range(2, end - 2):
+                f[i] = max(f[i], float(np.median(ble3[i - 2: i + 3])) - 1.0)
+            follower[c] = np.maximum(f, noise_floor)
+        if C == 2:
+            fr = np.maximum(follower[1, start:], follower[0, start:] - 4.0)
+            fl = np.maximum(follower[0, start:], fr - 4.0)
+            dl = np.maximum(band_log_e[0, start:end] - fl, 0.0)
+            dr = np.maximum(band_log_e[1, start:end] - fr, 0.0)
+            depth = 0.5 * (dl + dr)
+        else:
+            depth = np.maximum(band_log_e[0, start:end]
+                               - follower[0, start:], 0.0)
+        if not self.vbr and not is_transient:
+            depth = depth * 0.5
+        for k, i in enumerate(range(start, end)):
+            d = depth[k]
+            if i < 8:
+                d *= 2.0
+            if i >= 12:
+                d *= 0.5
+            d = min(d, 4.0)
+            width = C * (int(eb[i + 1]) - int(eb[i])) << LM
+            if width < 6:
+                want[i] = int(d)
+            elif width > 48:
+                want[i] = int(d * 8.0)
+            else:
+                want[i] = int(d * width / 6.0)
+        return want
 
     def _alloc_trim_analysis(self, X, band_log_e, N, LM, C) -> int:
         # conservative mid trim; refine with tonality/stereo correlation later
