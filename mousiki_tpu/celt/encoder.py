@@ -30,6 +30,28 @@ from .rate import clt_compute_allocation
 from ..ops.mdct import mdct_fold, mdct_matrix
 from .vq import SPREAD_NORMAL
 
+# intensity-stereo rate thresholds per band, kb/s (celt_encoder.rs:6154)
+INTENSITY_THRESHOLDS = [1, 2, 3, 4, 5, 6, 7, 8, 16, 24, 36, 44, 50, 56, 62,
+                        67, 72, 79, 88, 106, 134]
+INTENSITY_HYSTERESIS = [1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 3, 3, 4,
+                        5, 6, 8, 8]
+
+
+def _hysteresis_decision(value: float, thresholds, hysteresis,
+                         prev: int) -> int:
+    """Sticky threshold table lookup (celt/bands.rs:573-600)."""
+    count = len(thresholds)
+    index = 0
+    while index < count and value >= thresholds[index]:
+        index += 1
+    if prev < count and index > prev and value < thresholds[prev] \
+            + hysteresis[prev]:
+        index = prev
+    if 0 < prev and index < prev and value > thresholds[prev - 1] \
+            - hysteresis[prev - 1]:
+        index = prev
+    return index
+
 
 @dataclass
 class CeltEncoder:
@@ -65,6 +87,7 @@ class CeltEncoder:
         self.prefilter_gain = 0.0
         self.prefilter_tapset = 0
         self.consec_transient = 0
+        self.intensity = 0  # hysteresis state for the intensity decision
         self.intensity = 0
         self.last_coded_bands = 0
         self.in_mem = np.zeros((CC, self.overlap), np.float64)
@@ -301,8 +324,29 @@ class CeltEncoder:
             is_transient and LM >= 2 and bits >= (LM + 2) << BITRES) else 0
         bits -= anti_collapse_rsv
 
-        intensity = self.end  # no intensity stereo in v1 heuristics
+        # intensity/dual-stereo decisions (celt_encoder.rs:6149-6170):
+        # intensity threshold per band from the equivalent 20 ms rate with
+        # hysteresis; dual stereo when LR codes flat-panned content cheaper
+        # than MS (stereo_analysis L1 comparison, celt_encoder.rs:1559)
+        intensity = self.end
         dual_stereo = 0
+        if C == 2:
+            base_rate = nb_compressed_bytes * 8 * 50
+            shift = 3 - LM
+            equiv_rate = (base_rate << shift if shift >= 0
+                          else base_rate >> -shift)
+            equiv_rate -= (40 * C + 20) * ((400 >> LM) - 50)
+            if self.bitrate > 0:
+                equiv_rate = min(equiv_rate,
+                                 self.bitrate - (40 * C + 20)
+                                 * ((400 >> LM) - 50))
+            intensity = _hysteresis_decision(
+                equiv_rate / 1000.0, INTENSITY_THRESHOLDS,
+                INTENSITY_HYSTERESIS, self.intensity)
+            intensity = min(self.end, max(self.start, intensity))
+            self.intensity = intensity
+            if LM != 0:
+                dual_stereo = 1 if self._stereo_analysis(X, LM, N) else 0
         signal_bandwidth = self.end - 1
         alloc = clt_compute_allocation(
             mode, self.start, self.end, offsets, cap, alloc_trim,
@@ -493,6 +537,26 @@ class CeltEncoder:
         ratio = e[:, 1:] / np.maximum(e[:, :-1].cumsum(axis=1)
                                       / np.arange(1, e.shape[1])[None, :], 1e-9)
         return bool((ratio > 16.0).any())
+
+    def _stereo_analysis(self, X, LM, N) -> bool:
+        """True when LR (dual) coding beats MS on the low bands
+        (celt_encoder.rs:1559-1602: L1 norms over bands 0-13 with the
+        theta-overhead correction)."""
+        eb = self.mode.ebands
+        sum_lr = sum_ms = 1e-15
+        for band in range(13):
+            j0, j1 = int(eb[band]) << LM, int(eb[band + 1]) << LM
+            if j1 <= j0 or j1 > N:
+                continue
+            left = X[0, j0:j1]
+            right = X[1, j0:j1]
+            sum_lr += float(np.abs(left).sum() + np.abs(right).sum())
+            sum_ms += float(np.abs(left + right).sum()
+                            + np.abs(left - right).sum())
+        sum_ms *= 0.7071067811865476
+        thetas = 13 - (8 if LM <= 1 else 0)
+        base = int(eb[13]) << (LM + 1)
+        return (base + thetas) * sum_ms > base * sum_lr
 
     def _dynalloc_analysis(self, band_log_e, old_band_e, C, LM,
                            effective_bytes, is_transient):
