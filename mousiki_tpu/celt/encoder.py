@@ -267,9 +267,27 @@ class CeltEncoder:
             enc, band_log_e, error, total_bits, C, LM, eff_end,
             effective_bytes, two_pass=self.complexity >= 4)
 
+        # --- dynalloc analysis (also yields band importance for tf) ---
+        want, importance = self._dynalloc_analysis(
+            band_log_e, old_be_prev, C, LM, effective_bytes,
+            bool(is_transient))
+
         # --- tf ---
-        tf_res = [0] * nb
-        self._tf_encode(enc, bool(is_transient), tf_res, LM, 0, total_bits)
+        tf_sel = 0
+        if (self.start == 0 and effective_bytes >= 15 * C
+                and self.complexity >= 2):
+            lam = max(80, 20480 // max(1, effective_bytes) + 2)
+            tf_res, tf_sel = self._tf_analysis(
+                eff_end, bool(is_transient), lam, X, N, LM,
+                0.5 if is_transient else 0.0, importance)
+            for i in range(eff_end, nb):
+                tf_res[i] = tf_res[eff_end - 1]
+        elif self.start > 0:  # hybrid: flat resolution, no analysis
+            tf_res = [int(bool(is_transient))] * nb
+        else:
+            tf_res = [int(bool(is_transient))] * nb
+        self._tf_encode(enc, bool(is_transient), tf_res, LM, tf_sel,
+                        total_bits)
 
         # --- spread ---
         if enc.tell() + 4 <= total_bits:
@@ -282,8 +300,6 @@ class CeltEncoder:
         # --- dynalloc ---
         cap = init_caps(mode, LM, C)
         offsets = [0] * nb
-        want = self._dynalloc_analysis(band_log_e, old_be_prev, C, LM,
-                                       effective_bytes, bool(is_transient))
         dynalloc_logp = 6
         total_bits_q3 = total_bits << BITRES
         tell_frac = enc.tell_frac()
@@ -558,6 +574,91 @@ class CeltEncoder:
         base = int(eb[13]) << (LM + 1)
         return (base + thetas) * sum_ms > base * sum_lr
 
+    def _tf_analysis(self, eff_end, is_transient, lam, X, N, LM,
+                     tf_estimate, importance):
+        """Per-band time-frequency resolution decision.
+
+        Parity: reference celt/celt_encoder.rs:1604-1817 tf_analysis — for
+        each band, compare the L1 cost (sparser = cheaper) of the spectrum
+        under Haar merges/splits at each level, then run a 2-state Viterbi
+        over the per-band flag costs (flag flips cost `lam`, deviations
+        from the tf_select table targets cost importance-weighted error)."""
+        from .bands import haar1
+
+        mode = self.mode
+        eb = mode.ebands
+        bias = 0.04 * max(-0.25, 0.5 - tf_estimate)
+        nb = mode.num_ebands
+        metric = [0] * eff_end
+        tf_res = [0] * nb
+
+        def l1_metric(v, b):
+            s = float(np.abs(v).sum())
+            return s + b * bias * s
+
+        for band in range(eff_end):
+            j0, j1 = int(eb[band]), int(eb[band + 1])
+            width = j1 - j0
+            n = width << LM
+            tmp = X[0, j0 << LM: (j0 << LM) + n].astype(np.float64).copy()
+            narrow = width == 1
+            best_level = 0
+            best_l1 = l1_metric(tmp, LM if is_transient else 0)
+            if is_transient and not narrow:
+                alt = tmp.copy()
+                haar1(alt, n >> LM, 1 << LM)
+                l1 = l1_metric(alt, LM + 1)
+                if l1 < best_l1:
+                    best_l1, best_level = l1, -1
+            extra = 0 if (is_transient or narrow) else 1
+            for k in range(LM + extra):
+                if n >> k == 0:
+                    break
+                haar1(tmp, n >> k, 1 << k)
+                b = (LM - k - 1) if is_transient else (k + 1)
+                l1 = l1_metric(tmp, b)
+                if l1 < best_l1:
+                    best_l1, best_level = l1, k + 1
+            value = 2 * best_level if is_transient else -2 * best_level
+            if narrow and (value == 0 or value == -2 * LM):
+                value -= 1
+            metric[band] = value
+
+        table = TF_SELECT_TABLE[LM]
+        base = 4 if is_transient else 0
+
+        def viterbi(sel):
+            path0 = [0] * eff_end
+            path1 = [0] * eff_end
+            t0 = 2 * int(table[base + 2 * sel])
+            t1 = 2 * int(table[base + 2 * sel + 1])
+            cost0 = importance[0] * abs(metric[0] - t0)
+            cost1 = importance[0] * abs(metric[0] - t1) + (
+                0 if is_transient else lam)
+            for band in range(1, eff_end):
+                if cost0 < cost1 + lam:
+                    curr0, path0[band] = cost0, 0
+                else:
+                    curr0, path0[band] = cost1 + lam, 1
+                if cost0 + lam < cost1:
+                    curr1, path1[band] = cost0 + lam, 0
+                else:
+                    curr1, path1[band] = cost1, 1
+                cost0 = curr0 + importance[band] * abs(metric[band] - t0)
+                cost1 = curr1 + importance[band] * abs(metric[band] - t1)
+            return cost0, cost1, path0, path1
+
+        c0a, c1a, _, _ = viterbi(0)
+        c0b, c1b, _, _ = viterbi(1)
+        tf_select = 1 if (is_transient and min(c0b, c1b) < min(c0a, c1a)) \
+            else 0
+        cost0, cost1, path0, path1 = viterbi(tf_select)
+        tf_res[eff_end - 1] = 0 if cost0 < cost1 else 1
+        for band in range(eff_end - 2, -1, -1):
+            tf_res[band] = (path1[band + 1] if tf_res[band + 1]
+                            else path0[band + 1])
+        return tf_res, tf_select
+
     def _dynalloc_analysis(self, band_log_e, old_band_e, C, LM,
                            effective_bytes, is_transient):
         """Per-band boost counts for the dynalloc flag chain.
@@ -573,8 +674,9 @@ class CeltEncoder:
         nb = mode.num_ebands
         start, end = self.start, self.end
         want = [0] * nb
+        importance = [13] * nb
         if effective_bytes < 30 + 5 * LM:
-            return want
+            return want, importance
         eb = mode.ebands
         idx = np.arange(end, dtype=np.float64)
         noise_floor = (0.0625 * mode.log_n[:end].astype(np.float64) + 0.5
@@ -615,6 +717,8 @@ class CeltEncoder:
         else:
             depth = np.maximum(band_log_e[0, start:end]
                                - follower[0, start:], 0.0)
+        for k, i in enumerate(range(start, end)):
+            importance[i] = int(13.0 * 2.0 ** min(depth[k], 4.0) + 0.5)
         if not self.vbr and not is_transient:
             depth = depth * 0.5
         for k, i in enumerate(range(start, end)):
@@ -631,7 +735,7 @@ class CeltEncoder:
                 want[i] = int(d * 8.0)
             else:
                 want[i] = int(d * width / 6.0)
-        return want
+        return want, importance
 
     def _alloc_trim_analysis(self, X, band_log_e, N, LM, C) -> int:
         # conservative mid trim; refine with tonality/stereo correlation later
