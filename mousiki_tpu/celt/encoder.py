@@ -28,7 +28,7 @@ from .quant_bands import (BETA_COEF, BETA_INTRA, E_MEANS, E_PROB_MODEL,
                           PRED_COEF, SMALL_ENERGY_ICDF)
 from .rate import clt_compute_allocation
 from ..ops.mdct import mdct_fold, mdct_matrix
-from .vq import SPREAD_NORMAL
+from .vq import (SPREAD_AGGRESSIVE, SPREAD_LIGHT, SPREAD_NONE, SPREAD_NORMAL)
 
 # intensity-stereo rate thresholds per band, kb/s (celt_encoder.rs:6154)
 INTENSITY_THRESHOLDS = [1, 2, 3, 4, 5, 6, 7, 8, 16, 24, 36, 44, 50, 56, 62,
@@ -207,7 +207,7 @@ class CeltEncoder:
         pitch_index = COMBFILTER_MINPERIOD
         gain1 = 0.0
         qg = 0
-        prefilter_tapset = 0
+        prefilter_tapset = self.tapset_decision  # tracked by spread analysis
         enabled = (self.start == 0 and not silence
                    and enc.tell() + 16 <= total_bits
                    and self.complexity >= 5 and nb_compressed_bytes > 12)
@@ -267,8 +267,8 @@ class CeltEncoder:
             enc, band_log_e, error, total_bits, C, LM, eff_end,
             effective_bytes, two_pass=self.complexity >= 4)
 
-        # --- dynalloc analysis (also yields band importance for tf) ---
-        want, importance = self._dynalloc_analysis(
+        # --- dynalloc analysis (also yields importance/spread weights) ---
+        want, importance, spread_weight = self._dynalloc_analysis(
             band_log_e, old_be_prev, C, LM, effective_bytes,
             bool(is_transient))
 
@@ -292,9 +292,14 @@ class CeltEncoder:
         # --- spread ---
         if enc.tell() + 4 <= total_bits:
             if self.complexity == 0 or silence:
-                self.spread_decision = 0  # SPREAD_NONE
-            else:
+                self.spread_decision = SPREAD_NONE
+            elif (short_blocks or self.complexity < 3
+                    or effective_bytes < 10 * C):
                 self.spread_decision = SPREAD_NORMAL
+            else:
+                self.spread_decision = self._spreading_decision(
+                    X, eff_end, C, M, spread_weight,
+                    update_hf=pf_on and not short_blocks)
             enc.enc_icdf(self.spread_decision, SPREAD_ICDF, 5)
 
         # --- dynalloc ---
@@ -574,6 +579,67 @@ class CeltEncoder:
         base = int(eb[13]) << (LM + 1)
         return (base + thetas) * sum_ms > base * sum_lr
 
+    def _spreading_decision(self, X, end, C, M, spread_weight,
+                            update_hf) -> int:
+        """Tonality-driven spread choice + tapset tracking.
+
+        Parity: reference celt/bands.rs:3576-3710 spreading_decision —
+        count small normalized coefficients per band at three thresholds
+        (sparse spectra = tonal = less spreading), average with hysteresis;
+        the HF sparseness average drives next frame's prefilter tapset."""
+        mode = self.mode
+        eb = mode.ebands
+        n0 = M * mode.short_mdct_size
+        if M * (int(eb[end]) - int(eb[end - 1])) <= 8:
+            return SPREAD_NONE
+        ssum = 0
+        nb_bands = 0
+        hf_sum = 0
+        for c in range(C):
+            for band in range(end):
+                j0, j1 = M * int(eb[band]), M * int(eb[band + 1])
+                n = j1 - j0
+                if n <= 8:
+                    continue
+                x2n = X[c, j0:j1] ** 2 * n
+                t0 = int((x2n < 0.25).sum())
+                t1 = int((x2n < 0.0625).sum())
+                t2 = int((x2n < 0.015625).sum())
+                if band + 4 > mode.num_ebands:
+                    hf_sum += 32 * (t1 + t0) // n
+                tmp = (int(2 * t2 >= n) + int(2 * t1 >= n)
+                       + int(2 * t0 >= n))
+                ssum += tmp * spread_weight[band]
+                nb_bands += spread_weight[band]
+        if update_hf:
+            if hf_sum:
+                denom = C * (4 - mode.num_ebands + end)
+                hf_sum = hf_sum // denom if denom > 0 else 0
+            self.hf_average = (self.hf_average + hf_sum) >> 1
+            hf_sum = self.hf_average
+            if self.tapset_decision == 2:
+                hf_sum += 4
+            elif self.tapset_decision == 0:
+                hf_sum -= 4
+            if hf_sum > 22:
+                self.tapset_decision = 2
+            elif hf_sum > 18:
+                self.tapset_decision = 1
+            else:
+                self.tapset_decision = 0
+        if nb_bands <= 0:
+            return SPREAD_NORMAL
+        ssum = ((ssum << 8) // nb_bands + self.tonal_average) >> 1
+        self.tonal_average = ssum
+        ssum = (3 * ssum + (((3 - self.spread_decision) << 7) + 64) + 2) >> 2
+        if ssum < 80:
+            return SPREAD_AGGRESSIVE
+        if ssum < 256:
+            return SPREAD_NORMAL
+        if ssum < 384:
+            return SPREAD_LIGHT
+        return SPREAD_NONE
+
     def _tf_analysis(self, eff_end, is_transient, lam, X, N, LM,
                      tf_estimate, importance):
         """Per-band time-frequency resolution decision.
@@ -675,14 +741,32 @@ class CeltEncoder:
         start, end = self.start, self.end
         want = [0] * nb
         importance = [13] * nb
-        if effective_bytes < 30 + 5 * LM:
-            return want, importance
         eb = mode.ebands
         idx = np.arange(end, dtype=np.float64)
         noise_floor = (0.0625 * mode.log_n[:end].astype(np.float64) + 0.5
                        + (9.0 - self.lsb_depth)
                        - np.asarray(E_MEANS[:end], np.float64)
                        + 0.0062 * (idx + 5.0) ** 2)
+        # signal-to-mask spread weights (celt_encoder.rs:2980-3020): bands
+        # standing proud of the leaked cross-band mask weigh more in the
+        # spreading decision
+        sig = band_log_e[0, :end] - noise_floor
+        if C == 2:
+            sig = np.maximum(sig, band_log_e[1, :end] - noise_floor)
+        mask = sig.copy()
+        for i in range(1, end):
+            mask[i] = max(mask[i], mask[i - 1] - 2.0)
+        for i in range(end - 2, -1, -1):
+            mask[i] = max(mask[i], mask[i + 1] - 3.0)
+        max_depth = float((band_log_e[:C, :end] - noise_floor[None, :]).max())
+        base_threshold = max(0.0, max_depth - 12.0)
+        spread_weight = [32] * nb
+        for i in range(end):
+            smr = sig[i] - max(base_threshold, mask[i])
+            shift = min(5, max(0, -int(np.floor(smr + 0.5))))
+            spread_weight[i] = 32 >> shift
+        if effective_bytes < 30 + 5 * LM:
+            return want, importance, spread_weight
         follower = np.zeros((C, end))
         for c in range(C):
             ble3 = band_log_e[c, :end].astype(np.float64).copy()
@@ -735,7 +819,7 @@ class CeltEncoder:
                 want[i] = int(d * 8.0)
             else:
                 want[i] = int(d * width / 6.0)
-        return want, importance
+        return want, importance, spread_weight
 
     def _alloc_trim_analysis(self, X, band_log_e, N, LM, C) -> int:
         # conservative mid trim; refine with tonality/stereo correlation later
