@@ -37,6 +37,17 @@ INTENSITY_HYSTERESIS = [1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 3, 3, 4,
                         5, 6, 8, 8]
 
 
+# inverse masking ratio table (celt_encoder.rs:2604 INV_TABLE)
+_TRANSIENT_INV_TABLE = [
+    255, 255, 156, 110, 86, 70, 59, 51, 45, 40, 37, 33, 31, 28, 26, 25, 23,
+    22, 21, 20, 19, 18, 17, 16, 16, 15, 15, 14, 13, 13, 12, 12, 12, 12, 11,
+    11, 11, 10, 10, 10, 9, 9, 9, 9, 9, 9, 8, 8, 8, 8, 8, 7, 7, 7, 7, 7, 7,
+    6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 5, 5, 5, 5, 5, 5, 5, 5,
+    5, 5, 5, 5, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2,
+]
+
+
 def _hysteresis_decision(value: float, thresholds, hysteresis,
                          prev: int) -> int:
     """Sticky threshold table lookup (celt/bands.rs:573-600)."""
@@ -247,8 +258,11 @@ class CeltEncoder:
 
         # --- transient analysis ---
         is_transient = 0
+        tf_estimate = 0.0
         if LM > 0 and enc.tell() + 3 <= total_bits and not silence:
-            is_transient = 1 if self._transient_analysis(inb, N, CC) else 0
+            transient, tf_estimate, _tf_chan = self._transient_analysis(
+                inb, N, CC)
+            is_transient = 1 if transient else 0
             enc.enc_bit_logp(is_transient, 3)
         short_blocks = M if is_transient else 0
 
@@ -279,7 +293,7 @@ class CeltEncoder:
             lam = max(80, 20480 // max(1, effective_bytes) + 2)
             tf_res, tf_sel = self._tf_analysis(
                 eff_end, bool(is_transient), lam, X, N, LM,
-                0.5 if is_transient else 0.0, importance)
+                tf_estimate, importance)
             for i in range(eff_end, nb):
                 tf_res[i] = tf_res[eff_end - 1]
         elif self.start > 0:  # hybrid: flat resolution, no analysis
@@ -547,17 +561,57 @@ class CeltEncoder:
         # the MDCT overlap memory must hold the *prefiltered* signal
         self.in_mem = inb[:, N: N + self.overlap].copy()
 
-    def _transient_analysis(self, inb, N, CC) -> bool:
-        """Simplified transient detector: short-window energy ratio on the
-        preemphasized signal (reference transient_analysis:2592 uses an HP
-        filtered forward-masking model; this conservative version only
-        triggers on strong onsets)."""
-        x = inb[:, self.overlap:]
-        win = 120
-        e = (x.reshape(CC, -1, win) ** 2).sum(axis=2) + 1e-9
-        ratio = e[:, 1:] / np.maximum(e[:, :-1].cumsum(axis=1)
-                                      / np.arange(1, e.shape[1])[None, :], 1e-9)
-        return bool((ratio > 16.0).any())
+    def _transient_analysis(self, inb, N, CC):
+        """Forward-masking transient detector.
+
+        Parity: reference celt_encoder.rs:2592-2760 transient_analysis —
+        2nd-order HP filter, squared-pair energies smoothed forward
+        (1/16 decay) and backward (7/8), inverse-masking-ratio table sum
+        over 4-sample strides -> mask_metric > 200 decides; also returns
+        tf_estimate (sqrt(0.0069*tf_max - 0.139)) and the dominant channel.
+        """
+        length = inb.shape[1]
+        len2 = length // 2
+        mask_metric = 0
+        tf_chan = 0
+        for c in range(CC):
+            x = inb[c].astype(np.float64)
+            tmp = np.empty(length)
+            mem0 = mem1 = 0.0
+            for i in range(length):
+                xi = x[i]
+                tmp[i] = mem0 + xi
+                mem0, mem1 = mem0 - xi + 0.5 * mem1, xi - mem0
+            tmp[:12] = 0.0
+            x2 = tmp[0: 2 * len2: 2] ** 2 + tmp[1: 2 * len2: 2] ** 2
+            mean = float(x2.sum())
+            fwd = np.empty(len2)
+            m = 0.0
+            for i in range(len2):
+                m = x2[i] + 0.9375 * m
+                fwd[i] = 0.0625 * m
+            m = 0.0
+            max_e = 0.0
+            for i in range(len2 - 1, -1, -1):
+                m = fwd[i] + 0.875 * m
+                fwd[i] = 0.125 * m
+                if fwd[i] > max_e:
+                    max_e = fwd[i]
+            frame_energy = math.sqrt(max(0.0, mean * max_e * 0.5 * len2))
+            norm = len2 / (frame_energy + 1e-15)
+            unmask = 0
+            for i in range(12, max(12, len2 - 5), 4):
+                p = math.floor(64.0 * norm * (fwd[i] + 1e-15))
+                unmask += _TRANSIENT_INV_TABLE[int(min(127, max(0, p)))]
+            if len2 > 17:
+                value = (64 * unmask * 4) // (6 * (len2 - 17))
+                if value > mask_metric:
+                    mask_metric = value
+                    tf_chan = c
+        is_transient = mask_metric > 200
+        tf_max = max(0.0, min(163.0, math.sqrt(27.0 * mask_metric) - 42.0))
+        tf_estimate = math.sqrt(max(0.0, 0.0069 * tf_max - 0.139))
+        return is_transient, tf_estimate, tf_chan
 
     def _stereo_analysis(self, X, LM, N) -> bool:
         """True when LR (dual) coding beats MS on the low bands
