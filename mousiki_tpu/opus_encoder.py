@@ -219,6 +219,45 @@ class OpusEncoder:
             self.hp_state.update_from_silk(mirror.prev_signal_type,
                                            mirror.lag_prev, mirror.fs_khz)
 
+    def _silk_bandwidth_transition(self, worker, fs_khz: int) -> int:
+        """Smooth NB/MB/WB switches with the variable-cutoff LP ramp.
+
+        Parity: reference silk/control_audio_bandwidth.rs — a down-switch
+        first narrows the input low-pass over the ramp (mode -2, staying at
+        the old rate) and only then drops the internal rate; an up-switch
+        raises the rate immediately and widens the filter back (mode 1)."""
+        from .silk.lp_filter import TRANSITION_FRAMES
+
+        lps = ([worker.lp] if hasattr(worker, "lp")
+               else [worker.mid.lp, worker.side.lp])
+        prev = getattr(worker, "_fs_prev", 0)
+        lp0 = lps[0]
+        if prev and fs_khz < prev:
+            if lp0.mode == 0 and lp0.transition_frame_no <= 0:
+                for lp in lps:  # start the narrowing ramp at the old rate
+                    lp.transition_frame_no = TRANSITION_FRAMES
+                    lp.in_lp_state = [0, 0]
+                    lp.mode = -2
+                fs_khz = prev
+            elif lp0.mode != 0 and lp0.transition_frame_no > 0:
+                fs_khz = prev  # ramp still in progress
+            else:
+                for lp in lps:  # ramp done: switch now
+                    lp.mode = 0
+        elif prev and fs_khz > prev:
+            for lp in lps:  # switch up immediately, widen from narrow
+                lp.transition_frame_no = 0
+                lp.in_lp_state = [0, 0]
+                lp.mode = 1
+        elif prev and fs_khz == prev and lp0.mode < 0:
+            for lp in lps:  # aborted down-switch: widen back
+                lp.mode = 1
+        if lp0.mode > 0 and lp0.transition_frame_no >= TRANSITION_FRAMES:
+            for lp in lps:  # widening complete
+                lp.mode = 0
+        worker._fs_prev = fs_khz
+        return fs_khz
+
     def _encode_silk(self, pcm: np.ndarray, frame_size: int,
                      max_bytes: int) -> bytes:
         from .bitstream.entcode import RangeEncoder
@@ -238,6 +277,11 @@ class OpusEncoder:
             bw = min(bw, self.bandwidth)
         fs_khz = _SILK_BW_TO_KHZ[bw]
         frame_ms = frame_size * 1000 // self.fs
+        stereo_pre = self.channels == 2 and pcm.shape[1] == 2
+        fs_khz = self._silk_bandwidth_transition(
+            self.silk_stereo if stereo_pre else self.silk, fs_khz)
+        bw = {8: Bandwidth.NARROWBAND, 12: Bandwidth.MEDIUMBAND,
+              16: Bandwidth.WIDEBAND}[fs_khz]  # TOC matches the actual rate
         rate = self.bitrate
         if getattr(self, "energy_mask", None) is not None:
             # surround masking rate offset (opus_encoder.rs:1552,

@@ -480,23 +480,26 @@ class SilkEncoder:
         self.fb_gamma = None  # None = auto by quantizer fineness
         self.fec_enabled = False
         self.lbrr_store = None  # (ix, pulses) of the previous frame's LBRR
+        from .lp_filter import LpState
+        self.lp = LpState()  # bandwidth-transition low-pass
 
     def snapshot(self):
         import copy
         return (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
                 copy.deepcopy(self.resampler), copy.deepcopy(self.mirror),
                 None if self.x_hist is None else self.x_hist.copy(),
-                copy.deepcopy(self.lbrr_store))
+                copy.deepcopy(self.lbrr_store), copy.deepcopy(self.lp))
 
     def restore(self, snap):
         import copy
         (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
-         resampler, mirror, xh, lbrr) = snap
+         resampler, mirror, xh, lbrr, lp) = snap
         # deep-copy so repeated restores from one snapshot stay independent
         self.resampler = copy.deepcopy(resampler)
         self.mirror = copy.deepcopy(mirror)
         self.x_hist = None if xh is None else xh.copy()
         self.lbrr_store = copy.deepcopy(lbrr)
+        self.lp = copy.deepcopy(lp)
 
     def set_fs(self, fs_khz: int, api_fs_hz: int, nb_subfr: int = 4):
         from .resampler import resampler_init
@@ -826,6 +829,13 @@ def silk_encode_packet(senc: SilkEncoder, enc, pcm_api, fs_khz, api_fs_hz,
     total_length = fs_khz * frame_ms
     x16 = (list(x16) + [0] * total_length)[:total_length]
     frame_length = fs_khz * sub_ms
+    if senc.lp.mode != 0:
+        # bandwidth-transition low-pass on the internal-rate input, one
+        # ramp step per 20 ms frame (encode_frame.rs:242)
+        for i in range(n_frames):
+            seg = x16[i * frame_length:(i + 1) * frame_length]
+            senc.lp.lp_variable_cutoff(seg)
+            x16[i * frame_length:(i + 1) * frame_length] = seg
     lbrr = senc.lbrr_store if (senc.fec_enabled and n_frames == 1
                                and senc.lbrr_store is not None
                                and coarsen < 500) else None

@@ -418,3 +418,34 @@ def test_encoder_hp_removes_dc_end_to_end():
     assert abs(tail.mean()) < 0.02, tail.mean()        # DC rejected
     assert np.sqrt((tail - tail.mean()) @ (tail - tail.mean())
                    / len(tail)) > 0.1                  # tone survived
+
+
+def test_bandwidth_transition_lp_ramp():
+    """Dropping the bitrate mid-stream triggers the LP down-switch ramp:
+    the bandwidth holds while the variable cutoff narrows, then switches
+    (silk/control_audio_bandwidth.rs + lp_variable_cutoff.rs). Packets stay
+    libopus-decodable throughout."""
+    from mousiki_tpu.bitstream.packet import Mode, toc_bandwidth
+    from mousiki_tpu.opus_encoder import APP_VOIP
+    from mousiki_tpu.silk.lp_filter import TRANSITION_FRAMES
+
+    t = np.arange(48000 * 4) / 48000.0
+    sig = np.clip(0.4 * np.sin(2 * np.pi * 150 * t)
+                  * (1 + 0.3 * np.sin(2 * np.pi * 3 * t)), -0.9, 0.9)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.force_mode = Mode.SILK
+    enc.set_bitrate(24000)  # WB
+    dec = oracle.RefDecoder(48000, 1)
+    bws = []
+    for f in range(160):
+        if f == 20:
+            enc.set_bitrate(9000)  # desired NB
+        pkt = enc.encode(sig[f * 960:(f + 1) * 960], 960)
+        bws.append(int(toc_bandwidth(pkt[0])))
+        dec.decode(pkt, 960)  # must stay decodable
+    assert bws[19] == 1103  # WB before the drop
+    # ramp holds WB for TRANSITION_FRAMES//2 frames, then switches to NB
+    hold = TRANSITION_FRAMES // 2
+    assert all(b == 1103 for b in bws[20: 20 + hold - 1])
+    assert bws[22 + hold] == 1101
+    assert enc.silk.lp.mode == 0
