@@ -278,14 +278,19 @@ class OpusFile:
         from ..bitstream.packet import packet_get_nb_samples
         from ..opus_decoder import OpusDecoder
 
+        from ..bitstream.packet import OpusError
+
         chunks = []
         for li in self.links:
             ch = li.head["channels"]
             dec = OpusDecoder(48000, ch)
             out = []
             for pkt, _g in li.packets:
-                n = packet_get_nb_samples(pkt, 48000)
-                out.append(dec.decode(pkt, n))
+                try:
+                    n = packet_get_nb_samples(pkt, 48000)
+                    out.append(dec.decode(pkt, n))
+                except (OpusError, ValueError):
+                    continue  # skip undecodable packets (OP_EBADPACKET)
             if not out:
                 continue
             pcm = np.concatenate(out)

@@ -205,3 +205,25 @@ def test_picture_tag_parse():
            + struct.pack(">I", len(gif)) + gif)
     with pytest.raises(ValueError):
         OpusPictureTag.parse(base64.b64encode(bad).decode())
+
+
+def test_opusfile_fuzz_robustness():
+    """Byte-corrupted chained files must never escape with an unexpected
+    exception; bad packets are skipped like opusfile's OP_EBADPACKET."""
+    import struct
+
+    from mousiki_tpu.containers.opusfile import OpusFile
+
+    a = _make_stream(440, 6, 1, serial=5)
+    blob = bytearray(a * 2)
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 20))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            f = OpusFile(bytes(b))
+            f.pcm_total()
+            f.decode_all()
+        except (ValueError, KeyError, IndexError, struct.error):
+            pass
