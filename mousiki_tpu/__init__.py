@@ -14,3 +14,34 @@ Deep-PLC/FARGAN, and Ogg container I/O.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "Application", "Bandwidth", "Channels", "Decoder", "Encoder",
+    "FrameDuration", "MultistreamDecoder", "MultistreamEncoder",
+    "OggOpusReader", "OggOpusWriter", "OpusDecoder", "OpusEncoder",
+    "OpusEnc", "OpusFile", "Repacketizer", "Signal",
+]
+
+
+def __getattr__(name):
+    # lazy re-exports so `import mousiki_tpu` stays light (jax loads on use)
+    if name in ("Encoder", "Decoder", "Application", "Bandwidth", "Channels",
+                "Signal", "FrameDuration"):
+        from . import codec
+        return getattr(codec, name)
+    if name in ("OpusEncoder",):
+        from .opus_encoder import OpusEncoder
+        return OpusEncoder
+    if name in ("OpusDecoder",):
+        from .opus_decoder import OpusDecoder
+        return OpusDecoder
+    if name in ("MultistreamEncoder", "MultistreamDecoder"):
+        from . import multistream
+        return getattr(multistream, name)
+    if name in ("OggOpusReader", "OggOpusWriter", "OpusFile", "OpusEnc"):
+        from .containers import opusfile
+        return getattr(opusfile, name)
+    if name == "Repacketizer":
+        from .bitstream.repacketizer import Repacketizer
+        return Repacketizer
+    raise AttributeError(f"module 'mousiki_tpu' has no attribute {name!r}")
