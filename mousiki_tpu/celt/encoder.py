@@ -256,12 +256,15 @@ class CeltEncoder:
             self.prefilter_gain = 0.0
             self.prefilter_tapset = 0
 
-        # --- transient analysis ---
+        # --- tone + transient analysis ---
+        tone_freq, toneishness = self._tone_detect(inb, CC)
         is_transient = 0
         tf_estimate = 0.0
         if LM > 0 and enc.tell() + 3 <= total_bits and not silence:
             transient, tf_estimate, _tf_chan = self._transient_analysis(
                 inb, N, CC)
+            if toneishness > 0.98 and tone_freq < 0.026:
+                transient = False  # strong low tone: never flag transient
             is_transient = 1 if transient else 0
             enc.enc_bit_logp(is_transient, 3)
         short_blocks = M if is_transient else 0
@@ -284,7 +287,7 @@ class CeltEncoder:
         # --- dynalloc analysis (also yields importance/spread weights) ---
         want, importance, spread_weight = self._dynalloc_analysis(
             band_log_e, old_be_prev, C, LM, effective_bytes,
-            bool(is_transient))
+            bool(is_transient), tone_freq, toneishness)
 
         # --- tf ---
         tf_sel = 0
@@ -561,6 +564,52 @@ class CeltEncoder:
         # the MDCT overlap memory must hold the *prefiltered* signal
         self.in_mem = inb[:, N: N + self.overlap].copy()
 
+    def _tone_detect(self, inb, CC):
+        """Narrowband tone detector.
+
+        Parity: reference celt_encoder.rs:6985-7140 tone_detect/tone_lpc —
+        fit a 2-tap LPC at doubling delays to the (downmixed) preemphasized
+        input; complex roots mean a strong sinusoid. Returns (tone_freq in
+        rad/sample or -1, toneishness in [0, 1])."""
+        x = (inb[0] + inb[1] if CC == 2 else inb[0]).astype(np.float64)
+        n = len(x)
+
+        def tone_lpc(delay):
+            lim = n - 2 * delay
+            x0 = x[:lim]
+            r00 = float(x0 @ x0)
+            r01 = float(x0 @ x[delay: delay + lim])
+            r02 = float(x0 @ x[2 * delay: 2 * delay + lim])
+            t2, t1 = x[n - 2 * delay:], x[n - delay:]
+            h0, h1 = x[:delay], x[delay: 2 * delay]
+            r11 = r00 + float(t2 @ t2 - h0 @ h0)
+            r22 = r11 + float(t1 @ t1 - h1 @ h1)
+            r12 = r01 + float(t2[:delay] @ t1 - h0 @ h1)
+            r00t, r01t = r00 + r22, r01 + r12
+            r11t, r02t, r12t = 2.0 * r11, 2.0 * r02, r12 + r01
+            den = r00t * r11t - r01t * r01t
+            if den <= 0.0 or den < 0.001 * (r00t * r11t):
+                return None
+            num1 = r02t * r11t - r01t * r12t
+            a1 = max(-1.0, min(1.0, num1 / den))
+            num0 = r00t * r12t - r02t * r01t
+            a0 = max(-1.999999, min(1.999999, num0 / den))
+            return a0, a1
+
+        delay = 1
+        max_delay = max(1, 48000 // 3000)
+        res = tone_lpc(delay)
+        while delay <= max_delay and (
+                res is None or (res[0] > 1.0 and res[1] < 0.0)):
+            delay *= 2
+            if 2 * delay >= n:
+                res = None
+                break
+            res = tone_lpc(delay)
+        if res is not None and res[0] ** 2 + 3.999999 * res[1] < 0.0:
+            return math.acos(0.5 * res[0]) / delay, -res[1]
+        return -1.0, 0.0
+
     def _transient_analysis(self, inb, N, CC):
         """Forward-masking transient detector.
 
@@ -780,7 +829,8 @@ class CeltEncoder:
         return tf_res, tf_select
 
     def _dynalloc_analysis(self, band_log_e, old_band_e, C, LM,
-                           effective_bytes, is_transient):
+                           effective_bytes, is_transient,
+                           tone_freq=-1.0, toneishness=0.0):
         """Per-band boost counts for the dynalloc flag chain.
 
         Parity: reference celt/celt_encoder.rs:2861-3190 dynalloc_analysis —
@@ -859,12 +909,26 @@ class CeltEncoder:
             importance[i] = int(13.0 * 2.0 ** min(depth[k], 4.0) + 0.5)
         if not self.vbr and not is_transient:
             depth = depth * 0.5
+        tone_bin = (int(math.floor(tone_freq * (120.0 / math.pi) + 0.5))
+                    if toneishness > 0.98 else None)
         for k, i in enumerate(range(start, end)):
             d = depth[k]
             if i < 8:
                 d *= 2.0
             if i >= 12:
                 d *= 0.5
+            if tone_bin is not None:
+                # concentrate extra bits on the band(s) holding a pure tone
+                # (celt_encoder.rs:3132-3150)
+                lo, hi = int(eb[i]), int(eb[i + 1])
+                if lo <= tone_bin <= hi:
+                    d += 2.0
+                if lo - 1 <= tone_bin <= hi + 1:
+                    d += 1.0
+                if lo - 2 <= tone_bin <= hi + 2:
+                    d += 1.0
+                if lo - 3 <= tone_bin <= hi + 3:
+                    d += 0.5
             d = min(d, 4.0)
             width = C * (int(eb[i + 1]) - int(eb[i])) << LM
             if width < 6:
