@@ -212,6 +212,9 @@ class CeltEncoder:
             # pretend we've used all bits
             enc.nbits_total += total_bits - enc.tell()
 
+        # --- tone detection (feeds prefilter/transient/dynalloc) ---
+        tone_freq, toneishness = self._tone_detect(inb, CC)
+
         # --- prefilter (pitch prediction, inverse of the decoder's
         # postfilter; reference run_prefilter celt_encoder.rs:3200) ---
         pf_on = 0
@@ -224,6 +227,28 @@ class CeltEncoder:
                    and self.complexity >= 5 and nb_compressed_bytes > 12)
         if enabled:
             pitch_index, gain1 = self._prefilter_pitch(inb, N, CC)
+            if toneishness > 0.99 and gain1 < 0.4:
+                # pure tone but the pitch search failed (octave error /
+                # weak correlation): derive the comb period from the tone
+                # itself and run near-full gain (run_prefilter:3344).
+                # When the search already found a confident gain we keep
+                # its measured value instead of the reference's 0.75.
+                tf = tone_freq
+                while tf >= 0.39:
+                    tf *= 0.5
+                if tf > 0.006148:
+                    pitch_index = min(COMBFILTER_MAXPERIOD - 2,
+                                      int(math.floor(0.5 + 2 * math.pi / tf)))
+                else:
+                    pitch_index = COMBFILTER_MINPERIOD
+                gain1 = 0.75
+            loss = getattr(self, "loss_rate", 0)
+            if loss > 2:
+                gain1 *= 0.5
+            if loss > 4:
+                gain1 *= 0.5
+            if loss > 8:
+                gain1 = 0.0
             # quantize the gain like the decoder will read it
             qg = max(0, min(7, int(np.floor(0.5 + gain1 * 32 / 3)) - 1))
             gain1 = 0.09375 * (qg + 1)
@@ -256,8 +281,7 @@ class CeltEncoder:
             self.prefilter_gain = 0.0
             self.prefilter_tapset = 0
 
-        # --- tone + transient analysis ---
-        tone_freq, toneishness = self._tone_detect(inb, CC)
+        # --- transient analysis ---
         is_transient = 0
         tf_estimate = 0.0
         if LM > 0 and enc.tell() + 3 <= total_bits and not silence:
