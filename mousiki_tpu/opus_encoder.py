@@ -199,6 +199,7 @@ class OpusEncoder:
         nbytes = max(2, min(max_bytes,
                             (self.bitrate * frame_size) // (8 * self.fs)))
         self.celt.bitrate = self.bitrate
+        self.celt.loss_rate = getattr(self, "packet_loss_perc", 0)
         self.celt.vbr = self.vbr
         payload = self.celt.encode_with_ec(pcm, frame_size,
                                            nbytes if not self.vbr else 1275)
