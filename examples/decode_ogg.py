@@ -1,0 +1,21 @@
+"""Decode an .opus (Ogg Opus) file to raw f32 PCM on stdout
+(reference examples/decode.rs)."""
+
+import sys
+
+import mousiki_tpu as m
+
+
+def main():
+    if len(sys.argv) != 2:
+        print("usage: decode_ogg.py <file.opus>", file=sys.stderr)
+        sys.exit(1)
+    f = m.OpusFile(open(sys.argv[1], "rb").read())
+    print(f"links={f.link_count} channels={f.channel_count(0)} "
+          f"pcm_total={f.pcm_total()}", file=sys.stderr)
+    pcm = f.decode_all()
+    sys.stdout.buffer.write(pcm.astype("<f4").tobytes())
+
+
+if __name__ == "__main__":
+    main()
