@@ -372,8 +372,16 @@ class OpusDecoder:
     # -- sample-format wrappers (opus_decode / opus_decode24 parity) -----
     def decode_int16(self, data: bytes | None, frame_size: int,
                      decode_fec: bool = False) -> np.ndarray:
-        """opus_decode: int16 output with float->int16 rounding."""
+        """opus_decode: int16 output. The float build soft-clips out-of-range
+        samples before requantizing (opus_decoder.rs opus_decode ->
+        opus_pcm_soft_clip) so overloads distort gracefully instead of
+        wrapping; the clip memory carries across calls."""
+        from .softclip import opus_pcm_soft_clip
+
         pcm = self.decode(data, frame_size, decode_fec)
+        if not hasattr(self, "_declip_mem"):
+            self._declip_mem = np.zeros(pcm.shape[1] if pcm.ndim > 1 else 1)
+        pcm = opus_pcm_soft_clip(pcm, self._declip_mem)
         return np.clip(np.rint(pcm * 32768.0), -32768, 32767).astype(np.int16)
 
     def decode_int24(self, data: bytes | None, frame_size: int,
