@@ -307,6 +307,20 @@ class OpusFile:
             return np.zeros((0, 2))
         return np.concatenate(chunks)
 
+    def read_float_stereo(self) -> np.ndarray:
+        """reader.rs:405 read_float_stereo: whole file as (N, 2) float."""
+        return self.decode_all()
+
+    def read_stereo(self) -> np.ndarray:
+        """reader.rs read_stereo: whole file as (N, 2) int16 with the
+        float build's soft-clip semantics on overload."""
+        from ..softclip import opus_pcm_soft_clip
+
+        pcm = self.decode_all()
+        pcm = opus_pcm_soft_clip(pcm, np.zeros(pcm.shape[1] or 2))
+        return np.clip(np.rint(pcm * 32768.0), -32768,
+                       32767).astype(np.int16)
+
 
 class OpusEnc:
     """libopusenc equivalent: arbitrary-rate PCM in -> .opus bytes out.

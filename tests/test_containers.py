@@ -227,3 +227,16 @@ def test_opusfile_fuzz_robustness():
             f.decode_all()
         except (ValueError, KeyError, IndexError, struct.error):
             pass
+
+
+def test_opusfile_read_stereo_variants():
+    from mousiki_tpu.containers.opusfile import OpusFile
+
+    blob = _make_stream(440, 6, 1, serial=7)
+    f = OpusFile(blob)
+    flt = f.read_float_stereo()
+    i16 = OpusFile(blob).read_stereo()
+    assert flt.shape == i16.shape and flt.shape[1] == 2
+    assert i16.dtype == np.int16
+    err = np.abs(flt - i16 / 32768.0).max()
+    assert err < 1e-3  # in-range content: straight requantization
