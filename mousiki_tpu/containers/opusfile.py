@@ -357,8 +357,18 @@ class OpusEnc:
             frame, self._pcm = self._pcm[:960], self._pcm[960:]
             self.writer.write_packet(self.enc.encode(frame, 960), 960)
 
+    def drain_pages(self) -> bytes:
+        """Pull-style API (libopusenc OggOpusEncoder pull variant,
+        encoder.rs:376): return the Ogg pages completed so far and clear
+        them, so callers can stream the file out incrementally."""
+        done = b"".join(self.writer.pages)
+        self.writer.pages = []
+        return done
+
     def finish(self) -> bytes:
-        """Flush (zero-padding the last partial frame) and emit the file."""
+        """Flush (zero-padding the last partial frame) and emit the file.
+
+        After drain_pages() calls, returns only the not-yet-drained tail."""
         tail = self._pcm.shape[0]
         if tail:
             frame = np.concatenate(

@@ -240,3 +240,27 @@ def test_opusfile_read_stereo_variants():
     assert i16.dtype == np.int16
     err = np.abs(flt - i16 / 32768.0).max()
     assert err < 1e-3  # in-range content: straight requantization
+
+
+def test_opusenc_pull_pages():
+    """drain_pages streams the file incrementally; concatenated drains +
+    finish byte-equal the one-shot output (libopusenc pull encoder)."""
+    from mousiki_tpu.containers.opusfile import OpusEnc, OpusFile
+
+    rate = 48000
+    t = np.arange(rate) / rate
+    pcm = (0.4 * np.sin(2 * np.pi * 330 * t))[:, None]
+
+    one = OpusEnc(rate, 1, bitrate=64000)
+    one.write(pcm)
+    whole = one.finish()
+
+    pull = OpusEnc(rate, 1, bitrate=64000)
+    parts = []
+    for i in range(0, len(pcm), 9600):
+        pull.write(pcm[i: i + 9600])
+        parts.append(pull.drain_pages())
+    parts.append(pull.finish())
+    assert b"".join(parts) == whole
+    assert OpusFile(b"".join(parts)).pcm_total() == OpusFile(
+        whole).pcm_total()
