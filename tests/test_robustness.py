@@ -82,3 +82,32 @@ def test_soft_clip_parity():
     mine = opus_pcm_soft_clip(x.astype(np.float64), mem_my)
     assert np.abs(mine.reshape(-1) - ref).max() < 1e-5
     assert np.abs(mine).max() <= 1.0 + 1e-6
+
+
+def test_encoder_degenerate_inputs():
+    """Every application/channel/frame-size combination must encode
+    silence, DC, impulses, noise, and clipped noise without error."""
+    import numpy as np
+    from mousiki_tpu.opus_encoder import (APP_AUDIO, APP_VOIP, OpusEncoder)
+
+    rng = np.random.default_rng(0)
+    for app in (None, APP_VOIP, APP_AUDIO):
+        for ch in (1, 2):
+            enc = (OpusEncoder(48000, ch, app) if app
+                   else OpusEncoder(48000, ch))
+            enc.set_bitrate(24000 * ch)
+            for fs in (480, 960, 1920):
+                for kind in range(5):
+                    x = [np.zeros((fs, ch)),
+                         np.full((fs, ch), 0.5),
+                         np.zeros((fs, ch)),
+                         rng.standard_normal((fs, ch)) * 0.4,
+                         np.clip(rng.standard_normal((fs, ch)) * 3, -1, 1)
+                         ][kind]
+                    if kind == 2:
+                        x[fs // 2] = 0.99
+                    try:
+                        pkt = enc.encode(x, fs)
+                        assert isinstance(pkt, bytes) and len(pkt) >= 1
+                    except NotImplementedError:
+                        pass  # documented frame-size/mode limits
