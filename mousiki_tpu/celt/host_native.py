@@ -51,19 +51,20 @@ def _load():
     lib.celt_host_destroy.argtypes = [C.c_void_p]
     lib.celt_host_reset.argtypes = [C.c_void_p]
     dp = C.POINTER(C.c_double)
+    fp = C.POINTER(C.c_float)
     lib.celt_host_set_state.argtypes = [C.c_void_p, dp, dp, dp, C.c_uint32]
     lib.celt_host_get_state.argtypes = [C.c_void_p, dp, dp, dp,
                                         C.POINTER(C.c_uint32)]
     lib.celt_host_decode.restype = C.c_int
     lib.celt_host_decode.argtypes = [
         C.c_void_p, C.c_char_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
-        C.c_int, dp, dp, C.POINTER(C.c_int32), dp]
+        C.c_int, fp, dp, C.POINTER(C.c_int32), dp]
     lib.celt_host_rng.restype = C.c_uint32
     lib.celt_host_rng.argtypes = [C.c_void_p]
     ip = C.POINTER(C.c_int32)
     lib.celt_host_decode_batch.argtypes = [
         C.POINTER(C.c_void_p), C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int,
-        C.c_int, C.c_int, C.c_int, dp, dp, ip, dp, ip, C.c_int]
+        C.c_int, C.c_int, C.c_int, fp, dp, ip, dp, ip, C.c_int]
     _lib = lib
     return lib
 
@@ -132,14 +133,15 @@ class NativeCeltHost:
         """Decode one frame's symbols; returns a FrameDesc dict."""
         Cch = self.stream_channels
         CC = self.channels
-        x = np.zeros((Cch, frame_size), np.float64)
+        x = np.zeros((Cch, frame_size), np.float32)
         band_log_e = np.zeros((2, 21), np.float64)
         iflags = np.zeros(4, np.int32)
         pf_gain = C.c_double()
         dp = C.POINTER(C.c_double)
+        fp = C.POINTER(C.c_float)
         rc = self._lib.celt_host_decode(
             self._st, data, len(data), frame_size, Cch, self.start, self.end,
-            1 if self.disable_inv else 0, x.ctypes.data_as(dp),
+            1 if self.disable_inv else 0, x.ctypes.data_as(fp),
             band_log_e.ctypes.data_as(dp),
             iflags.ctypes.data_as(C.POINTER(C.c_int32)), C.byref(pf_gain))
         if rc < 0:
@@ -197,7 +199,7 @@ class NativeCeltHostBatch:
         if frame_size not in self._bufs:
             # the native decoder fully overwrites every output element
             self._bufs[frame_size] = (
-                np.empty((S, Cch, frame_size), np.float64),
+                np.empty((S, Cch, frame_size), np.float32),
                 np.empty((S, 2, 21), np.float64),
                 np.empty((S, 4), np.int32),
                 np.empty(S, np.float64),
@@ -212,11 +214,12 @@ class NativeCeltHostBatch:
             lens[i] = len(p)
             pos += lens[i]
         dp = C.POINTER(C.c_double)
+        fp = C.POINTER(C.c_float)
         ip = C.POINTER(C.c_int32)
         self._lib.celt_host_decode_batch(
             self._states, blob, offs.ctypes.data_as(ip),
             lens.ctypes.data_as(ip), S, frame_size, Cch, self.start, self.end,
-            1 if self.disable_inv else 0, x.ctypes.data_as(dp),
+            1 if self.disable_inv else 0, x.ctypes.data_as(fp),
             ble.ctypes.data_as(dp), iflags.ctypes.data_as(ip),
             pf_gains.ctypes.data_as(dp), rcs.ctypes.data_as(ip),
             self.n_threads)

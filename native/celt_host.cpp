@@ -14,6 +14,11 @@
 #include <cmath>
 #include <cstdlib>
 #include <algorithm>
+#include <vector>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 #include "celt_tables.h"
 
@@ -203,68 +208,129 @@ int ec_laplace_decode(EcDec* d, uint32_t fs, int decay) {
 }
 
 // ---------------------------------------------------------------- CWRS (U)
-// Saturated U(n, k) table: values beyond 2^63 clamp (never hit on valid
-// streams since libopus caps V(N, K) < 2^32 via the pulse cache).
-constexpr int U_MAX_N = 181;
-constexpr int U_MAX_K = 132;
-static uint64_t* g_u = nullptr;  // [U_MAX_N][U_MAX_K]
-
-inline uint64_t sat_add(uint64_t a, uint64_t b) {
-  uint64_t s = a + b;
-  return s < a ? ~0ull : s;
-}
+// Compact, L1-resident U(n, k) table. U is symmetric (U(n,k)=U(k,n)) and
+// libopus caps V(N, K) < 2^32 via the pulse cache, which forces
+// min(n, k) <= 15 for every (n, k) pair visited while decoding a valid
+// stream. So we store u32 rows for k = 0..U_MAX_K_ROW only (~13 KB) and
+// saturate entries >= 2^32 — saturated entries compare "huge" in the index
+// walk, which matches exact u64 behaviour for any idx < 2^32 (always true,
+// ec_dec_uint returns u32). Queries with both args > U_MAX_K_ROW only occur
+// on corrupt streams and also saturate.
+constexpr int U_MAX_N = 209;       // >= largest band size (176) + headroom
+constexpr int U_MAX_K_ROW = 16;    // rows k=0..16 (walk reads k+1 <= K+1)
+static uint32_t* g_u = nullptr;    // [U_MAX_K_ROW+1][U_MAX_N]
+// Transposed copy: g_ut[n][k] = U(n, k) for all n < U_MAX_N, k <= 16
+// (saturated, no symmetry fold). Contiguous in k, so the per-coefficient
+// "find largest k' with U(m,k') <= idx" walk becomes one 64-byte load +
+// vector compare instead of a mispredicting scalar loop. Padded to 32
+// entries per row so a full-width load never crosses into the next row
+// with garbage beyond k=16 (padding = UINT32_MAX).
+constexpr int UT_STRIDE = 32;
+static uint32_t* g_ut = nullptr;   // [U_MAX_N][UT_STRIDE]
 
 void build_u_table() {
   if (g_u) return;
-  g_u = (uint64_t*)calloc((size_t)U_MAX_N * U_MAX_K, sizeof(uint64_t));
-  auto U = [&](int n, int k) -> uint64_t& { return g_u[(size_t)n * U_MAX_K + k]; };
-  for (int k = 1; k < U_MAX_K; k++) {
-    U(0, k) = 0;
-    U(1, k) = 1;
-    U(2, k) = 2 * (uint64_t)k - 1;
+  g_u = (uint32_t*)calloc((size_t)(U_MAX_K_ROW + 1) * U_MAX_N,
+                          sizeof(uint32_t));
+  // Build in u64 via the recurrence U(n,k) = U(n-1,k)+U(n-1,k-1)+U(n,k-1),
+  // row-by-row over k, then saturate-store to u32.
+  std::vector<uint64_t> prev(U_MAX_N, 0), cur(U_MAX_N, 0);
+  auto sat = [](uint64_t v) -> uint32_t {
+    return v > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)v;
+  };
+  // k = 0 row: U(n, 0) = 0.
+  for (int k = 1; k <= U_MAX_K_ROW; k++) {
+    cur[0] = 0;
+    cur[1] = 1;
+    cur[2] = 2 * (uint64_t)k - 1;
+    for (int n = 3; n < U_MAX_N; n++) {
+      if (k == 1) {
+        cur[n] = 1;
+      } else {
+        uint64_t v = prev[n] + prev[n - 1] + cur[n - 1];
+        cur[n] = std::min<uint64_t>(v, 0x1FFFFFFFFull);  // keep sat stable
+      }
+    }
+    for (int n = 0; n < U_MAX_N; n++)
+      g_u[(size_t)k * U_MAX_N + n] = sat(cur[n]);
+    std::swap(prev, cur);
   }
-  for (int n = 3; n < U_MAX_N; n++) {
-    U(n, 1) = 1;
-    for (int k = 2; k < U_MAX_K; k++)
-      U(n, k) = sat_add(sat_add(U(n - 1, k), U(n - 1, k - 1)), U(n, k - 1));
+  g_ut = (uint32_t*)aligned_alloc(
+      64, (size_t)U_MAX_N * UT_STRIDE * sizeof(uint32_t));
+  for (int n = 0; n < U_MAX_N; n++) {
+    g_ut[(size_t)n * UT_STRIDE + 0] = 0;  // U(n, 0) = 0
+    for (int k = 1; k <= U_MAX_K_ROW; k++)
+      g_ut[(size_t)n * UT_STRIDE + k] =
+          g_u[(size_t)std::min(n, k) * U_MAX_N + std::max(n, k)];
+    for (int k = U_MAX_K_ROW + 1; k < UT_STRIDE; k++)
+      g_ut[(size_t)n * UT_STRIDE + k] = 0xFFFFFFFFu;
   }
 }
 
-inline uint64_t pvq_u(int n, int k) {
+inline uint32_t pvq_u(int n, int k) {
   if (k <= 0) return 0;
   if (n < k) std::swap(n, k);
-  return g_u[(size_t)n * U_MAX_K + k];
+  if (k > U_MAX_K_ROW || n >= U_MAX_N) return 0xFFFFFFFFu;  // corrupt stream
+  return g_u[(size_t)k * U_MAX_N + n];
 }
-inline uint64_t pvq_v(int n, int k) {
+
+// Hot-path variant: caller guarantees n < U_MAX_N and k >= 1.
+inline uint32_t pvq_u_hot(int n, int k) {
+  if (n < k) std::swap(n, k);
+  if (__builtin_expect(k > U_MAX_K_ROW, 0)) return 0xFFFFFFFFu;
+  return g_u[(size_t)k * U_MAX_N + n];
+}
+inline uint32_t pvq_v(int n, int k) {
   if (k == 0) return 1;
-  return sat_add(pvq_u(n, k), pvq_u(n, k + 1));
+  uint64_t v = (uint64_t)pvq_u(n, k) + pvq_u(n, k + 1);
+  return v > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)v;
 }
 
 // decode pulses: returns Ryy
-double decode_pulses(EcDec* d, int* iy, int n, int k) {
-  uint64_t v = pvq_v(n, k);
-  uint32_t i = ec_dec_uint(d, (uint32_t)std::min<uint64_t>(v, 0xFFFFFFFFull));
-  double ryy = 0;
-  uint64_t idx = i;
-  for (int j = 0; j < n - 1; j++) {
+float decode_pulses(EcDec* d, int* iy, int n, int k) {
+  uint32_t idx = ec_dec_uint(d, pvq_v(n, k));
+  uint32_t ryy = 0;
+  int j = 0;
+  for (; j < n - 1; j++) {
+    if (k == 0) break;  // no pulses left: the tail is all zeros
     int m = n - j;
-    uint64_t p = pvq_u(m, k + 1);
-    int s = idx >= p;
-    if (s) idx -= p;
-    int k0 = k;
-    p = pvq_u(m, k);
-    while (p > idx) {
-      k--;
-      p = pvq_u(m, k);
+#if defined(__AVX512F__)
+    if (k <= 15) {
+      // Branch-free: one aligned 64B load of U(m, 0..15), vector compare
+      // against idx, highest qualifying k' via clz. No mispredicting scalar
+      // descent. row[0] = 0 <= idx guarantees a nonzero candidate mask.
+      const uint32_t* row = g_ut + (size_t)m * UT_STRIDE;
+      uint32_t p = row[k + 1];
+      uint32_t smask = (uint32_t) - (int)(idx >= p);
+      idx -= p & smask;
+      __m512i r = _mm512_load_si512((const void*)row);
+      __mmask16 le =
+          _mm512_cmple_epu32_mask(r, _mm512_set1_epi32((int)idx));
+      uint32_t bits = (uint32_t)le & ((2u << k) - 1);
+      int k_new = 31 - __builtin_clz(bits);
+      idx -= row[k_new];
+      uint32_t q = (uint32_t)(k - k_new);
+      k = k_new;
+      iy[j] = (int)((q ^ smask) - smask);  // smask ? -q : q
+      ryy += q * q;
+      continue;
     }
+#endif
+    uint32_t p = pvq_u_hot(m, k + 1);
+    uint32_t smask = (uint32_t) - (int)(idx >= p);
+    idx -= p & smask;
+    int k0 = k;
+    p = pvq_u_hot(m, k);
+    while (p > idx) p = pvq_u(m, --k);
     idx -= p;
-    int q = k0 - k;
-    iy[j] = s ? -q : q;
-    ryy += (double)q * q;
+    uint32_t q = (uint32_t)(k0 - k);
+    iy[j] = (int)((q ^ smask) - smask);  // smask ? -q : q
+    ryy += q * q;
   }
+  for (; j < n - 1; j++) iy[j] = 0;
   iy[n - 1] = idx ? -k : k;
-  ryy += (double)k * k;
-  return ryy;
+  ryy += (uint32_t)(k * k);
+  return (float)ryy;
 }
 
 // ---------------------------------------------------------------- rate/alloc
@@ -535,28 +601,147 @@ namespace {
 
 const int kSpreadFactor[3] = {15, 10, 5};
 
-void exp_rotation1(double* X, int len, int stride, double c, double s) {
-  double ms = -s;
+#if defined(__AVX512F__)
+// The stride-1 Givens chain is a first-order linear recurrence:
+//   forward pass:  a_{i+1} = c*b_{i+1} + s*a_i ;  X[i] = c*a_i - s*b_{i+1}
+//   backward pass: d_i = c*y_i - s*d_{i+1}     ;  X[i+1] = c*d_{i+1} + s*y_i
+// so it parallelizes 16-wide with a log-step in-register prefix scan.
+inline __m512 shift_up1(__m512 v) {  // lane k <- lane k-1, lane 0 <- 0
+  return _mm512_castsi512_ps(_mm512_alignr_epi32(
+      _mm512_castps_si512(v), _mm512_setzero_si512(), 15));
+}
+inline __m512 shift_upN(__m512 v, int n) {
+  switch (n) {
+    case 2: return _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_castps_si512(v), _mm512_setzero_si512(), 14));
+    case 4: return _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_castps_si512(v), _mm512_setzero_si512(), 12));
+    default: return _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_castps_si512(v), _mm512_setzero_si512(), 8));
+  }
+}
+inline __m512 shift_dn1(__m512 v) {  // lane k <- lane k+1, lane 15 <- 0
+  return _mm512_castsi512_ps(_mm512_alignr_epi32(
+      _mm512_setzero_si512(), _mm512_castps_si512(v), 1));
+}
+inline __m512 shift_dnN(__m512 v, int n) {
+  switch (n) {
+    case 2: return _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_setzero_si512(), _mm512_castps_si512(v), 2));
+    case 4: return _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_setzero_si512(), _mm512_castps_si512(v), 4));
+    default: return _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_setzero_si512(), _mm512_castps_si512(v), 8));
+  }
+}
+
+void exp_rotation1_s1(float* X, int len, float c, float s) {
+  alignas(64) float tmp[16];
+  const __m512 vc = _mm512_set1_ps(c);
+  const __m512 vs1 = _mm512_set1_ps(s);
+  const __m512 vs2 = _mm512_set1_ps(s * s);
+  const __m512 vs4 = _mm512_set1_ps(s * s * s * s);
+  const __m512 vs8 = _mm512_mul_ps(vs4, vs4);
+  // powup[k] = s^(k+1)
+  for (int k = 0; k < 16; k++) tmp[k] = (float)std::pow((double)s, k + 1);
+  const __m512 powup = _mm512_load_ps(tmp);
+
+  // ---- forward pass over i = 0 .. len-2
+  float a = X[0];
+  int i = 0;
+  for (; i + 16 <= len - 1; i += 16) {
+    __m512 b = _mm512_loadu_ps(X + i + 1);
+    __m512 t = _mm512_mul_ps(vc, b);
+    t = _mm512_fmadd_ps(vs1, shift_up1(t), t);
+    t = _mm512_fmadd_ps(vs2, shift_upN(t, 2), t);
+    t = _mm512_fmadd_ps(vs4, shift_upN(t, 4), t);
+    t = _mm512_fmadd_ps(vs8, shift_upN(t, 8), t);
+    __m512 scan = _mm512_fmadd_ps(powup, _mm512_set1_ps(a), t);
+    // aused[k] = a_{i+k}: scan shifted up one with carry a in lane 0
+    __m512 aused = _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_castps_si512(scan),
+        _mm512_castps_si512(_mm512_set1_ps(a)), 15));
+    _mm512_storeu_ps(X + i, _mm512_fmsub_ps(vc, aused, _mm512_mul_ps(vs1, b)));
+    _mm512_store_ps(tmp, scan);
+    a = tmp[15];
+  }
+  for (; i < len - 1; i++) {
+    float b = X[i + 1];
+    X[i] = c * a - s * b;
+    a = c * b + s * a;
+  }
+  X[len - 1] = a;
+
+  // ---- backward pass over i = len-3 .. 0  (d_i = c*y_i - s*d_{i+1})
+  if (len < 3) return;
+  const __m512 vm1 = _mm512_set1_ps(-s);
+  const __m512 vm2 = vs2;
+  const __m512 vm4 = vs4;
+  const __m512 vm8 = vs8;
+  // powdn[k] = (-s)^(16-k)
+  for (int k = 0; k < 16; k++) tmp[k] = (float)std::pow((double)-s, 16 - k);
+  const __m512 powdn = _mm512_load_ps(tmp);
+
+  float d = X[len - 2];
+  int iend = len - 3;  // first (highest) index of the pass
+  int ilo = iend;
+  // blocks [I, I+15] descending; at block, inputs y_{I..I+15}, carry d_{I+16}
+  while (ilo - 15 >= 0) {
+    int I = ilo - 15;
+    __m512 y = _mm512_loadu_ps(X + I);
+    __m512 t = _mm512_mul_ps(vc, y);
+    t = _mm512_fmadd_ps(vm1, shift_dn1(t), t);
+    t = _mm512_fmadd_ps(vm2, shift_dnN(t, 2), t);
+    t = _mm512_fmadd_ps(vm4, shift_dnN(t, 4), t);
+    t = _mm512_fmadd_ps(vm8, shift_dnN(t, 8), t);
+    __m512 dvec = _mm512_fmadd_ps(powdn, _mm512_set1_ps(d), t);
+    // dnext[k] = d_{I+k+1}: dvec shifted down one with carry d in lane 15
+    __m512 dnext = _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_castps_si512(_mm512_set1_ps(d)),
+        _mm512_castps_si512(dvec), 1));
+    _mm512_storeu_ps(X + I + 1,
+                     _mm512_fmadd_ps(vc, dnext, _mm512_mul_ps(vs1, y)));
+    _mm512_store_ps(tmp, dvec);
+    d = tmp[0];
+    ilo = I - 1;
+  }
+  for (int j = ilo; j >= 0; j--) {
+    float y = X[j];
+    X[j + 1] = c * d + s * y;
+    d = c * y - s * d;
+  }
+  X[0] = d;
+}
+#endif  // __AVX512F__
+
+void exp_rotation1(float* X, int len, int stride, float c, float s) {
+#if defined(__AVX512F__)
+  if (stride == 1 && len >= 48) {
+    exp_rotation1_s1(X, len, c, s);
+    return;
+  }
+#endif
+  float ms = -s;
   for (int i = 0; i < len - stride; i++) {
-    double x1 = X[i], x2 = X[i + stride];
+    float x1 = X[i], x2 = X[i + stride];
     X[i + stride] = c * x2 + s * x1;
     X[i] = c * x1 + ms * x2;
   }
   for (int i = len - 2 * stride - 1; i >= 0; i--) {
-    double x1 = X[i], x2 = X[i + stride];
+    float x1 = X[i], x2 = X[i + stride];
     X[i + stride] = c * x2 + s * x1;
     X[i] = c * x1 + ms * x2;
   }
 }
 
-void exp_rotation(double* X, int len, int direction, int stride, int K,
+void exp_rotation(float* X, int len, int direction, int stride, int K,
                   int spread) {
   if (2 * K >= len || spread == 0) return;
   int factor = kSpreadFactor[spread - 1];
-  double gain = (double)len / (len + factor * K);
-  double theta = 0.5 * gain * gain;
-  double c = cos(0.5 * M_PI * theta);
-  double s = cos(0.5 * M_PI * (1 - theta));
+  float gain = (float)len / (len + factor * K);
+  float theta = 0.5 * gain * gain;
+  float c = cos(0.5 * M_PI * theta);
+  float s = cos(0.5 * M_PI * (1 - theta));
   int stride2 = 0;
   if (len >= 8 * stride) {
     stride2 = 1;
@@ -565,7 +750,7 @@ void exp_rotation(double* X, int len, int direction, int stride, int K,
   }
   len /= stride;
   for (int i = 0; i < stride; i++) {
-    double* seg = X + i * len;
+    float* seg = X + i * len;
     if (direction < 0) {
       if (stride2) exp_rotation1(seg, len, stride2, s, c);
       exp_rotation1(seg, len, 1, c, s);
@@ -588,18 +773,18 @@ uint32_t extract_collapse_mask(const int* iy, int N, int B) {
   return mask;
 }
 
-void renormalise_vector(double* X, int N, double gain) {
+void renormalise_vector(float* X, int N, float gain) {
   double E = 1e-15;
-  for (int i = 0; i < N; i++) E += X[i] * X[i];
-  double g = gain / sqrt(E);
+  for (int i = 0; i < N; i++) E += (double)X[i] * X[i];
+  float g = gain / sqrt(E);
   for (int i = 0; i < N; i++) X[i] *= g;
 }
 
-uint32_t alg_unquant(double* X, int N, int K, int spread, int B, EcDec* dec,
-                     double gain) {
+uint32_t alg_unquant(float* X, int N, int K, int spread, int B, EcDec* dec,
+                     float gain) {
   int iy[208];
-  double ryy = decode_pulses(dec, iy, N, K);
-  double g = gain / sqrt(ryy);
+  float ryy = decode_pulses(dec, iy, N, K);
+  float g = gain / sqrt(ryy);
   for (int i = 0; i < N; i++) X[i] = iy[i] * g;
   exp_rotation(X, N, -1, B, K, spread);
   return extract_collapse_mask(iy, N, B);
@@ -668,23 +853,23 @@ int compute_qn(int N, int b, int offset, int pulse_cap, bool stereo) {
   return qn;
 }
 
-void haar1(double* X, int n0, int stride) {
+void haar1(float* X, int n0, int stride) {
   n0 >>= 1;
-  const double s = 0.70710678;
+  const float s = 0.70710678;
   for (int i = 0; i < stride; i++)
     for (int j = 0; j < n0; j++) {
       int i1 = i + stride * 2 * j;
       int i2 = i1 + stride;
-      double t1 = s * X[i1];
-      double t2 = s * X[i2];
+      float t1 = s * X[i1];
+      float t2 = s * X[i2];
       X[i1] = t1 + t2;
       X[i2] = t1 - t2;
     }
 }
 
-void interleave_hadamard(double* X, int n0, int stride, bool hadamard) {
+void interleave_hadamard(float* X, int n0, int stride, bool hadamard) {
   int N = n0 * stride;
-  double tmp[1024];
+  float tmp[1024];
   if (hadamard) {
     const int* ordery = ordery_for(stride);
     for (int i = 0; i < stride; i++)
@@ -693,12 +878,12 @@ void interleave_hadamard(double* X, int n0, int stride, bool hadamard) {
     for (int i = 0; i < stride; i++)
       for (int j = 0; j < n0; j++) tmp[j * stride + i] = X[i * n0 + j];
   }
-  memcpy(X, tmp, N * sizeof(double));
+  memcpy(X, tmp, N * sizeof(float));
 }
 
-void deinterleave_hadamard(double* X, int n0, int stride, bool hadamard) {
+void deinterleave_hadamard(float* X, int n0, int stride, bool hadamard) {
   int N = n0 * stride;
-  double tmp[1024];
+  float tmp[1024];
   if (hadamard) {
     const int* ordery = ordery_for(stride);
     for (int i = 0; i < stride; i++)
@@ -707,27 +892,29 @@ void deinterleave_hadamard(double* X, int n0, int stride, bool hadamard) {
     for (int i = 0; i < stride; i++)
       for (int j = 0; j < n0; j++) tmp[i * n0 + j] = X[j * stride + i];
   }
-  memcpy(X, tmp, N * sizeof(double));
+  memcpy(X, tmp, N * sizeof(float));
 }
 
-void stereo_merge(double* X, double* Y, double mid, int N) {
+void stereo_merge(float* X, float* Y, float mid, int N) {
+  // Accumulate in double: el/er feed a 6e-4 threshold branch that must
+  // match the float64 Python host decoder.
   double xp = 0, side = 0;
   for (int i = 0; i < N; i++) {
-    xp += X[i] * Y[i];
-    side += Y[i] * Y[i];
+    xp += (double)X[i] * Y[i];
+    side += (double)Y[i] * Y[i];
   }
   xp *= mid;
-  double el = mid * mid + side - 2 * xp;
-  double er = mid * mid + side + 2 * xp;
+  double el = (double)mid * mid + side - 2 * xp;
+  double er = (double)mid * mid + side + 2 * xp;
   if (er < 6e-4 || el < 6e-4) {
-    memcpy(Y, X, N * sizeof(double));
+    memcpy(Y, X, N * sizeof(float));
     return;
   }
-  double lgain = 1.0 / sqrt(el);
-  double rgain = 1.0 / sqrt(er);
+  float lgain = 1.0 / sqrt(el);
+  float rgain = 1.0 / sqrt(er);
   for (int i = 0; i < N; i++) {
-    double l = mid * X[i];
-    double r = Y[i];
+    float l = mid * X[i];
+    float r = Y[i];
     X[i] = lgain * (l - r);
     Y[i] = rgain * (l + r);
   }
@@ -749,7 +936,7 @@ struct SplitCtx {
   int inv, imid, iside, delta, itheta, qalloc;
 };
 
-void compute_theta(BandCtx* ctx, SplitCtx* sctx, double* X, double* Y, int N,
+void compute_theta(BandCtx* ctx, SplitCtx* sctx, float* X, float* Y, int N,
                    int* b, int B, int B0, int LM, bool stereo, uint32_t* fill) {
   EcDec* ec = ctx->ec;
   int i = ctx->i;
@@ -831,9 +1018,9 @@ void compute_theta(BandCtx* ctx, SplitCtx* sctx, double* X, double* Y, int N,
   sctx->qalloc = qalloc;
 }
 
-uint32_t quant_band_n1(BandCtx* ctx, double* X, double* Y, double* lowband_out) {
+uint32_t quant_band_n1(BandCtx* ctx, float* X, float* Y, float* lowband_out) {
   EcDec* ec = ctx->ec;
-  double* chans[2] = {X, Y};
+  float* chans[2] = {X, Y};
   int nch = Y ? 2 : 1;
   for (int c = 0; c < nch; c++) {
     int sign = 0;
@@ -847,8 +1034,8 @@ uint32_t quant_band_n1(BandCtx* ctx, double* X, double* Y, double* lowband_out) 
   return 1;
 }
 
-uint32_t quant_partition(BandCtx* ctx, double* X, int N, int b, int B,
-                         double* lowband, int LM, double gain, uint32_t fill) {
+uint32_t quant_partition(BandCtx* ctx, float* X, int N, int b, int B,
+                         float* lowband, int LM, float gain, uint32_t fill) {
   int i = ctx->i;
   EcDec* ec = ctx->ec;
   int B0 = B;
@@ -860,7 +1047,7 @@ uint32_t quant_partition(BandCtx* ctx, double* X, int N, int b, int B,
                    b > (int)cache[cache[0]] + 12 && N > 2;
   if (can_split) {
     N >>= 1;
-    double* Y = X + N;
+    float* Y = X + N;
     LM -= 1;
     if (B == 1) fill = (fill & 1) | (fill << 1);
     B = (B + 1) >> 1;
@@ -872,8 +1059,8 @@ uint32_t quant_partition(BandCtx* ctx, double* X, int N, int b, int B,
     b = b_box;
     fill = fill_box;
     int delta = sctx.delta, itheta = sctx.itheta, qalloc = sctx.qalloc;
-    double mid = sctx.imid / 32768.0;
-    double side = sctx.iside / 32768.0;
+    float mid = sctx.imid / 32768.0;
+    float side = sctx.iside / 32768.0;
 
     if (B0 > 1 && (itheta & 0x3FFF)) {
       if (itheta > 8192)
@@ -888,7 +1075,7 @@ uint32_t quant_partition(BandCtx* ctx, double* X, int N, int b, int B,
     int sbits = b - mbits;
     ctx->remaining_bits -= qalloc;
 
-    double* next_lowband2 = lowband ? lowband + N : nullptr;
+    float* next_lowband2 = lowband ? lowband + N : nullptr;
 
     int rebalance = ctx->remaining_bits;
     if (mbits >= sbits) {
@@ -925,18 +1112,18 @@ uint32_t quant_partition(BandCtx* ctx, double* X, int N, int b, int B,
       uint32_t cm_mask = (1u << B) - 1;
       fill &= cm_mask;
       if (!fill) {
-        memset(X, 0, N * sizeof(double));
+        memset(X, 0, N * sizeof(float));
       } else {
         if (!lowband) {
           for (int j = 0; j < N; j++) {
             ctx->seed = lcg_rand(ctx->seed);
-            X[j] = (double)((int32_t)ctx->seed >> 20);
+            X[j] = (float)((int32_t)ctx->seed >> 20);
           }
           cm = cm_mask;
         } else {
           for (int j = 0; j < N; j++) {
             ctx->seed = lcg_rand(ctx->seed);
-            double tmp = 1.0 / 256;
+            float tmp = 1.0 / 256;
             X[j] = (ctx->seed & 0x8000) ? lowband[j] + tmp : lowband[j] - tmp;
           }
           cm = fill;
@@ -948,9 +1135,9 @@ uint32_t quant_partition(BandCtx* ctx, double* X, int N, int b, int B,
   return cm;
 }
 
-uint32_t quant_band(BandCtx* ctx, double* X, int N, int b, int B,
-                    double* lowband, int LM, double* lowband_out, double gain,
-                    double* lowband_scratch, uint32_t fill) {
+uint32_t quant_band(BandCtx* ctx, float* X, int N, int b, int B,
+                    float* lowband, int LM, float* lowband_out, float gain,
+                    float* lowband_scratch, uint32_t fill) {
   int N0 = N;
   int N_B = N / B;
   int B0 = B;
@@ -965,7 +1152,7 @@ uint32_t quant_band(BandCtx* ctx, double* X, int N, int b, int B,
 
   if (lowband_scratch && lowband &&
       (recombine || ((N_B & 1) == 0 && tf_change < 0) || B0 > 1)) {
-    memcpy(lowband_scratch, lowband, N * sizeof(double));
+    memcpy(lowband_scratch, lowband, N * sizeof(float));
     lowband = lowband_scratch;
   }
 
@@ -1011,16 +1198,16 @@ uint32_t quant_band(BandCtx* ctx, double* X, int N, int b, int B,
   B <<= recombine;
 
   if (lowband_out) {
-    double n = sqrt((double)N0);
+    float n = sqrt((float)N0);
     for (int j = 0; j < N0; j++) lowband_out[j] = n * X[j];
   }
   cm &= (1u << B) - 1;
   return cm;
 }
 
-uint32_t quant_band_stereo(BandCtx* ctx, double* X, double* Y, int N, int b,
-                           int B, double* lowband, int LM, double* lowband_out,
-                           double* lowband_scratch, uint32_t fill) {
+uint32_t quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N, int b,
+                           int B, float* lowband, int LM, float* lowband_out,
+                           float* lowband_scratch, uint32_t fill) {
   if (N == 1) return quant_band_n1(ctx, X, Y, lowband_out);
 
   EcDec* ec = ctx->ec;
@@ -1033,8 +1220,8 @@ uint32_t quant_band_stereo(BandCtx* ctx, double* X, double* Y, int N, int b,
   fill = fill_box;
   int inv = sctx.inv, delta = sctx.delta, itheta = sctx.itheta,
       qalloc = sctx.qalloc;
-  double mid = sctx.imid / 32768.0;
-  double side = sctx.iside / 32768.0;
+  float mid = sctx.imid / 32768.0;
+  float side = sctx.iside / 32768.0;
   uint32_t cm;
 
   if (N == 2) {
@@ -1044,8 +1231,8 @@ uint32_t quant_band_stereo(BandCtx* ctx, double* X, double* Y, int N, int b,
     mbits -= sbits;
     bool c = itheta > 8192;
     ctx->remaining_bits -= qalloc + sbits;
-    double* x2 = c ? Y : X;
-    double* y2 = c ? X : Y;
+    float* x2 = c ? Y : X;
+    float* y2 = c ? X : Y;
     int sign = 0;
     if (sbits) sign = (int)ec_dec_bits(ec, 1);
     sign = 1 - 2 * sign;
@@ -1057,7 +1244,7 @@ uint32_t quant_band_stereo(BandCtx* ctx, double* X, double* Y, int N, int b,
     X[1] *= mid;
     Y[0] *= side;
     Y[1] *= side;
-    double tmp = X[0];
+    float tmp = X[0];
     X[0] = tmp - Y[0];
     Y[0] = tmp + Y[0];
     tmp = X[1];
@@ -1094,32 +1281,32 @@ uint32_t quant_band_stereo(BandCtx* ctx, double* X, double* Y, int N, int b,
   return cm;
 }
 
-void special_hybrid_folding(double* norm, double* norm2, int start, int M,
+void special_hybrid_folding(float* norm, float* norm2, int start, int M,
                             int dual_stereo) {
   int n1 = M * (kEBands[start + 1] - kEBands[start]);
   int n2 = M * (kEBands[start + 2] - kEBands[start + 1]);
-  memmove(norm + n1, norm + 2 * n1 - n2, (n2 - n1) * sizeof(double));
+  memmove(norm + n1, norm + 2 * n1 - n2, (n2 - n1) * sizeof(float));
   if (dual_stereo)
-    memmove(norm2 + n1, norm2 + 2 * n1 - n2, (n2 - n1) * sizeof(double));
+    memmove(norm2 + n1, norm2 + 2 * n1 - n2, (n2 - n1) * sizeof(float));
 }
 
-uint32_t quant_all_bands_dec(int start, int end, double* X_, double* Y_,
+uint32_t quant_all_bands_dec(int start, int end, float* X_, float* Y_,
                              uint8_t* collapse_masks, const int* pulses,
                              bool short_blocks, int spread, int dual_stereo,
                              int intensity, const int* tf_res, int total_bits,
                              int balance, EcDec* ec, int LM, int coded_bands,
-                             uint32_t seed, bool disable_inv, double* norm_buf,
-                             double* scratch_buf) {
+                             uint32_t seed, bool disable_inv, float* norm_buf,
+                             float* scratch_buf) {
   int M = 1 << LM;
   int B = short_blocks ? M : 1;
   int norm_offset = M * kEBands[start];
   int C = Y_ ? 2 : 1;
   int norm_len = M * kEBands[kNbEBands - 1] - norm_offset;
-  double* norm = norm_buf;
-  double* norm2 = C == 2 ? norm_buf + norm_len : norm;
-  memset(norm, 0, norm_len * sizeof(double));
-  if (C == 2) memset(norm2, 0, norm_len * sizeof(double));
-  double* lowband_scratch = scratch_buf;
+  float* norm = norm_buf;
+  float* norm2 = C == 2 ? norm_buf + norm_len : norm;
+  memset(norm, 0, norm_len * sizeof(float));
+  if (C == 2) memset(norm2, 0, norm_len * sizeof(float));
+  float* lowband_scratch = scratch_buf;
 
   BandCtx ctx;
   ctx.intensity = intensity;
@@ -1134,8 +1321,8 @@ uint32_t quant_all_bands_dec(int start, int end, double* X_, double* Y_,
   for (int i = start; i < end; i++) {
     ctx.i = i;
     bool last = i == end - 1;
-    double* X = X_ + M * kEBands[i];
-    double* Y = Y_ ? Y_ + M * kEBands[i] : nullptr;
+    float* X = X_ + M * kEBands[i];
+    float* Y = Y_ ? Y_ + M * kEBands[i] : nullptr;
     int N = M * kEBands[i + 1] - M * kEBands[i];
     int tell = ec_tell_frac(ec);
 
@@ -1160,7 +1347,7 @@ uint32_t quant_all_bands_dec(int start, int end, double* X_, double* Y_,
       special_hybrid_folding(norm, norm2, start, M, dual_stereo);
 
     ctx.tf_change = tf_res[i];
-    double* scratch = lowband_scratch;
+    float* scratch = lowband_scratch;
     // i >= effective_ebands never happens for the 48k/960 mode (eff == nb)
     if (last) scratch = nullptr;
 
@@ -1230,7 +1417,7 @@ uint32_t quant_all_bands_dec(int start, int end, double* X_, double* Y_,
   return ctx.seed;
 }
 
-void anti_collapse(double* X_, const uint8_t* collapse_masks, int LM, int C,
+void anti_collapse(float* X_, const uint8_t* collapse_masks, int LM, int C,
                    int size, int start, int end, const double* logE,
                    const double* prev1logE, const double* prev2logE,
                    const int* pulses, uint32_t seed) {
@@ -1383,8 +1570,8 @@ struct CeltHost {
   double old_log_e[2 * NB];
   double old_log_e2[2 * NB];
   double background_log_e[2 * NB];
-  double norm_buf[2 * 8 * 100];     // 2 ch * M*eb[20]
-  double scratch_buf[8 * 100];      // M*eb[21]
+  float norm_buf[2 * 8 * 100];      // 2 ch * M*eb[20]
+  float scratch_buf[8 * 100];       // M*eb[21]
 };
 
 void celt_host_reset_impl(CeltHost* st) {
@@ -1439,13 +1626,14 @@ void celt_host_get_state(void* p, double* old_ebands, double* old_log_e,
 //   C             coded (stream) channels, 1 or 2
 //   start,end     band range (0..21 full band; hybrid uses start=17)
 //   disable_inv   disable stereo phase inversion
-//   x_out         C * frame_size doubles: unit-norm spectrum
+//   x_out         C * frame_size floats: unit-norm spectrum (f32 — the
+//                 device synthesis stage consumes f32 anyway)
 //   band_log_e    2 * 21 doubles: post-frame band log-energies
 //   iflags        int32[4]: transient, silence, pf_pitch, pf_tapset
 //   pf_gain       postfilter gain for this frame
 // Returns 0 on success, <0 on error.
 int celt_host_decode(void* p, const uint8_t* data, int len, int frame_size,
-                     int C, int start, int end, int disable_inv, double* x_out,
+                     int C, int start, int end, int disable_inv, float* x_out,
                      double* band_log_e, int32_t* iflags, double* pf_gain) {
   CeltHost* st = (CeltHost*)p;
   int LM = -1;
@@ -1554,7 +1742,7 @@ int celt_host_decode(void* p, const uint8_t* data, int len, int frame_size,
   unquant_fine_energy(start, end, old_band_e, alloc.ebits, dec, C);
 
   uint8_t collapse_masks[2 * NB] = {0};
-  memset(x_out, 0, (size_t)C * N * sizeof(double));
+  memset(x_out, 0, (size_t)C * N * sizeof(float));
   st->rng = quant_all_bands_dec(
       start, end, x_out, C == 2 ? x_out + N : nullptr, collapse_masks,
       alloc.pulses, short_blocks, spread_decision, alloc.dual_stereo,
@@ -1633,7 +1821,7 @@ extern "C" {
 //   states      S opaque stream states (from celt_host_create)
 //   blob        concatenated packet payloads
 //   offs/lens   per-stream byte ranges into blob
-//   x_out       S * C * frame_size doubles
+//   x_out       S * C * frame_size floats
 //   band_log_e  S * 2 * 21 doubles
 //   iflags      S * 4 int32
 //   pf_gains    S doubles
@@ -1641,7 +1829,7 @@ extern "C" {
 void celt_host_decode_batch(void** states, const uint8_t* blob,
                             const int32_t* offs, const int32_t* lens, int S,
                             int frame_size, int C, int start, int end,
-                            int disable_inv, double* x_out,
+                            int disable_inv, float* x_out,
                             double* band_log_e, int32_t* iflags,
                             double* pf_gains, int32_t* rcs, int n_threads) {
   int N = frame_size;

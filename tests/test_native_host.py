@@ -58,7 +58,9 @@ def test_native_matches_python(channels, frame_size, bitrate):
         assert d_nat["pf_gain"] == pytest.approx(d_py["pf_gain"]), f"frame {k}"
         np.testing.assert_allclose(d_nat["band_log_e"], d_py["band_log_e"],
                                    atol=1e-12, err_msg=f"frame {k}")
-        np.testing.assert_allclose(d_nat["x"], d_py["x"], atol=1e-9,
+        # native signal path is float32 (the device consumes f32 anyway);
+        # the Python host is float64 — compare at f32 accumulation accuracy
+        np.testing.assert_allclose(d_nat["x"], d_py["x"], atol=5e-6,
                                    err_msg=f"frame {k}")
         # internal energy state stays in lockstep
         e, l1, l2, rng = nat.get_state()
@@ -83,7 +85,7 @@ def test_state_import():
         d_py = py.decode_with_ec(payload, 960, return_desc=True)
         d_nat = nat.decode_desc(payload, 960)
         assert nat.rng == py.rng
-        np.testing.assert_allclose(d_nat["x"], d_py["x"], atol=1e-9)
+        np.testing.assert_allclose(d_nat["x"], d_py["x"], atol=5e-6)
 
 
 def test_native_fuzz_no_crash():
