@@ -169,6 +169,7 @@ class BandCtx:
     theta_round: int = 0
     disable_inv: bool = False
     avoid_split_noise: bool = False
+    plan: object = None  # PlanRecorder (decode-side plan mode) or None
 
 
 @dataclass
@@ -335,6 +336,8 @@ def compute_theta(ctx: BandCtx, sctx: SplitCtx, X, Y, N: int, b: list, B: int,
 
 def quant_band_n1(ctx: BandCtx, X, Y, lowband_out) -> int:
     ec = ctx.ec
+    if ctx.plan is not None:
+        ctx.plan.open_call(X, 1, 1, 0, None, False, lowband_out, n1=True)
     channels = [X] if Y is None else [X, Y]
     for x in channels:
         sign = 0
@@ -347,8 +350,12 @@ def quant_band_n1(ctx: BandCtx, X, Y, lowband_out) -> int:
             ctx.remaining_bits -= 1 << BITRES
         if ctx.resynth:
             x[0] = -1.0 if sign else 1.0
+            if ctx.plan is not None:
+                ctx.plan.leaf_const(x, x[0])
     if lowband_out is not None:
         lowband_out[0] = X[0]
+    if ctx.plan is not None:
+        ctx.plan.close_call()
     return 1
 
 
@@ -424,6 +431,16 @@ def quant_partition(ctx: BandCtx, X: np.ndarray, N: int, b: int, B: int,
             K = get_pulses(q)
             if ctx.encode:
                 cm = alg_quant(X, N, K, ctx.spread, B, ec, gain, ctx.resynth)
+            elif ctx.plan is not None:
+                # plan mode: pull only the CWRS index off the entropy stream;
+                # the index -> pulse-vector walk and all signal math replay
+                # on the device (plan.py / ops/band_exec_jax.py)
+                from .cwrs import cwrsi, pvq_v
+                idx = ec.dec_uint(pvq_v(N, K))
+                iy = cwrsi(N, K, idx)
+                from .vq import alg_unquant_from_iy
+                cm = alg_unquant_from_iy(X, iy, N, K, ctx.spread, B, gain)
+                ctx.plan.leaf_pvq(X, N, K, B, ctx.spread, gain, idx)
             else:
                 cm = alg_unquant(X, N, K, ctx.spread, B, ec, gain)
         elif ctx.resynth:
@@ -434,12 +451,16 @@ def quant_partition(ctx: BandCtx, X: np.ndarray, N: int, b: int, B: int,
             else:
                 if lowband is None:
                     # noise fill
+                    if ctx.plan is not None:
+                        ctx.plan.leaf_noise(X, N, gain, ctx.seed)
                     for j in range(N):
                         ctx.seed = lcg_rand(ctx.seed)
                         signed = ctx.seed - (1 << 32) if ctx.seed & 0x80000000 else ctx.seed
                         X[j] = float(signed >> 20)
                     cm = cm_mask
                 else:
+                    if ctx.plan is not None:
+                        ctx.plan.leaf_fold(X, N, lowband, gain, ctx.seed)
                     for j in range(N):
                         ctx.seed = lcg_rand(ctx.seed)
                         tmp = 1.0 / 256
@@ -468,6 +489,13 @@ def quant_band(ctx: BandCtx, X: np.ndarray, N: int, b: int, B: int,
 
     if tf_change > 0:
         recombine = tf_change
+
+    if ctx.plan is not None:
+        use_scratch = bool(
+            lowband_scratch is not None and lowband is not None
+            and (recombine or (N_B & 1) == 0 and tf_change < 0 or B0 > 1))
+        ctx.plan.open_call(X, N, B, tf_change, lowband, use_scratch,
+                           lowband_out)
 
     if (lowband_scratch is not None and lowband is not None
             and (recombine or (N_B & 1) == 0 and tf_change < 0 or B0 > 1)):
@@ -524,6 +552,8 @@ def quant_band(ctx: BandCtx, X: np.ndarray, N: int, b: int, B: int,
             n = math.sqrt(N0)
             lowband_out[:N0] = n * X[:N0]
         cm &= (1 << B) - 1
+    if ctx.plan is not None:
+        ctx.plan.close_call()
     return cm
 
 
@@ -565,6 +595,8 @@ def quant_band_stereo(ctx: BandCtx, X: np.ndarray, Y: np.ndarray, N: int,
         sign = 1 - 2 * sign
         cm = quant_band(ctx, x2, N, mbits, B, lowband, LM, lowband_out, 1.0,
                         lowband_scratch, orig_fill)
+        if ctx.plan is not None:
+            ctx.plan.op_theta2(X, Y, c, sign, mid, side, inv)
         y2[0] = -sign * x2[1]
         y2[1] = sign * x2[0]
         if ctx.resynth:
@@ -602,6 +634,8 @@ def quant_band_stereo(ctx: BandCtx, X: np.ndarray, Y: np.ndarray, N: int,
 
     if ctx.resynth:
         if N != 2:
+            if ctx.plan is not None:
+                ctx.plan.op_merge(X, Y, N, mid, inv)
             _stereo_merge(X, Y, mid, N)
         if inv:
             Y[:N] = -Y[:N]
@@ -624,7 +658,8 @@ def quant_all_bands(encode: bool, mode: CeltMode, start: int, end: int,
                     dual_stereo: int, intensity: int, tf_res,
                     total_bits: int, balance: int, ec, LM: int,
                     coded_bands: int, seed: int,
-                    complexity: int = 0, disable_inv: bool = False) -> int:
+                    complexity: int = 0, disable_inv: bool = False,
+                    plan=None) -> int:
     """Shared encode/decode band loop; returns the updated noise seed."""
     eb = mode.ebands
     M = 1 << LM
@@ -639,10 +674,18 @@ def quant_all_bands(encode: bool, mode: CeltMode, start: int, end: int,
     theta_rdo = encode and Y_ is not None and dual_stereo == 0 and complexity >= 8
     resynth = (not encode) or theta_rdo
 
+    recorder = None
+    if plan is not None and not encode:
+        from .plan import PlanRecorder
+        plan.norm_offset = norm_offset
+        plan.norm_len = norm_len
+        recorder = PlanRecorder(plan, X_, norm, norm2 if C == 2 else None,
+                                lowband_scratch)
+
     ctx = BandCtx(encode=encode, resynth=resynth, mode=mode,
                   intensity=intensity, spread=spread, ec=ec, band_e=band_e,
                   seed=seed, disable_inv=disable_inv,
-                  avoid_split_noise=B > 1)
+                  avoid_split_noise=B > 1, plan=recorder)
 
     lowband_offset = 0
     update_lowband = True
@@ -670,6 +713,10 @@ def quant_all_bands(encode: bool, mode: CeltMode, start: int, end: int,
                 and (update_lowband or lowband_offset == 0)):
             lowband_offset = i
         if i == start + 1:
+            if ctx.plan is not None:
+                n1f = M * (int(eb[start + 1]) - int(eb[start]))
+                n2f = M * (int(eb[start + 2]) - int(eb[start + 1]))
+                ctx.plan.op_hybrid_fold(n1f, n2f, dual_stereo)
             _special_hybrid_folding(mode, norm, norm2, start, M, dual_stereo)
 
         tf_change = tf_res[i]
@@ -679,6 +726,11 @@ def quant_all_bands(encode: bool, mode: CeltMode, start: int, end: int,
             X = norm
             Y = norm if Y_ is not None else None
             scratch = None
+            if ctx.plan is not None:
+                # X redirected into the norm buffer: not representable as a
+                # plan — fall back to shipping the decoded spectrum directly
+                ctx.plan.plan.direct = True
+                ctx.plan = None
         if last and not theta_rdo:
             scratch = None
 
@@ -711,6 +763,8 @@ def quant_all_bands(encode: bool, mode: CeltMode, start: int, end: int,
             dual_stereo = 0
             if resynth:
                 upto = M * int(eb[i]) - norm_offset
+                if ctx.plan is not None:
+                    ctx.plan.op_avg_norm(upto)
                 norm[:upto] = 0.5 * (norm[:upto] + norm2[:upto])
         if dual_stereo:
             x_cm = quant_band(

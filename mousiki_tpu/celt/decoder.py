@@ -205,7 +205,8 @@ class CeltDecoder:
     def decode_with_ec(self, data: bytes | None, frame_size: int,
                        dec: RangeDecoder | None = None,
                        accum_pcm: np.ndarray | None = None,
-                       return_desc: bool = False):
+                       return_desc: bool = False,
+                       record_plan: bool = False):
         """Decode one CELT frame; returns float PCM (frame_size/downsample, CC).
 
         If accum_pcm is given, decoded samples are added into it (used by the
@@ -333,13 +334,19 @@ class CeltDecoder:
         collapse_masks = np.zeros(C * nb, np.uint8)
         X = np.zeros((C, N), np.float64)
         X_flat = X.reshape(-1)
+        plan = None
+        if record_plan:
+            from .plan import FramePlan
+            plan = FramePlan(channels=C, frame=N, lm=LM, start=self.start,
+                             end=self.end, norm_offset=0, norm_len=0,
+                             short_blocks=bool(short_blocks))
         self.rng = quant_all_bands(
             False, mode, self.start, self.end, X_flat[:N],
             X_flat[N:] if C == 2 else None, collapse_masks, None,
             alloc.pulses, short_blocks, spread_decision, alloc.dual_stereo,
             alloc.intensity, tf_res,
             length * (8 << BITRES) - anti_collapse_rsv, balance, dec, LM,
-            coded_bands, self.rng, 0, self.disable_inv)
+            coded_bands, self.rng, 0, self.disable_inv, plan=plan)
 
         anti_collapse_on = 0
         if anti_collapse_rsv > 0:
@@ -350,6 +357,15 @@ class CeltDecoder:
                                 length * 8 - dec.tell(), dec, C)
 
         if anti_collapse_on:
+            if plan is not None:
+                plan.ac = {
+                    "masks": collapse_masks.copy(),
+                    "logE": old_band_e.copy(),
+                    "prev1": self.old_log_e.copy(),
+                    "prev2": self.old_log_e2.copy(),
+                    "pulses": list(alloc.pulses),
+                    "seed": int(self.rng),
+                }
             anti_collapse(mode, X_flat, collapse_masks, LM, C, N,
                           self.start, self.end, old_band_e, self.old_log_e,
                           self.old_log_e2, alloc.pulses, self.rng)
@@ -374,6 +390,8 @@ class CeltDecoder:
                 "pf_gain": postfilter_gain,
                 "pf_tapset": postfilter_tapset,
             }
+            if plan is not None:
+                desc["plan"] = plan
         else:
             self._synthesis(X, old_band_e, self.start, eff_end, C, CC,
                             bool(is_transient), LM, silence)

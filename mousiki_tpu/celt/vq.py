@@ -80,16 +80,27 @@ def renormalise_vector(X: np.ndarray, N: int, gain: float) -> None:
     X[:N] *= g
 
 
-def alg_unquant(X: np.ndarray, N: int, K: int, spread: int, B: int,
-                dec, gain: float) -> int:
-    """Decode the unit-norm band shape into X[:N]; returns the collapse mask."""
-    assert K > 0 and N > 1
-    iy = decode_pulses(dec, N, K)
+def alg_unquant_from_iy(X: np.ndarray, iy, N: int, K: int, spread: int,
+                        B: int, gain: float) -> int:
+    """Signal half of alg_unquant: pulse vector -> rotated unit-norm shape.
+
+    Pure function of (iy, N, K, spread, B, gain) — no entropy coder. This is
+    the piece the TPU band-plan executor runs on device; kept host-side here
+    for the reference decoder and the plan recorder.
+    """
     ryy = float(sum(v * v for v in iy))
     g = gain / math.sqrt(ryy)
     X[:N] = np.asarray(iy, np.float64) * g
     exp_rotation(X, N, -1, B, K, spread)
     return extract_collapse_mask(iy, N, B)
+
+
+def alg_unquant(X: np.ndarray, N: int, K: int, spread: int, B: int,
+                dec, gain: float) -> int:
+    """Decode the unit-norm band shape into X[:N]; returns the collapse mask."""
+    assert K > 0 and N > 1
+    iy = decode_pulses(dec, N, K)
+    return alg_unquant_from_iy(X, iy, N, K, spread, B, gain)
 
 
 def alg_quant(X: np.ndarray, N: int, K: int, spread: int, B: int,
