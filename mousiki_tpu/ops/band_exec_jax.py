@@ -1,0 +1,488 @@
+"""Batched device executor for CELT band-reconstruction plans.
+
+Runs, for S streams at once on the TPU, everything `bands.quant_all_bands`
+(decode side) does to the signal after symbols are known:
+
+  P1  CWRS index -> pulse vector walk (reference cwrs.rs cwrsi), as a
+      lax.scan over coefficient positions with a windowed vector search
+      over a saturated u32 U(n,k) table (valid streams keep min(n,k+1)
+      small because libopus caps V(N,K) < 2^32).
+  P2  PVQ spreading rotation (vq.rs exp_rotation): each Givens-chain pass
+      is a first-order affine recurrence -> lax.associative_scan, with
+      per-leaf segment/stride handled by an index arrangement.
+  P3  Band assembly in static band order: per-coefficient gather from the
+      leaf pool, fold/noise fills (counter-form LCG), Hadamard/haar
+      pre/post transforms as precomputed linear operators selected per
+      stream, norm-buffer maintenance, stereo merge / N==2 butterfly.
+  P4  anti_collapse (bands.rs:3220) with host-computed r and device LCG.
+
+Validated against the float64 NumPy reference executor (celt/plan.py) and
+against libopus PCM end to end. All math f32 on device.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..celt.modes import opus_custom_mode
+from ..celt.plan import _post_transforms, _pre_transforms
+from ..celt.plan_pack import (FILL_SLOTS, TIERS, combos_for_m,
+                              pool_layout)
+
+# ------------------------------------------------------------------ consts
+
+_SPREAD_FACTOR = np.array([44, 15, 10, 5], np.float32)  # [unused, light, normal, aggr]
+
+U_N = 210
+U_K = 160
+
+
+@lru_cache(maxsize=1)
+def _u_table() -> np.ndarray:
+    """Saturated u32 U(n,k) table, (U_N, U_K); same build as native host."""
+    tab = np.zeros((U_K, U_N), np.uint64)
+    for k in range(1, U_K):
+        tab[k, 1] = 1
+        if U_N > 2:
+            tab[k, 2] = 2 * k - 1
+        for n in range(3, U_N):
+            if k == 1:
+                tab[k, n] = 1
+            else:
+                v = tab[k - 1, n] + tab[k - 1, n - 1] + tab[k, n - 1]
+                tab[k, n] = min(v, np.uint64(0x1FFFFFFFF))
+    full = np.empty((U_N, U_K), np.uint32)
+    for n in range(U_N):
+        for k in range(U_K):
+            v = tab[min(n, k), max(n, k)] if min(n, k) < U_K else 0x1FFFFFFFF
+            full[n, k] = min(int(v), 0xFFFFFFFF)
+    full[:, 0] = 0
+    return full
+
+
+_LCG_A = 1664525
+_LCG_C = 1013904223
+_LCG_MAX = 2048
+
+
+@lru_cache(maxsize=1)
+def _lcg_jump() -> tuple[np.ndarray, np.ndarray]:
+    """A[j], C[j] with lcg^j(s) = A[j]*s + C[j]  (mod 2^32)."""
+    A = np.empty(_LCG_MAX, np.uint32)
+    Cc = np.empty(_LCG_MAX, np.uint32)
+    a, c = 1, 0
+    for j in range(_LCG_MAX):
+        A[j] = a
+        Cc[j] = c
+        a = (a * _LCG_A) & 0xFFFFFFFF
+        c = (c * _LCG_A + _LCG_C) & 0xFFFFFFFF
+    return A, Cc
+
+
+@lru_cache(maxsize=None)
+def _combo_mats(n_band: int, M: int):
+    """(pre, post) stacks of (n_combos, N, N) f32 linear operators."""
+    combos = combos_for_m(M)
+    pre = np.zeros((len(combos), n_band, n_band), np.float32)
+    post = np.zeros_like(pre)
+    for ci, (b0, tf) in enumerate(combos):
+        eye = np.eye(n_band, dtype=np.float64)
+        try:
+            pm = np.empty((n_band, n_band))
+            qm = np.empty((n_band, n_band))
+            for col in range(n_band):
+                v = eye[:, col].copy()
+                _pre_transforms(v, n_band, b0, tf)
+                pm[:, col] = v
+                v = eye[:, col].copy()
+                _post_transforms(v, n_band, b0, tf)
+                qm[:, col] = v
+            pre[ci] = pm
+            post[ci] = qm
+        except Exception:
+            pre[ci] = np.eye(n_band)
+            post[ci] = np.eye(n_band)
+    return pre, post
+
+
+# ------------------------------------------------------------------ P1 walk
+
+def cwrs_walk(active, n, k0, idx, nmax: int, slack: int = 12):
+    """Batched cwrsi walk. active/n/k0 int32, idx uint32 -> iy (B, nmax) i32."""
+    U = jnp.asarray(_u_table())
+    ar16 = jnp.arange(16, dtype=jnp.int32)
+    arn = jnp.arange(nmax, dtype=jnp.int32)
+
+    def step(state, _):
+        j, k, kj, idxv, pending, psign, done, iy = state
+        m = n - j
+        last = j >= n - 1
+        work = active & ~done
+        mm = jnp.clip(m, 0, U_N - 1)
+
+        p1 = U[mm, jnp.clip(k + 1, 0, U_K - 1)]
+        new_sign = (idxv >= p1)
+        idx_sub = jnp.where(work & ~last & ~pending & new_sign,
+                            idxv - p1, idxv)
+        sgn = jnp.where(pending, psign, new_sign)
+
+        lo = jnp.maximum(k - 15, 0)
+        colidx = lo[:, None] + ar16[None, :]
+        rows = U[mm[:, None], jnp.clip(colidx, 0, U_K - 1)]
+        cand = (rows <= idx_sub[:, None]) & (colidx <= k[:, None])
+        found = jnp.any(cand, axis=1)
+        kidx = jnp.max(jnp.where(cand, colidx, -1), axis=1)
+        pval = U[mm, jnp.clip(kidx, 0, U_K - 1)]
+        q = kj - kidx
+        yval = jnp.where(sgn, -q, q)
+
+        # k can only legitimately short-circuit the tail to zeros when it
+        # reached 0 through a resolution; during a windowed retry descent
+        # (pending) k == 0 still needs resolving (q = kj pulses at j)
+        resolve = work & ~last & ((k > 0) | pending) & found
+        retry = work & ~last & (k > 0) & ~found
+        fin_zero = work & ~last & (k == 0) & ~pending
+        fin_last = work & last
+
+        klast = jnp.where(idxv != 0, -k, k)
+        val = jnp.where(fin_last, klast, yval)
+        wpos = jnp.where(fin_last, jnp.clip(n - 1, 0, nmax - 1),
+                         jnp.clip(j, 0, nmax - 1))
+        do_write = resolve | fin_last
+        onehot = (arn[None, :] == wpos[:, None]) & do_write[:, None]
+        iy = jnp.where(onehot, val[:, None], iy)
+
+        j2 = jnp.where(resolve, j + 1, j)
+        k2 = jnp.where(resolve, kidx, jnp.where(retry, lo - 1, k))
+        kj2 = jnp.where(resolve, kidx, kj)
+        idx2 = jnp.where(resolve, idx_sub - pval, idx_sub)
+        pending2 = retry
+        psign2 = jnp.where(work & ~last, sgn, psign)
+        done2 = done | fin_last | fin_zero
+        return (j2, k2, kj2, idx2, pending2, psign2, done2, iy), None
+
+    B = n.shape[0]
+    z = jnp.zeros(B, jnp.int32)
+    fb = jnp.zeros(B, jnp.bool_)
+    iy0 = jnp.zeros((B, nmax), jnp.int32)
+    state0 = (z, k0, k0, idx, fb, fb, ~active, iy0)
+    state, _ = lax.scan(step, state0, None, length=nmax + slack)
+    return state[-1]
+
+
+# ------------------------------------------------------------ P2 rotation
+
+def _affine_scan(A, Bv, axis: int):
+    """x_t = A_t * x_{t-1} + B_t (x_{-1} irrelevant when A_0 = 0)."""
+    def comb(l, r):
+        Al, Bl = l
+        Ar, Br = r
+        return Al * Ar, Br + Ar * Bl
+    return lax.associative_scan(comb, (A, Bv), axis=axis)[1]
+
+
+def _rot1_contig(x, valid, first, lastm, c, s):
+    """One rot1 pass over chain-contiguous data.
+
+    x: (B, Q) values; valid mask; first/last-in-chain masks; c, s (B, 1).
+    Returns the transformed values (invalid positions pass through).
+    """
+    b = jnp.where(valid, x, 0.0)
+    # forward: a_t = c*b_t + s*a_{t-1}, a_0 = b_0 per chain
+    A = jnp.where(first | ~valid, 0.0, s)
+    Bv = jnp.where(first, b, c * b)
+    Bv = jnp.where(valid, Bv, 0.0)
+    a = _affine_scan(A, Bv, 1)
+    b_next = jnp.roll(b, -1, axis=1)
+    out_f = jnp.where(lastm, a, c * a - s * b_next)
+    y = jnp.where(valid, out_f, x)
+    # backward on flipped chains: d'_v = c*y'_v + (-s)*d'_{v-1}, start v=1
+    yf = jnp.flip(jnp.where(valid, y, 0.0), axis=1)
+    validf = jnp.flip(valid, axis=1)
+    firstf = jnp.flip(lastm, axis=1)   # chain-last becomes flipped-first
+    lastf = jnp.flip(first, axis=1)
+    # position-within-flipped-chain == 1 marker: previous is flipped-first
+    prev_first = jnp.roll(firstf, 1, axis=1)
+    prev_first = prev_first.at[:, 0].set(False)
+    A2 = jnp.where(firstf | prev_first | ~validf, 0.0, -s)
+    B2 = jnp.where(prev_first, yf, c * yf)
+    B2 = jnp.where(validf, B2, 0.0)
+    d = _affine_scan(A2, B2, 1)
+    y_next = jnp.roll(yf, -1, axis=1)
+    out_b = c * d + s * y_next
+    out_b = jnp.where(firstf, yf, jnp.where(lastf, d, out_b))
+    yb = jnp.flip(jnp.where(validf, out_b, yf), axis=1)
+    return jnp.where(valid, yb, x)
+
+
+def rotate_leaves(vals, active, n, k, b_blocks, spread, nmax: int):
+    """exp_rotation(dir=-1) batched over leaves. vals (B, nmax)."""
+    fK = k.astype(jnp.float32)
+    fn = n.astype(jnp.float32)
+    factor = jnp.asarray(_SPREAD_FACTOR)[jnp.clip(spread, 0, 3)]
+    gain = fn / (fn + factor * fK)
+    theta = 0.5 * gain * gain
+    c = jnp.cos(0.5 * jnp.pi * theta)[:, None]
+    s = jnp.cos(0.5 * jnp.pi * (1.0 - theta))[:, None]
+    do_rot = active & (2 * k < n) & (spread != 0)
+
+    stride = jnp.maximum(b_blocks, 1)
+    seglen = n // stride
+    # stride2 per reference vq.rs exp_rotation
+    v = jnp.arange(1, 15, dtype=jnp.int32)
+    cond = ((v[None, :] * v[None, :] + v[None, :]) * stride[:, None]
+            + (stride[:, None] >> 2)) < n[:, None]
+    st2 = 1 + jnp.sum(cond.astype(jnp.int32), axis=1)
+    st2 = jnp.where(n >= 8 * stride, st2, 0)
+
+    pos = jnp.arange(nmax, dtype=jnp.int32)[None, :]
+    seg = pos // jnp.maximum(seglen, 1)[:, None]
+    r = pos - seg * jnp.maximum(seglen, 1)[:, None]
+    in_range = pos < (stride * seglen)[:, None]
+
+    out = vals
+    # ---- pass A: stride2 chains (only when st2 > 0) ------------------
+    # Closed-form chain-contiguous arrangement: each chain gets a fixed
+    # CLmax-slot run; q decodes as (seg, chain, t) -> src = seg*seglen +
+    # chain + t*st2. Q is padded so seg_count * st2 * CLmax always fits.
+    Q = nmax + 128
+    stA = jnp.maximum(st2, 1)
+    sl = jnp.maximum(seglen, 1)
+    clmax = (sl + stA - 1) // stA           # (B,)
+    span = stA * clmax                       # slots per segment
+    qpos = jnp.arange(Q, dtype=jnp.int32)[None, :]
+    segq = qpos // jnp.maximum(span, 1)[:, None]
+    remq = qpos - segq * jnp.maximum(span, 1)[:, None]
+    chainq = remq // jnp.maximum(clmax, 1)[:, None]
+    tq = remq - chainq * jnp.maximum(clmax, 1)[:, None]
+    srcq = segq * sl[:, None] + chainq + tq * stA[:, None]
+    validq = ((segq < stride[:, None]) & (chainq + tq * stA[:, None]
+                                          < sl[:, None]))
+    srcq_c = jnp.clip(srcq, 0, nmax - 1)
+    xa = jnp.take_along_axis(out, srcq_c, axis=1)
+    clenq = (sl[:, None] - chainq + stA[:, None] - 1) // stA[:, None]
+    firstA = validq & (tq == 0)
+    lastA = validq & (tq == clenq - 1)
+    # rot1(seg, seglen, st2, s, c): coefficient args swapped
+    ya = _rot1_contig(xa, validq, firstA, lastA, s, c)
+    # gather back: position p -> q(p)
+    qs = seg * jnp.maximum(span, 1)[:, None] + (r % stA[:, None]) * \
+        jnp.maximum(clmax, 1)[:, None] + (r // stA[:, None])
+    outA = jnp.take_along_axis(ya, jnp.clip(qs, 0, Q - 1), axis=1)
+    out = jnp.where(do_rot[:, None] & (st2 > 0)[:, None] & in_range,
+                    outA, out)
+    # ---- pass B: stride-1 chains == segments (already contiguous) ----
+    firstB = in_range & (r == 0)
+    lastB = in_range & (r == jnp.maximum(seglen, 1)[:, None] - 1)
+    yb = _rot1_contig(out, in_range, firstB, lastB, c, s)
+    out = jnp.where(do_rot[:, None] & in_range, yb, out)
+    return out
+
+# ------------------------------------------------------ P3/P4: full executor
+
+def _is_identity(m: np.ndarray) -> bool:
+    return np.allclose(m, np.eye(m.shape[0]), atol=0)
+
+
+def _apply_combo(x, sel, mats: np.ndarray):
+    """x (S, N) -> per-stream selected linear transform from mats (NC,N,N)."""
+    out = x
+    for ci in range(mats.shape[0]):
+        if _is_identity(mats[ci]):
+            continue
+        y = x @ jnp.asarray(mats[ci].T)
+        out = jnp.where((sel == ci)[:, None], y, out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("channels", "frame", "lm", "start", "end"))
+def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
+                   start: int, end: int):
+    """Run S packed band plans; returns the X plane (S, channels*frame) f32.
+
+    x_direct: (S, channels, frame) fallback spectra for direct streams.
+    """
+    mode = opus_custom_mode(48000, 960)
+    eb = [int(v) for v in mode.ebands]
+    nb = mode.num_ebands
+    M = 1 << lm
+    norm_offset = M * eb[start]
+    norm_len = M * eb[nb - 1] - norm_offset
+    npad = norm_len + 192
+    S = p["direct"].shape[0]
+    offs = pool_layout()
+    A_J, C_J = _lcg_jump()
+    A_J = jnp.asarray(A_J)
+    C_J = jnp.asarray(C_J)
+
+    # ---- P1 + P2: PVQ leaves per tier -> pool ------------------------
+    parts = [jnp.zeros((S, 1), jnp.float32)]
+    for t, (nmax, slots) in enumerate(TIERS):
+        act = p["pvq_active"][t].reshape(-1)
+        n = p["pvq_n"][t].reshape(-1)
+        k = p["pvq_k"][t].reshape(-1)
+        iy = cwrs_walk(act, n, k, p["pvq_idx"][t].reshape(-1), nmax)
+        ryy = jnp.sum((iy * iy).astype(jnp.float32), axis=1)
+        g = jnp.where(ryy > 0,
+                      p["pvq_gain"][t].reshape(-1) / jnp.sqrt(ryy), 0.0)
+        vals = iy.astype(jnp.float32) * g[:, None]
+        vals = rotate_leaves(vals, act, n, k, p["pvq_b"][t].reshape(-1),
+                             p["pvq_spread"][t].reshape(-1), nmax)
+        parts.append(vals.reshape(S, slots * nmax))
+    pool = jnp.concatenate(parts, axis=1)
+    X = jnp.take_along_axis(pool, p["map"], axis=1)  # (S, C*frame)
+
+    # ---- P3: band assembly -------------------------------------------
+    norm = jnp.zeros((S, npad), jnp.float32)
+    norm2 = jnp.zeros((S, npad), jnp.float32)
+
+    for i in range(start, end):
+        n_b = M * (eb[i + 1] - eb[i])
+        boff = M * eb[i]
+        bx = []
+        for slot in range(channels):
+            sl = lax.dynamic_slice(X, (0, slot * frame + boff), (S, n_b))
+            act = p["call_active"][:, i, slot]
+            if n_b == 1:
+                sl = jnp.where(p["n1_active"][:, i, slot][:, None],
+                               p["n1_val"][:, i, slot][:, None], sl)
+                bx.append(sl)
+                continue
+            has = p["call_has_lb"][:, i, slot] & act
+            src = p["call_lb_src"][:, i, slot]
+            gidx = src[:, None] + jnp.arange(n_b, dtype=jnp.int32)[None, :]
+            gc = jnp.clip(gidx, 0, npad - 1)
+            nv = jnp.take_along_axis(norm, gc, axis=1)
+            n2v = jnp.take_along_axis(norm2, gc, axis=1)
+            blend = gidx < p["call_blend_upto"][:, i, slot][:, None]
+            base = jnp.where((p["call_lb_buf"][:, i, slot] == 1)[:, None],
+                             n2v, nv)
+            scr = jnp.where(blend, 0.5 * (nv + n2v), base)
+            pre_m, post_m = _combo_mats(n_b, M)
+            scr = _apply_combo(scr, p["call_pre"][:, i, slot], pre_m)
+            # fold/noise fills
+            posf = jnp.arange(n_b, dtype=jnp.int32)[None, :]
+            for f in range(FILL_SLOTS):
+                fa = p["fill_active"][:, i, slot, f] & act
+                offr = p["fill_off"][:, i, slot, f]
+                fn = p["fill_n"][:, i, slot, f]
+                d = posf - offr[:, None]
+                inw = (d >= 0) & (d < fn[:, None])
+                dc = jnp.clip(d + 1, 0, _LCG_MAX - 1)
+                seed0 = p["fill_seed"][:, i, slot, f]
+                seeds = A_J[dc] * seed0[:, None] + C_J[dc]
+                plus = (seeds & jnp.uint32(0x8000)) != 0
+                fold_v = jnp.where(plus, scr + 1.0 / 256, scr - 1.0 / 256)
+                noise_v = (seeds.astype(jnp.int32) >> 20).astype(jnp.float32)
+                vals = jnp.where(p["fill_fold"][:, i, slot, f][:, None],
+                                 fold_v, noise_v)
+                vals = jnp.where(inw, vals, 0.0)
+                E = 1e-15 + jnp.sum(vals * vals, axis=1)
+                g = p["fill_gain"][:, i, slot, f] / jnp.sqrt(E)
+                sl = jnp.where(fa[:, None] & inw, vals * g[:, None], sl)
+            sl = _apply_combo(sl, p["call_post"][:, i, slot], post_m)
+            bx.append(sl)
+        # norm writes (pre-merge, as in quant_band)
+        nwoff = boff - norm_offset
+        if 0 <= nwoff and nwoff + n_b <= norm_len:
+            scale = float(np.sqrt(n_b)) if n_b > 1 else 1.0
+            for slot in range(channels):
+                nw = (p["call_norm_write"][:, i, slot]
+                      & p["call_active"][:, i, slot])
+                tobuf2 = p["call_norm_buf"][:, i, slot] == 1
+                cur_n = lax.dynamic_slice(norm, (0, nwoff), (S, n_b))
+                cur_n2 = lax.dynamic_slice(norm2, (0, nwoff), (S, n_b))
+                val = scale * bx[slot]
+                norm = lax.dynamic_update_slice(
+                    norm, jnp.where((nw & ~tobuf2)[:, None], val, cur_n),
+                    (0, nwoff))
+                norm2 = lax.dynamic_update_slice(
+                    norm2, jnp.where((nw & tobuf2)[:, None], val, cur_n2),
+                    (0, nwoff))
+        # N == 2 stereo butterfly
+        if channels == 2 and n_b == 2:
+            ta = p["theta2_active"][:, i]
+            sgn = p["theta2_sign"][:, i]
+            cs = p["theta2_cswap"][:, i]
+            mid = p["theta2_mid"][:, i]
+            side = p["theta2_side"][:, i]
+            x0, x1 = bx
+            der0 = jnp.stack([-sgn * x1[:, 1], sgn * x1[:, 0]], axis=1)
+            der1 = jnp.stack([-sgn * x0[:, 1], sgn * x0[:, 0]], axis=1)
+            nx = jnp.where(cs[:, None], der0, x0)
+            ny = jnp.where(cs[:, None], x1, der1)
+            nx = nx * mid[:, None]
+            ny = ny * side[:, None]
+            ox = nx - ny
+            oy = nx + ny
+            oy = jnp.where(p["theta2_inv"][:, i][:, None], -oy, oy)
+            bx = [jnp.where(ta[:, None], ox, x0),
+                  jnp.where(ta[:, None], oy, x1)]
+        # stereo merge
+        if channels == 2 and n_b > 2:
+            ma = p["merge_active"][:, i]
+            mid = p["merge_mid"][:, i]
+            x0, x1 = bx
+            xp = jnp.sum(x0 * x1, axis=1) * mid
+            sd = jnp.sum(x1 * x1, axis=1)
+            el = mid * mid + sd - 2 * xp
+            er = mid * mid + sd + 2 * xp
+            degen = (er < 6e-4) | (el < 6e-4)
+            lg = 1.0 / jnp.sqrt(jnp.maximum(el, 1e-20))
+            rg = 1.0 / jnp.sqrt(jnp.maximum(er, 1e-20))
+            lpart = mid[:, None] * x0
+            mx = lg[:, None] * (lpart - x1)
+            my = rg[:, None] * (lpart + x1)
+            mx = jnp.where(degen[:, None], x0, mx)
+            my = jnp.where(degen[:, None], x0, my)
+            inv = p["merge_inv"][:, i]
+            my = jnp.where(inv[:, None], -my, my)
+            x1k = jnp.where(inv[:, None], -x1, x1)
+            bx = [jnp.where(ma[:, None], mx, x0),
+                  jnp.where(ma[:, None], my, x1k)]
+        for slot in range(channels):
+            X = lax.dynamic_update_slice(X, bx[slot],
+                                         (0, slot * frame + boff))
+
+    # ---- P4: anti-collapse -------------------------------------------
+    ac_on = p["ac_on"]
+    seed = p["ac_seed"]
+    for i in range(start, end):
+        n0 = eb[i + 1] - eb[i]
+        size_b = n0 * M
+        boff = M * eb[i]
+        kk = jnp.arange(M, dtype=jnp.int32)
+        for c in range(channels):
+            mask = p["ac_masks"][:, i, c]
+            cleared = ((~mask)[:, None] >> kk[None, :]) & 1  # (S, M)
+            prefc = jnp.cumsum(cleared, axis=1) - cleared    # cleared below k
+            any_cl = (jnp.sum(cleared, axis=1) > 0) & ac_on
+            r = p["ac_r"][:, c, i]
+            posb = jnp.arange(size_b, dtype=jnp.int32)
+            kpos = posb & (M - 1)
+            jpos = posb >> lm
+            ddraw = (jnp.take_along_axis(prefc, kpos[None, :].repeat(S, 0),
+                                         axis=1) * n0 + jpos[None, :] + 1)
+            dd = jnp.clip(ddraw, 0, _LCG_MAX - 1)
+            seeds = A_J[dd] * seed[:, None] + C_J[dd]
+            val = jnp.where((seeds & jnp.uint32(0x8000)) != 0,
+                            r[:, None], -r[:, None])
+            clr_pos = jnp.take_along_axis(cleared, kpos[None, :].repeat(S, 0),
+                                          axis=1) == 1
+            sl = lax.dynamic_slice(X, (0, c * frame + boff), (S, size_b))
+            sl2 = jnp.where(clr_pos & ac_on[:, None], val, sl)
+            E = 1e-15 + jnp.sum(sl2 * sl2, axis=1)
+            g = 1.0 / jnp.sqrt(E)
+            sl2 = jnp.where(any_cl[:, None], sl2 * g[:, None], sl2)
+            X = lax.dynamic_update_slice(X, sl2, (0, c * frame + boff))
+            cnt = jnp.clip(jnp.sum(cleared, axis=1) * n0, 0, _LCG_MAX - 1)
+            seed = jnp.where(ac_on, A_J[cnt] * seed + C_J[cnt], seed)
+
+    X = jnp.where(p["direct"][:, None], x_direct.reshape(S, -1), X)
+    return X
