@@ -104,7 +104,7 @@ class CeltStreamPipeline:
 
         ble_pad = np.full((S, C, 22), _LOW_E, np.float32)
         ble_pad[:, :, :21] = ble
-        return FrameDesc(
+        desc = FrameDesc(
             x=jnp.asarray(x, jnp.float32),
             band_log_e=jnp.asarray(ble_pad),
             transient=jnp.asarray(transient),
@@ -113,6 +113,13 @@ class CeltStreamPipeline:
             pf_gain=jnp.asarray(pf_gains, jnp.float32),
             pf_tapset=jnp.asarray(pf_tapset, jnp.int32),
         )
+        if self._native is not None:
+            # x / pf_pitch / pf_tapset alias the native batch's reused output
+            # buffers and the H2D copy is asynchronous: wait for the transfer
+            # (not the synthesis) before the next decode may overwrite them.
+            import jax
+            jax.block_until_ready(desc)
+        return desc
 
     def step(self, payloads: list, frame_size: int = 960):
         """Decode one frame for every stream.
