@@ -65,8 +65,96 @@ def _load():
     lib.celt_host_decode_batch.argtypes = [
         C.POINTER(C.c_void_p), C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int,
         C.c_int, C.c_int, C.c_int, fp, dp, ip, dp, ip, C.c_int]
+    vp = C.POINTER(C.c_void_p)
+    lib.celt_host_decode_plan.restype = C.c_int
+    lib.celt_host_decode_plan.argtypes = [
+        C.c_void_p, C.c_char_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_int, vp, C.c_int, C.c_int]
+    lib.celt_host_decode_plan_batch.argtypes = [
+        C.POINTER(C.c_void_p), C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int,
+        C.c_int, C.c_int, C.c_int, vp, C.c_int]
     _lib = lib
     return lib
+
+
+# Packed plan-array layout shared with native/celt_host.cpp (see the
+# celt_host_decode_plan comment there) and mousiki_tpu/celt/plan_pack.py.
+_TIERS = ((16, 224), (48, 48), (176, 16))
+_NB = 21
+_FILL = 4
+
+
+def alloc_plan_buffers(S: int, channels: int, frame: int) -> dict:
+    """Allocate the packed plan tensors + frame-descriptor outputs."""
+    t = lambda dt: [np.zeros((S, slots), dt) for _, slots in _TIERS]
+    return {
+        "direct": np.zeros(S, np.bool_),
+        "pvq_active": t(np.bool_),
+        "pvq_n": t(np.int32), "pvq_k": t(np.int32), "pvq_b": t(np.int32),
+        "pvq_spread": t(np.int32), "pvq_gain": t(np.float32),
+        "pvq_idx": t(np.uint32),
+        "map": np.zeros((S, channels * frame), np.int32),
+        "call_active": np.zeros((S, _NB, 2), np.bool_),
+        "call_has_lb": np.zeros((S, _NB, 2), np.bool_),
+        "call_lb_src": np.zeros((S, _NB, 2), np.int32),
+        "call_lb_buf": np.zeros((S, _NB, 2), np.int32),
+        "call_blend_upto": np.full((S, _NB, 2), -1, np.int32),
+        "call_pre": np.zeros((S, _NB, 2), np.int32),
+        "call_post": np.zeros((S, _NB, 2), np.int32),
+        "call_norm_write": np.zeros((S, _NB, 2), np.bool_),
+        "call_norm_buf": np.zeros((S, _NB, 2), np.int32),
+        "fill_active": np.zeros((S, _NB, 2, _FILL), np.bool_),
+        "fill_fold": np.zeros((S, _NB, 2, _FILL), np.bool_),
+        "fill_off": np.zeros((S, _NB, 2, _FILL), np.int32),
+        "fill_n": np.zeros((S, _NB, 2, _FILL), np.int32),
+        "fill_gain": np.ones((S, _NB, 2, _FILL), np.float32),
+        "fill_seed": np.zeros((S, _NB, 2, _FILL), np.uint32),
+        "merge_active": np.zeros((S, _NB), np.bool_),
+        "merge_mid": np.zeros((S, _NB), np.float32),
+        "merge_inv": np.zeros((S, _NB), np.bool_),
+        "theta2_active": np.zeros((S, _NB), np.bool_),
+        "theta2_cswap": np.zeros((S, _NB), np.bool_),
+        "theta2_sign": np.zeros((S, _NB), np.float32),
+        "theta2_mid": np.zeros((S, _NB), np.float32),
+        "theta2_side": np.zeros((S, _NB), np.float32),
+        "theta2_inv": np.zeros((S, _NB), np.bool_),
+        "n1_active": np.zeros((S, _NB, 2), np.bool_),
+        "n1_val": np.zeros((S, _NB, 2), np.float32),
+        "ac_on": np.zeros(S, np.bool_),
+        "ac_masks": np.zeros((S, _NB, 2), np.int32),
+        "ac_r": np.zeros((S, 2, _NB), np.float32),
+        "ac_seed": np.zeros(S, np.uint32),
+        "x_direct": np.zeros((S, channels, frame), np.float32),
+        "band_log_e": np.zeros((S, 2, _NB), np.float64),
+        "iflags": np.zeros((S, 4), np.int32),
+        "pf_gain": np.zeros(S, np.float64),
+        "rcs": np.zeros(S, np.int32),
+    }
+
+
+def _plan_ptr_table(bufs: dict):
+    order = (["direct"]
+             + [("pvq_active", t) for t in range(3)]
+             + [("pvq_n", t) for t in range(3)]
+             + [("pvq_k", t) for t in range(3)]
+             + [("pvq_b", t) for t in range(3)]
+             + [("pvq_spread", t) for t in range(3)]
+             + [("pvq_gain", t) for t in range(3)]
+             + [("pvq_idx", t) for t in range(3)]
+             + ["map", "call_active", "call_has_lb", "call_lb_src",
+                "call_lb_buf", "call_blend_upto", "call_pre", "call_post",
+                "call_norm_write", "call_norm_buf", "fill_active",
+                "fill_fold", "fill_off", "fill_n", "fill_gain", "fill_seed",
+                "merge_active", "merge_mid", "merge_inv", "theta2_active",
+                "theta2_cswap", "theta2_sign", "theta2_mid", "theta2_side",
+                "theta2_inv", "n1_active", "n1_val", "ac_on", "ac_masks",
+                "ac_r", "ac_seed", "x_direct", "band_log_e", "iflags",
+                "pf_gain", "rcs"])
+    ptrs = (C.c_void_p * len(order))()
+    for k, key in enumerate(order):
+        arr = bufs[key[0]][key[1]] if isinstance(key, tuple) else bufs[key]
+        ptrs[k] = arr.ctypes.data_as(C.c_void_p)
+    return ptrs
 
 
 def available() -> bool:
@@ -224,3 +312,31 @@ class NativeCeltHostBatch:
             pf_gains.ctypes.data_as(dp), rcs.ctypes.data_as(ip),
             self.n_threads)
         return x, ble, iflags, pf_gains, rcs
+
+    def decode_plan(self, payloads: list, frame_size: int) -> dict:
+        """Symbol-only batch decode emitting packed band plans.
+
+        Returns the plan-buffer dict (see alloc_plan_buffers): the packed
+        plan tensors for ops/band_exec_jax.execute_packed plus band_log_e,
+        iflags, pf_gain, x_direct (fallback spectra), direct and rcs.
+        """
+        S, Cch = self.S, self.channels
+        assert len(payloads) == S
+        key = ("plan", frame_size)
+        if key not in self._bufs:
+            self._bufs[key] = (alloc_plan_buffers(S, Cch, frame_size),
+                               np.empty(S, np.int32), np.empty(S, np.int32))
+            self._bufs[key] += (_plan_ptr_table(self._bufs[key][0]),)
+        bufs, offs, lens, ptrs = self._bufs[key]
+        blob = b"".join(payloads)
+        pos = 0
+        for i, p in enumerate(payloads):
+            offs[i] = pos
+            lens[i] = len(p)
+            pos += lens[i]
+        ip = C.POINTER(C.c_int32)
+        self._lib.celt_host_decode_plan_batch(
+            self._states, blob, offs.ctypes.data_as(ip),
+            lens.ctypes.data_as(ip), S, frame_size, Cch, self.start, self.end,
+            1 if self.disable_inv else 0, ptrs, self.n_threads)
+        return bufs

@@ -286,19 +286,16 @@ def rotate_leaves(vals, active, n, k, b_blocks, spread, nmax: int):
 
 # ------------------------------------------------------ P3/P4: full executor
 
-def _is_identity(m: np.ndarray) -> bool:
-    return np.allclose(m, np.eye(m.shape[0]), atol=0)
-
-
 def _apply_combo(x, sel, mats: np.ndarray):
-    """x (S, N) -> per-stream selected linear transform from mats (NC,N,N)."""
-    out = x
-    for ci in range(mats.shape[0]):
-        if _is_identity(mats[ci]):
-            continue
-        y = x @ jnp.asarray(mats[ci].T)
-        out = jnp.where((sel == ci)[:, None], y, out)
-    return out
+    """x (S, N) -> per-stream selected linear transform from mats (NC,N,N).
+
+    One gathered batched matmul instead of NC masked matmuls: keeps the
+    XLA graph small (compile time) and puts the work on the MXU. HIGHEST
+    precision — bf16 passes would break parity with the f64 reference.
+    """
+    m = jnp.take(jnp.asarray(mats), sel, axis=0)          # (S, N, N)
+    return jnp.einsum("sn,smn->sm", x, m,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("channels", "frame", "lm", "start", "end"))
@@ -366,26 +363,29 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
             scr = jnp.where(blend, 0.5 * (nv + n2v), base)
             pre_m, post_m = _combo_mats(n_b, M)
             scr = _apply_combo(scr, p["call_pre"][:, i, slot], pre_m)
-            # fold/noise fills
-            posf = jnp.arange(n_b, dtype=jnp.int32)[None, :]
-            for f in range(FILL_SLOTS):
-                fa = p["fill_active"][:, i, slot, f] & act
-                offr = p["fill_off"][:, i, slot, f]
-                fn = p["fill_n"][:, i, slot, f]
-                d = posf - offr[:, None]
-                inw = (d >= 0) & (d < fn[:, None])
-                dc = jnp.clip(d + 1, 0, _LCG_MAX - 1)
-                seed0 = p["fill_seed"][:, i, slot, f]
-                seeds = A_J[dc] * seed0[:, None] + C_J[dc]
-                plus = (seeds & jnp.uint32(0x8000)) != 0
-                fold_v = jnp.where(plus, scr + 1.0 / 256, scr - 1.0 / 256)
-                noise_v = (seeds.astype(jnp.int32) >> 20).astype(jnp.float32)
-                vals = jnp.where(p["fill_fold"][:, i, slot, f][:, None],
-                                 fold_v, noise_v)
-                vals = jnp.where(inw, vals, 0.0)
-                E = 1e-15 + jnp.sum(vals * vals, axis=1)
-                g = p["fill_gain"][:, i, slot, f] / jnp.sqrt(E)
-                sl = jnp.where(fa[:, None] & inw, vals * g[:, None], sl)
+            # fold/noise fills — all FILL_SLOTS at once (windows disjoint)
+            posf = jnp.arange(n_b, dtype=jnp.int32)
+            fa = p["fill_active"][:, i, slot, :] & act[:, None]  # (S, F)
+            offr = p["fill_off"][:, i, slot, :]
+            fn = p["fill_n"][:, i, slot, :]
+            d = posf[None, None, :] - offr[:, :, None]           # (S, F, n)
+            inw = (d >= 0) & (d < fn[:, :, None])
+            dc = jnp.clip(d + 1, 0, _LCG_MAX - 1)
+            seed0 = p["fill_seed"][:, i, slot, :]
+            seeds = A_J[dc] * seed0[:, :, None] + C_J[dc]
+            plus = (seeds & jnp.uint32(0x8000)) != 0
+            fold_v = jnp.where(plus, scr[:, None, :] + 1.0 / 256,
+                               scr[:, None, :] - 1.0 / 256)
+            noise_v = (seeds.astype(jnp.int32) >> 20).astype(jnp.float32)
+            vals = jnp.where(p["fill_fold"][:, i, slot, :][:, :, None],
+                             fold_v, noise_v)
+            vals = jnp.where(inw, vals, 0.0)
+            E = 1e-15 + jnp.sum(vals * vals, axis=2)             # (S, F)
+            g = p["fill_gain"][:, i, slot, :] / jnp.sqrt(E)
+            live = fa[:, :, None] & inw
+            contrib = jnp.where(live, vals * g[:, :, None], 0.0)
+            covered = jnp.any(live, axis=1)                      # (S, n)
+            sl = jnp.where(covered, jnp.sum(contrib, axis=1), sl)
             sl = _apply_combo(sl, p["call_post"][:, i, slot], post_m)
             bx.append(sl)
         # norm writes (pre-merge, as in quant_band)
@@ -450,39 +450,60 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
             X = lax.dynamic_update_slice(X, bx[slot],
                                          (0, slot * frame + boff))
 
-    # ---- P4: anti-collapse -------------------------------------------
+    # ---- P4: anti-collapse (whole-plane vectorized) -------------------
+    # The per-(band, channel) LCG draw counts are known upfront, so every
+    # position's seed comes from one closed-form jump (A_J/C_J); band
+    # energies for the renormalise come from one indicator matmul.
     ac_on = p["ac_on"]
-    seed = p["ac_seed"]
+    seed0 = p["ac_seed"]
+    nbins = M * eb[end]
+    band_of = np.full(nbins, -1, np.int32)
+    basep = np.zeros(nbins, np.int32)
     for i in range(start, end):
-        n0 = eb[i + 1] - eb[i]
-        size_b = n0 * M
-        boff = M * eb[i]
-        kk = jnp.arange(M, dtype=jnp.int32)
-        for c in range(channels):
-            mask = p["ac_masks"][:, i, c]
-            cleared = ((~mask)[:, None] >> kk[None, :]) & 1  # (S, M)
-            prefc = jnp.cumsum(cleared, axis=1) - cleared    # cleared below k
-            any_cl = (jnp.sum(cleared, axis=1) > 0) & ac_on
-            r = p["ac_r"][:, c, i]
-            posb = jnp.arange(size_b, dtype=jnp.int32)
-            kpos = posb & (M - 1)
-            jpos = posb >> lm
-            ddraw = (jnp.take_along_axis(prefc, kpos[None, :].repeat(S, 0),
-                                         axis=1) * n0 + jpos[None, :] + 1)
-            dd = jnp.clip(ddraw, 0, _LCG_MAX - 1)
-            seeds = A_J[dd] * seed[:, None] + C_J[dd]
-            val = jnp.where((seeds & jnp.uint32(0x8000)) != 0,
-                            r[:, None], -r[:, None])
-            clr_pos = jnp.take_along_axis(cleared, kpos[None, :].repeat(S, 0),
-                                          axis=1) == 1
-            sl = lax.dynamic_slice(X, (0, c * frame + boff), (S, size_b))
-            sl2 = jnp.where(clr_pos & ac_on[:, None], val, sl)
-            E = 1e-15 + jnp.sum(sl2 * sl2, axis=1)
-            g = 1.0 / jnp.sqrt(E)
-            sl2 = jnp.where(any_cl[:, None], sl2 * g[:, None], sl2)
-            X = lax.dynamic_update_slice(X, sl2, (0, c * frame + boff))
-            cnt = jnp.clip(jnp.sum(cleared, axis=1) * n0, 0, _LCG_MAX - 1)
-            seed = jnp.where(ac_on, A_J[cnt] * seed + C_J[cnt], seed)
+        band_of[M * eb[i]:M * eb[i + 1]] = i
+        basep[M * eb[i]:M * eb[i + 1]] = M * eb[i]
+    qpos = np.arange(nbins)
+    valid_np = band_of >= 0
+    band_of_c = np.where(valid_np, band_of, 0).astype(np.int32)
+    kpos_np = ((qpos - basep) & (M - 1)).astype(np.int32)
+    jpos_np = ((qpos - basep) >> lm).astype(np.int32)
+    n0_np = np.array([eb[i + 1] - eb[i] for i in range(nb)], np.int32)
+    ind = np.zeros((nbins, nb), np.float32)
+    ind[qpos[valid_np], band_of[valid_np]] = 1.0
+    in_rng = np.zeros(nb, np.int32)
+    in_rng[start:end] = 1
+
+    kk = jnp.arange(M, dtype=jnp.int32)
+    cl = ((~p["ac_masks"][:, :, :, None]) >> kk[None, None, None, :]) & 1
+    cl = cl * jnp.asarray(in_rng)[None, :, None, None]      # (S, nb, 2, M)
+    prefc = jnp.cumsum(cl, axis=3) - cl                     # cleared below k
+    cnt = jnp.sum(cl, axis=3) * jnp.asarray(n0_np)[None, :, None]
+    cntC = cnt[:, :, :channels].reshape(S, -1)              # (i-major, c-minor)
+    cum_prior = (jnp.cumsum(cntC, axis=1) - cntC).reshape(S, nb, channels)
+
+    bmap = jnp.asarray(band_of_c)
+    kmap = jnp.asarray(kpos_np)
+    jmap = jnp.asarray(jpos_np)
+    vmask = jnp.asarray(valid_np)
+    n0q = jnp.asarray(n0_np)[bmap]
+    indm = jnp.asarray(ind)
+    for c in range(channels):
+        prefq = prefc[:, bmap, c, kmap]                     # (S, nbins)
+        clrq = cl[:, bmap, c, kmap] == 1
+        ddraw = prefq * n0q[None, :] + jmap[None, :] + 1
+        dd = jnp.clip(cum_prior[:, :, c][:, bmap] + ddraw, 0, _LCG_MAX - 1)
+        seeds = A_J[dd] * seed0[:, None] + C_J[dd]
+        rq = p["ac_r"][:, c, :][:, bmap]
+        val = jnp.where((seeds & jnp.uint32(0x8000)) != 0, rq, -rq)
+        xplane = lax.dynamic_slice(X, (0, c * frame), (S, nbins))
+        inject = clrq & ac_on[:, None] & vmask[None, :]
+        x2 = jnp.where(inject, val, xplane)
+        Eb = 1e-15 + jnp.einsum("sq,qb->sb", x2 * x2, indm,
+                                precision=jax.lax.Precision.HIGHEST)
+        gb = 1.0 / jnp.sqrt(Eb)
+        anyb = (cnt[:, :, c] > 0) & ac_on[:, None]          # (S, nb)
+        gq = jnp.where(anyb[:, bmap] & vmask[None, :], gb[:, bmap], 1.0)
+        X = lax.dynamic_update_slice(X, x2 * gq, (0, c * frame))
 
     X = jnp.where(p["direct"][:, None], x_direct.reshape(S, -1), X)
     return X

@@ -936,17 +936,16 @@ struct SplitCtx {
   int inv, imid, iside, delta, itheta, qalloc;
 };
 
-void compute_theta(BandCtx* ctx, SplitCtx* sctx, float* X, float* Y, int N,
-                   int* b, int B, int B0, int LM, bool stereo, uint32_t* fill) {
-  EcDec* ec = ctx->ec;
-  int i = ctx->i;
+void compute_theta_impl(EcDec* ec, int i, int intensity, int remaining_bits,
+                        bool disable_inv, SplitCtx* sctx, int N, int* b,
+                        int B, int B0, int LM, bool stereo, uint32_t* fill) {
   int inv = 0, itheta = 0;
 
   int pulse_cap = (int)kLogN[i] + LM * (1 << BITRES);
   int offset = (pulse_cap >> 1) -
                (stereo && N == 2 ? QTHETA_OFFSET_TWOPHASE : QTHETA_OFFSET);
   int qn = compute_qn(N, b[0], offset, pulse_cap, stereo);
-  if (stereo && i >= ctx->intensity) qn = 1;
+  if (stereo && i >= intensity) qn = 1;
   int tell = ec_tell_frac(ec);
   if (qn != 1) {
     if (stereo && N > 2) {
@@ -984,11 +983,11 @@ void compute_theta(BandCtx* ctx, SplitCtx* sctx, float* X, float* Y, int N,
     }
     itheta = (itheta * 16384) / qn;
   } else if (stereo) {
-    if (b[0] > 2 << BITRES && ctx->remaining_bits > 2 << BITRES)
+    if (b[0] > 2 << BITRES && remaining_bits > 2 << BITRES)
       inv = ec_dec_bit_logp(ec, 2);
     else
       inv = 0;
-    if (ctx->disable_inv) inv = 0;
+    if (disable_inv) inv = 0;
     itheta = 0;
   }
   int qalloc = ec_tell_frac(ec) - tell;
@@ -1016,6 +1015,14 @@ void compute_theta(BandCtx* ctx, SplitCtx* sctx, float* X, float* Y, int N,
   sctx->delta = delta;
   sctx->itheta = itheta;
   sctx->qalloc = qalloc;
+}
+
+void compute_theta(BandCtx* ctx, SplitCtx* sctx, float* X, float* Y, int N,
+                   int* b, int B, int B0, int LM, bool stereo, uint32_t* fill) {
+  (void)X;
+  (void)Y;
+  compute_theta_impl(ctx->ec, ctx->i, ctx->intensity, ctx->remaining_bits,
+                     ctx->disable_inv, sctx, N, b, B, B0, LM, stereo, fill);
 }
 
 uint32_t quant_band_n1(BandCtx* ctx, float* X, float* Y, float* lowband_out) {
@@ -1585,6 +1592,560 @@ void celt_host_reset_impl(CeltHost* st) {
   }
 }
 
+// ------------------------------------------------------- plan-mode decode
+// Symbol-only decode that records band-reconstruction plans (the packed
+// tensor layout of mousiki_tpu/celt/plan_pack.py) instead of doing any
+// float signal math. The device executor (ops/band_exec_jax.py) replays
+// the plan; reference semantics per src/celt/bands.rs quant_all_bands and
+// vq.rs alg_unquant. On capacity overflow the caller falls back to the
+// direct decoder (direct=1 + x_direct).
+namespace {
+
+// tier capacities — must match plan_pack.TIERS
+constexpr int kTierN[3] = {16, 48, 176};
+constexpr int kTierSlots[3] = {224, 48, 16};
+constexpr int kFillSlots = 4;
+constexpr int kPool0 = 1;  // reserved zero cell
+constexpr int kLcgMax = 2048;
+
+uint32_t g_lcg_a[kLcgMax];
+uint32_t g_lcg_c[kLcgMax];
+
+void build_lcg_jump() {
+  uint32_t a = 1, c = 0;
+  for (int j = 0; j < kLcgMax; j++) {
+    g_lcg_a[j] = a;
+    g_lcg_c[j] = c;
+    a = a * 1664525u;
+    c = c * 1664525u + 1013904223u;
+  }
+}
+
+inline uint32_t lcg_jump(uint32_t seed, int n) {
+  return g_lcg_a[n] * seed + g_lcg_c[n];
+}
+
+// combo id — must match plan_pack.combos_for_m(M)
+inline int combo_id(int b0, int tf, int M) {
+  if (tf < -3 || tf > 3) return -1;
+  if (b0 == 1) return tf == 0 ? 0 : (tf < 0 ? tf + 4 : tf + 3);
+  if (b0 != M || M == 1) return -1;
+  return 7 + (tf + 3);
+}
+
+// Per-stream views into the packed output arrays (already offset for s).
+struct PlanOut {
+  uint8_t* direct;
+  uint8_t* pvq_active[3];
+  int32_t* pvq_n[3];
+  int32_t* pvq_k[3];
+  int32_t* pvq_b[3];
+  int32_t* pvq_spread[3];
+  float* pvq_gain[3];
+  uint32_t* pvq_idx[3];
+  int32_t* map;             // (C*frame,)
+  uint8_t* call_active;     // (21, 2)
+  uint8_t* call_has_lb;
+  int32_t* call_lb_src;
+  int32_t* call_lb_buf;
+  int32_t* call_blend_upto;
+  int32_t* call_pre;
+  int32_t* call_post;
+  uint8_t* call_norm_write;
+  int32_t* call_norm_buf;
+  uint8_t* fill_active;     // (21, 2, 4)
+  uint8_t* fill_fold;
+  int32_t* fill_off;
+  int32_t* fill_n;
+  float* fill_gain;
+  uint32_t* fill_seed;
+  uint8_t* merge_active;    // (21,)
+  float* merge_mid;
+  uint8_t* merge_inv;
+  uint8_t* theta2_active;
+  uint8_t* theta2_cswap;
+  float* theta2_sign;
+  float* theta2_mid;
+  float* theta2_side;
+  uint8_t* theta2_inv;
+  uint8_t* n1_active;       // (21, 2)
+  float* n1_val;
+  uint8_t* ac_on;
+  int32_t* ac_masks;        // (21, 2)
+  float* ac_r;              // (2, 21)
+  uint32_t* ac_seed;
+};
+
+struct PlanCtx {
+  int i;
+  int intensity;
+  int spread;
+  int tf_change;
+  EcDec* ec;
+  int remaining_bits;
+  uint32_t seed;
+  bool disable_inv;
+  // plan state
+  PlanOut* out;
+  int tier_used[3];
+  int band, slot;     // current top-level call location
+  int call_base;      // absolute X-plane offset of the call's band vector
+  int fill_used;      // fills recorded for the current call
+  bool failed;
+  int frame;          // frame_size N (per channel plane)
+};
+
+// index -> pulse vector (reference cwrs.rs cwrsi); same descent as
+// decode_pulses but starting from a known index, no ryy.
+void cwrs_iy(uint32_t idx, int* iy, int n, int k) {
+  int j = 0;
+  for (; j < n - 1; j++) {
+    if (k == 0) break;
+    int m = n - j;
+    uint32_t p = pvq_u_hot(m, k + 1);
+    uint32_t smask = (uint32_t) - (int)(idx >= p);
+    idx -= p & smask;
+    int k0 = k;
+    p = pvq_u_hot(m, k);
+    while (p > idx) p = pvq_u(m, --k);
+    idx -= p;
+    uint32_t q = (uint32_t)(k0 - k);
+    iy[j] = (int)((q ^ smask) - smask);
+  }
+  for (; j < n - 1; j++) iy[j] = 0;
+  iy[n - 1] = idx ? -k : k;
+}
+
+uint32_t pq_alg_unquant(PlanCtx* ctx, int dst, int N, int K, int B,
+                        double gain) {
+  uint32_t idx = ec_dec_uint(ctx->ec, pvq_v(N, K));
+  uint32_t cm;
+  if (B <= 1) {
+    cm = 1;
+  } else {
+    int iy[208];
+    cwrs_iy(idx, iy, N, K);
+    cm = extract_collapse_mask(iy, N, B);
+  }
+  PlanOut* o = ctx->out;
+  int t = N <= kTierN[0] ? 0 : (N <= kTierN[1] ? 1 : 2);
+  while (t < 3 && ctx->tier_used[t] >= kTierSlots[t]) t++;
+  if (t == 3) {
+    ctx->failed = true;
+    return cm;
+  }
+  int j = ctx->tier_used[t]++;
+  o->pvq_active[t][j] = 1;
+  o->pvq_n[t][j] = N;
+  o->pvq_k[t][j] = K;
+  o->pvq_b[t][j] = B;
+  o->pvq_spread[t][j] = ctx->spread;
+  o->pvq_gain[t][j] = (float)gain;
+  o->pvq_idx[t][j] = idx;
+  int base = kPool0;
+  for (int tt = 0; tt < t; tt++) base += kTierN[tt] * kTierSlots[tt];
+  base += j * kTierN[t];
+  for (int q = 0; q < N; q++) o->map[dst + q] = base + q;
+  return cm;
+}
+
+uint32_t pq_partition(PlanCtx* ctx, int dst, int N, int b, int B,
+                      bool has_lowband, int LM, double gain, uint32_t fill) {
+  int i = ctx->i;
+  EcDec* ec = ctx->ec;
+  int B0 = B;
+  uint32_t cm = 0;
+  if (ctx->failed) return 0;
+
+  int cache_index = kCacheIndex[(LM + 1) * NB + i];
+  const uint8_t* cache = kCacheBits + (cache_index < 0 ? 0 : cache_index);
+  bool can_split = cache_index >= 0 && LM != -1 &&
+                   b > (int)cache[cache[0]] + 12 && N > 2;
+  if (can_split) {
+    N >>= 1;
+    int dst_y = dst + N;
+    LM -= 1;
+    if (B == 1) fill = (fill & 1) | (fill << 1);
+    B = (B + 1) >> 1;
+
+    SplitCtx sctx;
+    int b_box = b;
+    uint32_t fill_box = fill;
+    compute_theta_impl(ctx->ec, ctx->i, ctx->intensity, ctx->remaining_bits,
+                       ctx->disable_inv, &sctx, N, &b_box, B, B0, LM, false,
+                       &fill_box);
+    b = b_box;
+    fill = fill_box;
+    int delta = sctx.delta, itheta = sctx.itheta, qalloc = sctx.qalloc;
+    double mid = sctx.imid / 32768.0;
+    double side = sctx.iside / 32768.0;
+
+    if (B0 > 1 && (itheta & 0x3FFF)) {
+      if (itheta > 8192)
+        delta -= delta >> (4 - LM);
+      else
+        delta = std::min(0, delta + (N << BITRES >> (5 - LM)));
+    }
+    int bd = b - delta;
+    int half = bd >= 0 ? bd / 2 : -((-bd + 1) / 2);
+    int mbits = std::max(0, std::min(b, half));
+    int sbits = b - mbits;
+    ctx->remaining_bits -= qalloc;
+
+    int rebalance = ctx->remaining_bits;
+    if (mbits >= sbits) {
+      cm = pq_partition(ctx, dst, N, mbits, B, has_lowband, LM, gain * mid,
+                        fill);
+      rebalance = mbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 0)
+        sbits += rebalance - (3 << BITRES);
+      cm |= pq_partition(ctx, dst_y, N, sbits, B, has_lowband, LM,
+                         gain * side, fill >> B)
+            << (B0 >> 1);
+    } else {
+      cm = pq_partition(ctx, dst_y, N, sbits, B, has_lowband, LM, gain * side,
+                        fill >> B)
+           << (B0 >> 1);
+      rebalance = sbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 16384)
+        mbits += rebalance - (3 << BITRES);
+      cm |= pq_partition(ctx, dst, N, mbits, B, has_lowband, LM, gain * mid,
+                         fill);
+    }
+  } else {
+    int q = bits2pulses(i, LM, b);
+    int curr_bits = pulses2bits(i, LM, q);
+    ctx->remaining_bits -= curr_bits;
+    while (ctx->remaining_bits < 0 && q > 0) {
+      ctx->remaining_bits += curr_bits;
+      q--;
+      curr_bits = pulses2bits(i, LM, q);
+      ctx->remaining_bits -= curr_bits;
+    }
+    if (q != 0) {
+      int K = get_pulses(q);
+      cm = pq_alg_unquant(ctx, dst, N, K, B, gain);
+    } else {
+      uint32_t cm_mask = (1u << B) - 1;
+      fill &= cm_mask;
+      if (fill) {
+        // noise (no lowband) or fold leaf; the executor replays the LCG
+        PlanOut* o = ctx->out;
+        if (ctx->fill_used >= kFillSlots) {
+          ctx->failed = true;
+          return 0;
+        }
+        int fs = (ctx->band * 2 + ctx->slot) * kFillSlots + ctx->fill_used++;
+        o->fill_active[fs] = 1;
+        o->fill_fold[fs] = has_lowband ? 1 : 0;
+        o->fill_off[fs] = dst - ctx->call_base;
+        o->fill_n[fs] = N;
+        o->fill_gain[fs] = (float)gain;
+        o->fill_seed[fs] = ctx->seed;
+        ctx->seed = lcg_jump(ctx->seed, N);
+        cm = has_lowband ? fill : cm_mask;
+      }
+      // fill == 0: zero partition — map entries stay 0 (pool zero cell)
+    }
+  }
+  return cm;
+}
+
+uint32_t pq_band_n1(PlanCtx* ctx, int dst, bool stereo, bool norm_write,
+                    int norm_buf) {
+  EcDec* ec = ctx->ec;
+  PlanOut* o = ctx->out;
+  int nch = stereo ? 2 : 1;
+  for (int c = 0; c < nch; c++) {
+    int sign = 0;
+    if (ctx->remaining_bits >= 1 << BITRES) {
+      sign = (int)ec_dec_bits(ec, 1);
+      ctx->remaining_bits -= 1 << BITRES;
+    }
+    int ch = c == 0 ? ctx->slot : 1;  // X in the call's slot, Y in ch 1
+    o->n1_active[ctx->band * 2 + ch] = 1;
+    o->n1_val[ctx->band * 2 + ch] = sign ? -1.0f : 1.0f;
+  }
+  o->call_active[ctx->band * 2 + ctx->slot] = 1;
+  if (norm_write) {
+    o->call_norm_write[ctx->band * 2 + ctx->slot] = 1;
+    o->call_norm_buf[ctx->band * 2 + ctx->slot] = norm_buf;
+  }
+  (void)dst;
+  return 1;
+}
+
+// One top-level quant_band call in plan mode. lb_buf/lb_src describe the
+// lowband window symbolically (0 norm, 1 norm2; offset within that buffer).
+uint32_t pq_band(PlanCtx* ctx, int dst, int N, int b, int B,
+                 bool has_lowband, int lb_buf, int lb_src, int LM,
+                 bool norm_write, int norm_buf, double gain, uint32_t fill,
+                 int avg_upto, int M) {
+  if (ctx->failed) return 0;
+  if (N == 1) return pq_band_n1(ctx, dst, false, norm_write, norm_buf);
+
+  int N_B = N / B;
+  int B_entry = B;
+  int tf_change = ctx->tf_change;
+  int recombine = tf_change > 0 ? tf_change : 0;
+
+  PlanOut* o = ctx->out;
+  int cs = ctx->band * 2 + ctx->slot;
+  o->call_active[cs] = 1;
+  ctx->call_base = dst;
+  ctx->fill_used = 0;
+  if (has_lowband) {
+    o->call_has_lb[cs] = 1;
+    o->call_lb_buf[cs] = lb_buf;
+    o->call_lb_src[cs] = lb_src;
+    o->call_blend_upto[cs] = lb_buf == 0 ? avg_upto : -1;
+  }
+  int combo = combo_id(B_entry, tf_change, M);
+  if (combo < 0) {
+    ctx->failed = true;
+    return 0;
+  }
+  o->call_pre[cs] = combo;
+  o->call_post[cs] = combo;
+  if (norm_write) {
+    o->call_norm_write[cs] = 1;
+    o->call_norm_buf[cs] = norm_buf;
+  }
+
+  // fill bookkeeping mirrors quant_band's lowband transforms
+  for (int k = 0; k < recombine; k++)
+    fill = kBitInterleave[fill & 0xF] | kBitInterleave[(fill >> 4) & 0xF] << 2;
+  B >>= recombine;
+  N_B <<= recombine;
+  int time_divide = 0;
+  while ((N_B & 1) == 0 && tf_change < 0) {
+    fill |= fill << B;
+    B <<= 1;
+    N_B >>= 1;
+    time_divide++;
+    tf_change++;
+  }
+  int B0 = B;
+
+  uint32_t cm = pq_partition(ctx, dst, N, b, B, has_lowband, LM, gain, fill);
+
+  // resynthesis cm bookkeeping (quant_band's post loops, sans signal math)
+  B = B0;
+  for (int k = 0; k < time_divide; k++) {
+    B >>= 1;
+    cm |= cm >> B;
+  }
+  for (int k = 0; k < recombine; k++) cm = kBitDeinterleave[cm & 0xF];
+  B <<= recombine;
+  cm &= (1u << B) - 1;
+  (void)B_entry;
+  return cm;
+}
+
+uint32_t pq_band_stereo(PlanCtx* ctx, int dst_x, int dst_y, int N, int b,
+                        int B, bool has_lowband, int lb_src, int LM,
+                        bool norm_write, uint32_t fill, int avg_upto, int M) {
+  if (ctx->failed) return 0;
+  if (N == 1) {
+    ctx->slot = 0;
+    return pq_band_n1(ctx, dst_x, true, norm_write, 0);
+  }
+
+  EcDec* ec = ctx->ec;
+  PlanOut* o = ctx->out;
+  uint32_t orig_fill = fill;
+  SplitCtx sctx;
+  int b_box = b;
+  uint32_t fill_box = fill;
+  compute_theta_impl(ctx->ec, ctx->i, ctx->intensity, ctx->remaining_bits,
+                     ctx->disable_inv, &sctx, N, &b_box, B, B, LM, true,
+                     &fill_box);
+  b = b_box;
+  fill = fill_box;
+  int inv = sctx.inv, delta = sctx.delta, itheta = sctx.itheta,
+      qalloc = sctx.qalloc;
+  double mid = sctx.imid / 32768.0;
+  double side = sctx.iside / 32768.0;
+  uint32_t cm;
+
+  if (N == 2) {
+    int mbits = b;
+    int sbits = 0;
+    if (itheta != 0 && itheta != 16384) sbits = 1 << BITRES;
+    mbits -= sbits;
+    bool c = itheta > 8192;
+    ctx->remaining_bits -= qalloc + sbits;
+    int sign = 0;
+    if (sbits) sign = (int)ec_dec_bits(ec, 1);
+    sign = 1 - 2 * sign;
+    ctx->slot = c ? 1 : 0;
+    cm = pq_band(ctx, c ? dst_y : dst_x, N, mbits, B, has_lowband, 0, lb_src,
+                 LM, norm_write, 0, 1.0, orig_fill, avg_upto, M);
+    int bi = ctx->i;
+    o->theta2_active[bi] = 1;
+    o->theta2_cswap[bi] = c ? 1 : 0;
+    o->theta2_sign[bi] = (float)sign;
+    o->theta2_mid[bi] = (float)mid;
+    o->theta2_side[bi] = (float)side;
+    o->theta2_inv[bi] = inv ? 1 : 0;
+  } else {
+    int bd = b - delta;
+    int half = bd >= 0 ? bd / 2 : -((-bd + 1) / 2);
+    int mbits = std::max(0, std::min(b, half));
+    int sbits = b - mbits;
+    ctx->remaining_bits -= qalloc;
+    int rebalance = ctx->remaining_bits;
+    if (mbits >= sbits) {
+      ctx->slot = 0;
+      cm = pq_band(ctx, dst_x, N, mbits, B, has_lowband, 0, lb_src, LM,
+                   norm_write, 0, 1.0, fill, avg_upto, M);
+      rebalance = mbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 0)
+        sbits += rebalance - (3 << BITRES);
+      ctx->slot = 1;
+      cm |= pq_band(ctx, dst_y, N, sbits, B, false, 0, 0, LM, false, 0, side,
+                    fill >> B, avg_upto, M);
+    } else {
+      ctx->slot = 1;
+      cm = pq_band(ctx, dst_y, N, sbits, B, false, 0, 0, LM, false, 0, side,
+                   fill >> B, avg_upto, M);
+      rebalance = sbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 16384)
+        mbits += rebalance - (3 << BITRES);
+      ctx->slot = 0;
+      cm |= pq_band(ctx, dst_x, N, mbits, B, has_lowband, 0, lb_src, LM,
+                    norm_write, 0, 1.0, fill, avg_upto, M);
+    }
+    int bi = ctx->i;
+    o->merge_active[bi] = 1;
+    o->merge_mid[bi] = (float)mid;
+    o->merge_inv[bi] = inv ? 1 : 0;
+  }
+  return cm;
+}
+
+// Plan-mode band loop; mirrors quant_all_bands_dec.
+uint32_t pq_all_bands(int start, int end, uint8_t* collapse_masks,
+                      const int* pulses, bool short_blocks, int spread,
+                      int dual_stereo, int intensity, const int* tf_res,
+                      int total_bits, int balance, EcDec* ec, int LM,
+                      int coded_bands, uint32_t seed, bool disable_inv,
+                      int C, int frame, PlanOut* out, bool* failed) {
+  int M = 1 << LM;
+  int B = short_blocks ? M : 1;
+  int norm_offset = M * kEBands[start];
+
+  PlanCtx ctx;
+  ctx.intensity = intensity;
+  ctx.spread = spread;
+  ctx.ec = ec;
+  ctx.seed = seed;
+  ctx.disable_inv = disable_inv;
+  ctx.out = out;
+  ctx.tier_used[0] = ctx.tier_used[1] = ctx.tier_used[2] = 0;
+  ctx.failed = false;
+  ctx.frame = frame;
+  int avg_upto = -1;
+
+  int lowband_offset = 0;
+  bool update_lowband = true;
+  for (int i = start; i < end && !ctx.failed; i++) {
+    ctx.i = i;
+    ctx.band = i;
+    bool last = i == end - 1;
+    int dst_x = M * kEBands[i];
+    int dst_y = frame + M * kEBands[i];
+    int N = M * kEBands[i + 1] - M * kEBands[i];
+    int tell = ec_tell_frac(ec);
+
+    if (i != start) balance -= tell;
+    int remaining_bits = total_bits - tell - 1;
+    ctx.remaining_bits = remaining_bits;
+    int b;
+    if (i <= coded_bands - 1) {
+      int den = std::min(3, coded_bands - i);
+      int curr_balance = balance / den;
+      b = std::max(
+          0, std::min(16383, std::min(remaining_bits + 1,
+                                      pulses[i] + curr_balance)));
+    } else {
+      b = 0;
+    }
+
+    if ((M * kEBands[i] - N >= M * kEBands[start] || i == start + 1) &&
+        (update_lowband || lowband_offset == 0))
+      lowband_offset = i;
+    if (i == start + 1) {
+      int n1f = M * (kEBands[start + 1] - kEBands[start]);
+      int n2f = M * (kEBands[start + 2] - kEBands[start + 1]);
+      if (n1f != n2f) {
+        // real hybrid folding (start > 0): no device op yet -> fall back
+        ctx.failed = true;
+        break;
+      }
+    }
+
+    ctx.tf_change = tf_res[i];
+
+    int effective_lowband = -1;
+    uint32_t x_cm, y_cm;
+    if (lowband_offset != 0 &&
+        (spread != SPREAD_AGGRESSIVE || B > 1 || ctx.tf_change < 0)) {
+      effective_lowband =
+          std::max(0, M * kEBands[lowband_offset] - norm_offset - N);
+      int fold_start = lowband_offset;
+      while (M * kEBands[--fold_start] > effective_lowband + norm_offset) {
+      }
+      int fold_end = lowband_offset - 1;
+      while (++fold_end < i &&
+             M * kEBands[fold_end] < effective_lowband + norm_offset + N) {
+      }
+      x_cm = y_cm = 0;
+      int fold_i = fold_start;
+      do {
+        x_cm |= collapse_masks[fold_i * C + 0];
+        y_cm |= collapse_masks[fold_i * C + C - 1];
+      } while (++fold_i < fold_end);
+    } else {
+      x_cm = y_cm = (1u << B) - 1;
+    }
+
+    if (dual_stereo && i == intensity) {
+      dual_stereo = 0;
+      avg_upto = M * kEBands[i] - norm_offset;
+    }
+    bool has_lb = effective_lowband != -1;
+    bool norm_write = !last;
+    if (dual_stereo) {
+      ctx.slot = 0;
+      x_cm = pq_band(&ctx, dst_x, N, b / 2, B, has_lb, 0, effective_lowband,
+                     LM, norm_write, 0, 1.0, x_cm, avg_upto, M);
+      ctx.slot = 1;
+      y_cm = pq_band(&ctx, dst_y, N, b / 2, B, has_lb, 1, effective_lowband,
+                     LM, norm_write, 1, 1.0, y_cm, avg_upto, M);
+    } else {
+      if (C == 2) {
+        x_cm = pq_band_stereo(&ctx, dst_x, dst_y, N, b, B, has_lb,
+                              effective_lowband, LM, norm_write,
+                              x_cm | y_cm, avg_upto, M);
+      } else {
+        ctx.slot = 0;
+        x_cm = pq_band(&ctx, dst_x, N, b, B, has_lb, 0, effective_lowband,
+                       LM, norm_write, 0, 1.0, x_cm | y_cm, avg_upto, M);
+      }
+      y_cm = x_cm;
+    }
+    collapse_masks[i * C + 0] = (uint8_t)(x_cm & 0xFF);
+    collapse_masks[i * C + C - 1] = (uint8_t)(y_cm & 0xFF);
+    balance += pulses[i] + tell;
+    update_lowband = b > (N << BITRES);
+  }
+  *failed = ctx.failed;
+  return ctx.seed;
+}
+
+}  // namespace
+
 }  // namespace
 
 // ------------------------------------------------------------------ C API
@@ -1592,6 +2153,7 @@ extern "C" {
 
 void* celt_host_create() {
   build_u_table();
+  build_lcg_jump();
   CeltHost* st = new CeltHost();
   celt_host_reset_impl(st);
   return st;
@@ -1808,6 +2370,321 @@ int celt_host_decode(void* p, const uint8_t* data, int len, int frame_size,
 
 uint32_t celt_host_rng(void* p) { return ((CeltHost*)p)->rng; }
 
+// Plan-mode decode: symbols only; band signal math is recorded as a packed
+// plan for the device executor (mousiki_tpu/ops/band_exec_jax.py). `arrs`
+// is the packed-array pointer table for ALL S streams, in this fixed order
+// (matching mousiki_tpu/celt/host_native.py PLAN_ARRS):
+//   0 direct u8(S)  1-3 pvq_active u8(S,slots_t)  4-6 pvq_n i32
+//   7-9 pvq_k  10-12 pvq_b  13-15 pvq_spread  16-18 pvq_gain f32
+//   19-21 pvq_idx u32  22 map i32(S,C*frame)  23 call_active u8(S,21,2)
+//   24 call_has_lb u8  25 call_lb_src i32  26 call_lb_buf i32
+//   27 call_blend_upto i32  28 call_pre i32  29 call_post i32
+//   30 call_norm_write u8  31 call_norm_buf i32  32 fill_active u8(S,21,2,4)
+//   33 fill_fold u8  34 fill_off i32  35 fill_n i32  36 fill_gain f32
+//   37 fill_seed u32  38 merge_active u8(S,21)  39 merge_mid f32
+//   40 merge_inv u8  41 theta2_active u8  42 theta2_cswap u8
+//   43 theta2_sign f32  44 theta2_mid f32  45 theta2_side f32
+//   46 theta2_inv u8  47 n1_active u8(S,21,2)  48 n1_val f32
+//   49 ac_on u8(S)  50 ac_masks i32(S,21,2)  51 ac_r f32(S,2,21)
+//   52 ac_seed u32(S)  53 x_direct f32(S,C,frame)  54 band_log_e f64(S,2,21)
+//   55 iflags i32(S,4)  56 pf_gain f64(S)  57 rcs i32(S)
+int celt_host_decode_plan(void* p, const uint8_t* data, int len,
+                          int frame_size, int C, int start, int end,
+                          int disable_inv, void** arrs, int S, int s) {
+  CeltHost* st = (CeltHost*)p;
+  int LM = -1;
+  for (int lm = 0; lm <= kMaxLM; lm++)
+    if (kShortMdctSize << lm == frame_size) LM = lm;
+  if (LM < 0 || C < 1 || C > 2 || len < 2 || !data) return -1;
+  int M = 1 << LM;
+  int N = M * kShortMdctSize;
+  (void)S;
+
+  // per-stream views
+  PlanOut o;
+  {
+    size_t cs = (size_t)s;
+    o.direct = (uint8_t*)arrs[0] + cs;
+    for (int t = 0; t < 3; t++) {
+      size_t so = cs * kTierSlots[t];
+      o.pvq_active[t] = (uint8_t*)arrs[1 + t] + so;
+      o.pvq_n[t] = (int32_t*)arrs[4 + t] + so;
+      o.pvq_k[t] = (int32_t*)arrs[7 + t] + so;
+      o.pvq_b[t] = (int32_t*)arrs[10 + t] + so;
+      o.pvq_spread[t] = (int32_t*)arrs[13 + t] + so;
+      o.pvq_gain[t] = (float*)arrs[16 + t] + so;
+      o.pvq_idx[t] = (uint32_t*)arrs[19 + t] + so;
+    }
+    o.map = (int32_t*)arrs[22] + cs * C * frame_size;
+    size_t c2 = cs * NB * 2;
+    o.call_active = (uint8_t*)arrs[23] + c2;
+    o.call_has_lb = (uint8_t*)arrs[24] + c2;
+    o.call_lb_src = (int32_t*)arrs[25] + c2;
+    o.call_lb_buf = (int32_t*)arrs[26] + c2;
+    o.call_blend_upto = (int32_t*)arrs[27] + c2;
+    o.call_pre = (int32_t*)arrs[28] + c2;
+    o.call_post = (int32_t*)arrs[29] + c2;
+    o.call_norm_write = (uint8_t*)arrs[30] + c2;
+    o.call_norm_buf = (int32_t*)arrs[31] + c2;
+    size_t f4 = cs * NB * 2 * kFillSlots;
+    o.fill_active = (uint8_t*)arrs[32] + f4;
+    o.fill_fold = (uint8_t*)arrs[33] + f4;
+    o.fill_off = (int32_t*)arrs[34] + f4;
+    o.fill_n = (int32_t*)arrs[35] + f4;
+    o.fill_gain = (float*)arrs[36] + f4;
+    o.fill_seed = (uint32_t*)arrs[37] + f4;
+    size_t b1 = cs * NB;
+    o.merge_active = (uint8_t*)arrs[38] + b1;
+    o.merge_mid = (float*)arrs[39] + b1;
+    o.merge_inv = (uint8_t*)arrs[40] + b1;
+    o.theta2_active = (uint8_t*)arrs[41] + b1;
+    o.theta2_cswap = (uint8_t*)arrs[42] + b1;
+    o.theta2_sign = (float*)arrs[43] + b1;
+    o.theta2_mid = (float*)arrs[44] + b1;
+    o.theta2_side = (float*)arrs[45] + b1;
+    o.theta2_inv = (uint8_t*)arrs[46] + b1;
+    o.n1_active = (uint8_t*)arrs[47] + c2;
+    o.n1_val = (float*)arrs[48] + c2;
+    o.ac_on = (uint8_t*)arrs[49] + cs;
+    o.ac_masks = (int32_t*)arrs[50] + c2;
+    o.ac_r = (float*)arrs[51] + cs * 2 * NB;
+    o.ac_seed = (uint32_t*)arrs[52] + cs;
+  }
+  float* x_direct = (float*)arrs[53] + (size_t)s * C * frame_size;
+  double* band_log_e = (double*)arrs[54] + (size_t)s * 2 * NB;
+  int32_t* iflags = (int32_t*)arrs[55] + (size_t)s * 4;
+  double* pf_gain = (double*)arrs[56] + s;
+
+  // zero the active flags + map (other fields are written when flagged)
+  memset(o.direct, 0, 1);
+  for (int t = 0; t < 3; t++) memset(o.pvq_active[t], 0, kTierSlots[t]);
+  memset(o.map, 0, (size_t)C * frame_size * sizeof(int32_t));
+  memset(o.call_active, 0, NB * 2);
+  memset(o.call_has_lb, 0, NB * 2);
+  memset(o.call_norm_write, 0, NB * 2);
+  memset(o.fill_active, 0, NB * 2 * kFillSlots);
+  memset(o.merge_active, 0, NB);
+  memset(o.theta2_active, 0, NB);
+  memset(o.n1_active, 0, NB * 2);
+  memset(o.ac_on, 0, 1);
+
+  // snapshot for the direct-decode fallback
+  double snap_e[2 * NB], snap_l1[2 * NB], snap_l2[2 * NB], snap_bg[2 * NB];
+  memcpy(snap_e, st->old_ebands, sizeof(snap_e));
+  memcpy(snap_l1, st->old_log_e, sizeof(snap_l1));
+  memcpy(snap_l2, st->old_log_e2, sizeof(snap_l2));
+  memcpy(snap_bg, st->background_log_e, sizeof(snap_bg));
+  uint32_t snap_rng = st->rng;
+  int snap_loss = st->loss_count;
+
+  EcDec dec_s;
+  EcDec* dec = &dec_s;
+  ec_dec_init(dec, data, (uint32_t)len);
+  int length = len;
+
+  double* old_band_e = st->old_ebands;
+  if (C == 1)
+    for (int i = 0; i < NB; i++)
+      old_band_e[i] = std::max(old_band_e[i], old_band_e[NB + i]);
+
+  int total_bits = length * 8;
+  int tell = ec_tell(dec);
+
+  int silence;
+  if (tell >= total_bits)
+    silence = 1;
+  else if (tell == 1)
+    silence = ec_dec_bit_logp(dec, 15);
+  else
+    silence = 0;
+  if (silence) {
+    tell = length * 8;
+    dec->nbits_total += tell - ec_tell(dec);
+  }
+
+  double postfilter_gain = 0.0;
+  int postfilter_pitch = 0;
+  int postfilter_tapset = 0;
+  if (start == 0 && tell + 16 <= total_bits) {
+    if (ec_dec_bit_logp(dec, 1)) {
+      int octave = (int)ec_dec_uint(dec, 6);
+      postfilter_pitch = (16 << octave) + (int)ec_dec_bits(dec, 4 + octave) - 1;
+      int qg = (int)ec_dec_bits(dec, 3);
+      if (ec_tell(dec) + 2 <= total_bits)
+        postfilter_tapset = ec_dec_icdf(dec, kTapsetICDF, 2);
+      postfilter_gain = 0.09375 * (qg + 1);
+    }
+    tell = ec_tell(dec);
+  }
+
+  int is_transient = 0;
+  if (LM > 0 && tell + 3 <= total_bits) {
+    is_transient = ec_dec_bit_logp(dec, 3);
+    tell = ec_tell(dec);
+  }
+  bool short_blocks = is_transient != 0;
+
+  int intra_ener = (tell + 3 <= total_bits) ? ec_dec_bit_logp(dec, 3) : 0;
+  unquant_coarse_energy(start, end, old_band_e, intra_ener != 0, dec, C, LM);
+
+  int tf_res[NB] = {0};
+  tf_decode(start, end, is_transient != 0, tf_res, LM, dec);
+
+  tell = ec_tell(dec);
+  int spread_decision = 2;
+  if (tell + 4 <= total_bits) spread_decision = ec_dec_icdf(dec, kSpreadICDF, 5);
+
+  int cap[NB];
+  init_caps(cap, LM, C);
+  int offsets[NB] = {0};
+  int dynalloc_logp = 6;
+  total_bits <<= BITRES;
+  tell = ec_tell_frac(dec);
+  for (int i = start; i < end; i++) {
+    int width = C * (kEBands[i + 1] - kEBands[i]) << LM;
+    int quanta = std::min(width << BITRES, std::max(6 << BITRES, width));
+    int dynalloc_loop_logp = dynalloc_logp;
+    int boost = 0;
+    while (tell + (dynalloc_loop_logp << BITRES) < total_bits &&
+           boost < cap[i]) {
+      int flag = ec_dec_bit_logp(dec, dynalloc_loop_logp);
+      tell = ec_tell_frac(dec);
+      if (!flag) break;
+      boost += quanta;
+      total_bits -= quanta;
+      dynalloc_loop_logp = 1;
+    }
+    offsets[i] = boost;
+    if (boost > 0) dynalloc_logp = std::max(2, dynalloc_logp - 1);
+  }
+
+  int alloc_trim = (tell + (6 << BITRES) <= total_bits)
+                       ? ec_dec_icdf(dec, kTrimICDF, 7)
+                       : 5;
+
+  int bits = ((length * 8) << BITRES) - ec_tell_frac(dec) - 1;
+  int anti_collapse_rsv =
+      (is_transient && LM >= 2 && bits >= (LM + 2) << BITRES) ? (1 << BITRES)
+                                                              : 0;
+  bits -= anti_collapse_rsv;
+
+  Alloc alloc;
+  memset(&alloc, 0, sizeof(alloc));
+  clt_compute_allocation(start, end, offsets, cap, alloc_trim, bits, C, LM,
+                         dec, &alloc);
+
+  unquant_fine_energy(start, end, old_band_e, alloc.ebits, dec, C);
+
+  uint8_t collapse_masks[2 * NB] = {0};
+  bool failed = false;
+  st->rng = pq_all_bands(
+      start, end, collapse_masks, alloc.pulses, short_blocks, spread_decision,
+      alloc.dual_stereo, alloc.intensity, tf_res,
+      length * (8 << BITRES) - anti_collapse_rsv, alloc.balance, dec, LM,
+      alloc.coded_bands, st->rng, disable_inv != 0, C, frame_size, &o,
+      &failed);
+
+  if (failed) {
+    // restore entry state and run the direct decoder for this stream
+    memcpy(st->old_ebands, snap_e, sizeof(snap_e));
+    memcpy(st->old_log_e, snap_l1, sizeof(snap_l1));
+    memcpy(st->old_log_e2, snap_l2, sizeof(snap_l2));
+    memcpy(st->background_log_e, snap_bg, sizeof(snap_bg));
+    st->rng = snap_rng;
+    st->loss_count = snap_loss;
+    o.direct[0] = 1;
+    return celt_host_decode(p, data, len, frame_size, C, start, end,
+                            disable_inv, x_direct, band_log_e, iflags,
+                            pf_gain);
+  }
+
+  int anti_collapse_on = 0;
+  if (anti_collapse_rsv > 0) anti_collapse_on = (int)ec_dec_bits(dec, 1);
+
+  unquant_energy_finalise(start, end, old_band_e, alloc.ebits,
+                          alloc.fine_priority, length * 8 - ec_tell(dec), dec,
+                          C);
+
+  if (anti_collapse_on) {
+    o.ac_on[0] = 1;
+    o.ac_seed[0] = st->rng;
+    for (int i = 0; i < NB; i++) {
+      o.ac_masks[i * 2 + 0] = collapse_masks[i * C + 0];
+      o.ac_masks[i * 2 + 1] = collapse_masks[i * C + C - 1];
+    }
+    for (int i = start; i < end; i++) {
+      int N0 = kEBands[i + 1] - kEBands[i];
+      int depth = ((1 + alloc.pulses[i]) / N0) >> LM;
+      double thresh = 0.5 * pow(2.0, -0.125 * depth);
+      double sqrt_1 = 1.0 / sqrt((double)(N0 << LM));
+      for (int ci = 0; ci < C; ci++) {
+        double p1 = st->old_log_e[ci * NB + i];
+        double p2 = st->old_log_e2[ci * NB + i];
+        if (C == 1) {
+          p1 = std::max(p1, st->old_log_e[NB + i]);
+          p2 = std::max(p2, st->old_log_e2[NB + i]);
+        }
+        double ediff =
+            std::max(0.0, old_band_e[ci * NB + i] - std::min(p1, p2));
+        double r = 2.0 * pow(2.0, -ediff);
+        if (LM == 3) r *= 1.41421356;
+        o.ac_r[ci * NB + i] = (float)(std::min(thresh, r) * sqrt_1);
+      }
+    }
+  }
+
+  if (silence)
+    for (int i = 0; i < 2 * NB; i++) old_band_e[i] = -28.0;
+
+  if (C == 1)
+    for (int i = 0; i < NB; i++) old_band_e[NB + i] = old_band_e[i];
+
+  memcpy(band_log_e, old_band_e, 2 * NB * sizeof(double));
+
+  if (!is_transient) {
+    memcpy(st->old_log_e2, st->old_log_e, sizeof(st->old_log_e));
+    memcpy(st->old_log_e, old_band_e, sizeof(st->old_log_e));
+    double max_bg = st->loss_count < 10 ? M * 0.001 : 1.0;
+    for (int i = 0; i < 2 * NB; i++)
+      st->background_log_e[i] =
+          std::min(st->background_log_e[i] + max_bg, st->old_log_e[i]);
+  } else {
+    for (int i = 0; i < 2 * NB; i++)
+      st->old_log_e[i] = std::min(st->old_log_e[i], old_band_e[i]);
+  }
+  for (int c = 0; c < 2; c++) {
+    for (int i = 0; i < start; i++) {
+      old_band_e[c * NB + i] = 0.0;
+      st->old_log_e[c * NB + i] = -28.0;
+      st->old_log_e2[c * NB + i] = -28.0;
+    }
+    for (int i = end; i < NB; i++) {
+      old_band_e[c * NB + i] = 0.0;
+      st->old_log_e[c * NB + i] = -28.0;
+      st->old_log_e2[c * NB + i] = -28.0;
+    }
+  }
+  st->rng = dec->rng;
+  st->loss_count = 0;
+
+  iflags[0] = is_transient;
+  iflags[1] = silence;
+  iflags[2] = postfilter_pitch;
+  iflags[3] = postfilter_tapset;
+  *pf_gain = postfilter_gain;
+
+  if (ec_tell(dec) > 8 * length) return -2;
+  return dec->error ? -3 : 0;
+}
+
+// Batched plan decode across S independent streams (threaded like
+// celt_host_decode_batch). rcs[s] < 0 marks a failed stream.
+void celt_host_decode_plan_batch(void** states, const uint8_t* blob,
+                                 const int32_t* offs, const int32_t* lens,
+                                 int S, int frame_size, int C, int start,
+                                 int end, int disable_inv, void** arrs,
+                                 int n_threads);
+
 }  // extern "C"
 
 // ----------------------------------------------------------- batched decode
@@ -1847,6 +2724,36 @@ void celt_host_decode_batch(void** states, const uint8_t* blob,
           states[s], blob + offs[s], lens[s], frame_size, C, start, end,
           disable_inv, x_out + (size_t)s * C * N, band_log_e + (size_t)s * 42,
           iflags + (size_t)s * 4, pf_gains + s);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+void celt_host_decode_plan_batch(void** states, const uint8_t* blob,
+                                 const int32_t* offs, const int32_t* lens,
+                                 int S, int frame_size, int C, int start,
+                                 int end, int disable_inv, void** arrs,
+                                 int n_threads) {
+  int32_t* rcs = (int32_t*)arrs[57];
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, S);
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int s = next.fetch_add(1);
+      if (s >= S) break;
+      rcs[s] = celt_host_decode_plan(states[s], blob + offs[s], lens[s],
+                                     frame_size, C, start, end, disable_inv,
+                                     arrs, S, s);
     }
   };
   if (n_threads == 1) {
