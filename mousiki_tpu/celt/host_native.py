@@ -85,7 +85,13 @@ _FILL = 4
 
 
 def alloc_plan_buffers(S: int, channels: int, frame: int) -> dict:
-    """Allocate the packed plan tensors + frame-descriptor outputs."""
+    """Allocate the packed plan tensors + frame-descriptor outputs.
+
+    Zero-initialized (np.zeros gets lazily-mapped zero pages from calloc,
+    so this is cheap): the native decoder only writes the slots it flags
+    active, and several value planes (e.g. mono ac_r channel 1) are read
+    unconditionally by the masked device executor.
+    """
     t = lambda dt: [np.zeros((S, slots), dt) for _, slots in _TIERS]
     return {
         "direct": np.zeros(S, np.bool_),
@@ -280,22 +286,26 @@ class NativeCeltHostBatch:
             self._states = None
 
     def decode(self, payloads: list, frame_size: int):
-        """payloads: S byte strings. Returns (x, band_log_e, iflags, pf_gains, rcs)."""
+        """payloads: S byte strings. Returns (x, band_log_e, iflags, pf_gains, rcs).
+
+        Outputs are freshly allocated every call: the caller (and JAX,
+        which may alias numpy buffers zero-copy on the CPU backend) can
+        hold them across steps without copy-vs-overwrite races.
+        """
         S, Cch = self.S, self.channels
         assert len(payloads) == S
         blob = b"".join(payloads)
+        # the native decoder fully overwrites every output element
+        x = np.empty((S, Cch, frame_size), np.float32)
+        ble = np.empty((S, 2, 21), np.float64)
+        iflags = np.empty((S, 4), np.int32)
+        pf_gains = np.empty(S, np.float64)
+        rcs = np.empty(S, np.int32)
         if frame_size not in self._bufs:
-            # the native decoder fully overwrites every output element
-            self._bufs[frame_size] = (
-                np.empty((S, Cch, frame_size), np.float32),
-                np.empty((S, 2, 21), np.float64),
-                np.empty((S, 4), np.int32),
-                np.empty(S, np.float64),
-                np.empty(S, np.int32),
-                np.empty(S, np.int32),
-                np.empty(S, np.int32),
-            )
-        x, ble, iflags, pf_gains, rcs, offs, lens = self._bufs[frame_size]
+            # offs/lens are consumed synchronously inside the call
+            self._bufs[frame_size] = (np.empty(S, np.int32),
+                                      np.empty(S, np.int32))
+        offs, lens = self._bufs[frame_size]
         pos = 0
         for i, p in enumerate(payloads):
             offs[i] = pos
@@ -324,10 +334,12 @@ class NativeCeltHostBatch:
         assert len(payloads) == S
         key = ("plan", frame_size)
         if key not in self._bufs:
-            self._bufs[key] = (alloc_plan_buffers(S, Cch, frame_size),
-                               np.empty(S, np.int32), np.empty(S, np.int32))
-            self._bufs[key] += (_plan_ptr_table(self._bufs[key][0]),)
-        bufs, offs, lens, ptrs = self._bufs[key]
+            self._bufs[key] = (np.empty(S, np.int32), np.empty(S, np.int32))
+        offs, lens = self._bufs[key]
+        # fresh buffers every call (see decode): JAX on the CPU backend may
+        # alias these zero-copy, so reuse across steps would race
+        bufs = alloc_plan_buffers(S, Cch, frame_size)
+        ptrs = _plan_ptr_table(bufs)
         blob = b"".join(payloads)
         pos = 0
         for i, p in enumerate(payloads):

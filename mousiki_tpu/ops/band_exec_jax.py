@@ -507,3 +507,30 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
 
     X = jnp.where(p["direct"][:, None], x_direct.reshape(S, -1), X)
     return X
+
+
+# Keys of the packed-plan pytree consumed by execute_packed (the host's
+# decode_plan buffers also carry x_direct/band_log_e/iflags/... outputs).
+PLAN_KEYS = (
+    "direct", "pvq_active", "pvq_n", "pvq_k", "pvq_b", "pvq_spread",
+    "pvq_gain", "pvq_idx", "map", "call_active", "call_has_lb",
+    "call_lb_src", "call_lb_buf", "call_blend_upto", "call_pre", "call_post",
+    "call_norm_write", "call_norm_buf", "fill_active", "fill_fold",
+    "fill_off", "fill_n", "fill_gain", "fill_seed", "merge_active",
+    "merge_mid", "merge_inv", "theta2_active", "theta2_cswap", "theta2_sign",
+    "theta2_mid", "theta2_side", "theta2_inv", "n1_active", "n1_val",
+    "ac_on", "ac_masks", "ac_r", "ac_seed")
+
+
+@partial(jax.jit, static_argnames=("channels",))
+def plan_synthesis_step(consts, state, packed, x_direct, band_log_e,
+                        transient, silence, pf_pitch, pf_gain, pf_tapset,
+                        channels: int = 2):
+    """Fused device step: band-plan execution + CELT synthesis (20 ms)."""
+    from .synthesis_jax import FrameDesc, synthesis_step
+    X = execute_packed(packed, x_direct, channels=channels, frame=960,
+                       lm=3, start=0, end=21)
+    desc = FrameDesc(x=X.reshape(-1, channels, 960), band_log_e=band_log_e,
+                     transient=transient, silence=silence, pf_pitch=pf_pitch,
+                     pf_gain=pf_gain, pf_tapset=pf_tapset)
+    return synthesis_step(consts, state, desc, channels=channels)

@@ -23,17 +23,28 @@ _LOW_E = -28.0
 
 
 class CeltStreamPipeline:
-    """Decode S parallel CELT streams, one 48 kHz frame per step."""
+    """Decode S parallel CELT streams, one 48 kHz frame per step.
+
+    use_plan=True selects the plan split (the production fast path): the
+    native host decodes only symbols, emitting packed band plans; all PVQ
+    band reconstruction runs fused with synthesis on the device
+    (ops/band_exec_jax.plan_synthesis_step). Requires the native library.
+    """
 
     def __init__(self, n_streams: int, channels: int = 2,
                  use_native: bool | None = None, mesh=None,
-                 host_threads: int = 0):
+                 host_threads: int = 0, use_plan: bool = False):
         import jax
 
         self.S = n_streams
         self.channels = channels
         self._native = None
         self._py_hosts = None
+        self.use_plan = use_plan
+        if use_plan:
+            if use_native is False or mesh is not None:
+                raise ValueError("plan mode is native-host, single-mesh only")
+            use_native = True
 
         if use_native is not False:
             try:
@@ -65,6 +76,10 @@ class CeltStreamPipeline:
             import functools
             self._step = jax.jit(functools.partial(
                 synthesis_step, channels=channels))
+        if use_plan:
+            from .ops.band_exec_jax import plan_synthesis_step
+            self._plan_step = functools.partial(plan_synthesis_step,
+                                                channels=channels)
 
     # ------------------------------------------------------------------
     def _host_decode(self, payloads: list, frame_size: int) -> FrameDesc:
@@ -113,13 +128,34 @@ class CeltStreamPipeline:
             pf_gain=jnp.asarray(pf_gains, jnp.float32),
             pf_tapset=jnp.asarray(pf_tapset, jnp.int32),
         )
-        if self._native is not None:
-            # x / pf_pitch / pf_tapset alias the native batch's reused output
-            # buffers and the H2D copy is asynchronous: wait for the transfer
-            # (not the synthesis) before the next decode may overwrite them.
-            import jax
-            jax.block_until_ready(desc)
+        # the native batch allocates fresh output buffers per call, so JAX
+        # may alias or transfer them asynchronously without races
         return desc
+
+    def _host_decode_plan(self, payloads: list, frame_size: int):
+        """Plan-mode host stage: packed plan tensors + descriptor fields."""
+        import jax.numpy as jnp
+        from .ops.band_exec_jax import PLAN_KEYS
+
+        S, C = self.S, self.channels
+        bufs = self._native.decode_plan(payloads, frame_size)
+        rcs = bufs["rcs"]
+        if np.any(rcs < 0):
+            bad = int(np.argmax(rcs < 0))
+            raise ValueError(
+                f"stream {bad}: native celt plan decode failed rc={rcs[bad]}")
+        packed = {k: ([jnp.asarray(v) for v in bufs[k]]
+                      if isinstance(bufs[k], list) else jnp.asarray(bufs[k]))
+                  for k in PLAN_KEYS}
+        iflags = bufs["iflags"]
+        ble_pad = np.full((S, C, 22), _LOW_E, np.float32)
+        ble_pad[:, :, :21] = bufs["band_log_e"][:, :C, :]
+        args = (packed, jnp.asarray(bufs["x_direct"]), jnp.asarray(ble_pad),
+                jnp.asarray(iflags[:, 0] != 0), jnp.asarray(iflags[:, 1] != 0),
+                jnp.asarray(iflags[:, 2].copy()),
+                jnp.asarray(bufs["pf_gain"], jnp.float32),
+                jnp.asarray(iflags[:, 3].copy()))
+        return args
 
     def step(self, payloads: list, frame_size: int = 960):
         """Decode one frame for every stream.
@@ -127,6 +163,10 @@ class CeltStreamPipeline:
         payloads: S CELT payload byte strings (one per stream).
         Returns a device array (S, frame_size, channels), float32 in [-1, 1].
         """
+        if self.use_plan:
+            args = self._host_decode_plan(payloads, frame_size)
+            pcm, self.state = self._plan_step(self.consts, self.state, *args)
+            return pcm
         desc = self._host_decode(payloads, frame_size)
         pcm, self.state = self._step(self.consts, self.state, desc)
         return pcm
@@ -139,10 +179,18 @@ class CeltStreamPipeline:
         """
         pending = None
         for payloads in frames_iter:
-            desc = self._host_decode(payloads, frame_size)
-            if pending is not None:
-                yield pending
-            pending, self.state = self._step(self.consts, self.state, desc)
+            if self.use_plan:
+                args = self._host_decode_plan(payloads, frame_size)
+                if pending is not None:
+                    yield pending
+                pending, self.state = self._plan_step(self.consts,
+                                                      self.state, *args)
+            else:
+                desc = self._host_decode(payloads, frame_size)
+                if pending is not None:
+                    yield pending
+                pending, self.state = self._step(self.consts, self.state,
+                                                 desc)
         if pending is not None:
             yield pending
 

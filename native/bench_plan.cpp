@@ -1,0 +1,123 @@
+// Standalone profiling harness for the plan-mode CELT host symbol stage.
+// Usage: bench_plan <packets.bin> [n_iter]
+// packets.bin: int32 count, then per packet int32 len + bytes
+// (same corpus format as bench_host.cpp).
+//
+// Build (profiling):
+//   g++ -O2 -pg -march=native -pthread -I native -o /tmp/bench_plan \
+//       native/bench_plan.cpp native/celt_host.cpp
+// Build (timing):
+//   g++ -O3 -march=native -pthread -I native -o /tmp/bench_plan \
+//       native/bench_plan.cpp native/celt_host.cpp
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+#include <chrono>
+
+extern "C" {
+void* celt_host_create();
+void celt_host_destroy(void*);
+int celt_host_decode_plan(void* p, const uint8_t* data, int len,
+                          int frame_size, int C, int start, int end,
+                          int disable_inv, void** arrs, int S, int s);
+}
+
+// Array layout mirrors mousiki_tpu/celt/host_native.py alloc_plan_buffers
+// (58 pointers; see the layout comment above celt_host_decode_plan).
+static constexpr int kNB = 21, kFill = 4;
+static constexpr int kTier[3] = {224, 48, 16};
+
+struct PlanArrays {
+  std::vector<std::vector<uint8_t>> u8;
+  std::vector<std::vector<int32_t>> i32;
+  std::vector<std::vector<float>> f32;
+  std::vector<std::vector<uint32_t>> u32;
+  std::vector<std::vector<double>> f64;
+  void* ptrs[58];
+};
+
+static void build_arrays(PlanArrays& a, int S, int C, int frame) {
+  auto u8p = [&](size_t n) { a.u8.emplace_back(n, 0); return (void*)a.u8.back().data(); };
+  auto i32p = [&](size_t n) { a.i32.emplace_back(n, 0); return (void*)a.i32.back().data(); };
+  auto f32p = [&](size_t n, float v = 0.f) { a.f32.emplace_back(n, v); return (void*)a.f32.back().data(); };
+  auto u32p = [&](size_t n) { a.u32.emplace_back(n, 0); return (void*)a.u32.back().data(); };
+  auto f64p = [&](size_t n) { a.f64.emplace_back(n, 0.0); return (void*)a.f64.back().data(); };
+  int k = 0;
+  a.ptrs[k++] = u8p(S);                                         // direct
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // pvq_active
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = i32p((size_t)S * kTier[t]);  // pvq_n
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = i32p((size_t)S * kTier[t]);  // pvq_k
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = i32p((size_t)S * kTier[t]);  // pvq_b
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = i32p((size_t)S * kTier[t]);  // pvq_spread
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = f32p((size_t)S * kTier[t]);  // pvq_gain
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u32p((size_t)S * kTier[t]);  // pvq_idx
+  a.ptrs[k++] = i32p((size_t)S * C * frame);                    // map
+  for (int i = 0; i < 2; i++) a.ptrs[k++] = u8p((size_t)S * kNB * 2);  // call_active, call_has_lb
+  for (int i = 0; i < 5; i++) a.ptrs[k++] = i32p((size_t)S * kNB * 2); // lb_src,lb_buf,blend,pre,post
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                       // call_norm_write
+  a.ptrs[k++] = i32p((size_t)S * kNB * 2);                      // call_norm_buf
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);               // fill_active
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);               // fill_fold
+  a.ptrs[k++] = i32p((size_t)S * kNB * 2 * kFill);              // fill_off
+  a.ptrs[k++] = i32p((size_t)S * kNB * 2 * kFill);              // fill_n
+  a.ptrs[k++] = f32p((size_t)S * kNB * 2 * kFill, 1.f);         // fill_gain
+  a.ptrs[k++] = u32p((size_t)S * kNB * 2 * kFill);              // fill_seed
+  a.ptrs[k++] = u8p((size_t)S * kNB);                           // merge_active
+  a.ptrs[k++] = f32p((size_t)S * kNB);                          // merge_mid
+  a.ptrs[k++] = u8p((size_t)S * kNB);                           // merge_inv
+  a.ptrs[k++] = u8p((size_t)S * kNB);                           // theta2_active
+  a.ptrs[k++] = u8p((size_t)S * kNB);                           // theta2_cswap
+  a.ptrs[k++] = f32p((size_t)S * kNB);                          // theta2_sign
+  a.ptrs[k++] = f32p((size_t)S * kNB);                          // theta2_mid
+  a.ptrs[k++] = f32p((size_t)S * kNB);                          // theta2_side
+  a.ptrs[k++] = u8p((size_t)S * kNB);                           // theta2_inv
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                       // n1_active
+  a.ptrs[k++] = f32p((size_t)S * kNB * 2);                      // n1_val
+  a.ptrs[k++] = u8p(S);                                         // ac_on
+  a.ptrs[k++] = i32p((size_t)S * kNB * 2);                      // ac_masks
+  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                      // ac_r
+  a.ptrs[k++] = u32p(S);                                        // ac_seed
+  a.ptrs[k++] = f32p((size_t)S * C * frame);                    // x_direct
+  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                      // band_log_e
+  a.ptrs[k++] = i32p((size_t)S * 4);                            // iflags
+  a.ptrs[k++] = f64p(S);                                        // pf_gain
+  a.ptrs[k++] = i32p(S);                                        // rcs
+}
+
+int main(int argc, char** argv) {
+  const char* path = argc > 1 ? argv[1] : "/tmp/celt_packets.bin";
+  int n_iter = argc > 2 ? atoi(argv[2]) : 20000;
+  FILE* f = fopen(path, "rb");
+  if (!f) { perror("open"); return 1; }
+  int32_t n;
+  if (fread(&n, 4, 1, f) != 1) return 1;
+  std::vector<std::vector<uint8_t>> pkts(n);
+  for (int i = 0; i < n; i++) {
+    int32_t len;
+    if (fread(&len, 4, 1, f) != 1) return 1;
+    pkts[i].resize(len);
+    if (fread(pkts[i].data(), 1, len, f) != (size_t)len) return 1;
+  }
+  fclose(f);
+
+  PlanArrays a;
+  build_arrays(a, 1, 2, 960);
+  void* st = celt_host_create();
+  for (int i = 0; i < n; i++)
+    celt_host_decode_plan(st, pkts[i].data(), (int)pkts[i].size(), 960, 2, 0,
+                          21, 0, a.ptrs, 1, 0);
+  auto t0 = std::chrono::steady_clock::now();
+  for (int it = 0; it < n_iter; it++) {
+    auto& p = pkts[it % n];
+    celt_host_decode_plan(st, p.data(), (int)p.size(), 960, 2, 0, 21, 0,
+                          a.ptrs, 1, 0);
+  }
+  auto t1 = std::chrono::steady_clock::now();
+  double us = std::chrono::duration<double, std::micro>(t1 - t0).count() / n_iter;
+  printf("%.3f us/frame  (%.0f frames/s, %.0fx realtime 20ms)\n", us, 1e6 / us,
+         1e6 / us * 0.02);
+  celt_host_destroy(st);
+  return 0;
+}

@@ -1867,6 +1867,8 @@ uint32_t pq_band_n1(PlanCtx* ctx, int dst, bool stereo, bool norm_write,
     o->n1_val[ctx->band * 2 + ch] = sign ? -1.0f : 1.0f;
   }
   o->call_active[ctx->band * 2 + ctx->slot] = 1;
+  o->call_pre[ctx->band * 2 + ctx->slot] = 0;
+  o->call_post[ctx->band * 2 + ctx->slot] = 0;
   if (norm_write) {
     o->call_norm_write[ctx->band * 2 + ctx->slot] = 1;
     o->call_norm_buf[ctx->band * 2 + ctx->slot] = norm_buf;

@@ -143,3 +143,47 @@ def test_silk_pipeline():
         b = got[: len(a)]
     snr = 10 * np.log10((a ** 2).mean() / ((a - b) ** 2).mean() + 1e-12)
     assert snr > 40.0, (snr, lag0)
+
+
+@needs_oracle
+def test_plan_pipeline_matches_reference():
+    """Plan split (symbol-only host + device band reconstruction) must
+    match per-stream reference decode, including transient traffic."""
+    from mousiki_tpu.celt import host_native
+    if not host_native.available():
+        pytest.skip("native host lib unavailable")
+    S, F, channels = 4, 6, 2
+    streams = _make_streams(S, F, channels, [48000, 96000, 128000, 510000])
+
+    pipe = CeltStreamPipeline(S, channels=channels, use_plan=True)
+    refs = [CeltDecoder(channels=channels, stream_channels=channels)
+            for _ in range(S)]
+    for r in refs:
+        r.disable_inv = False
+
+    for f in range(F):
+        payloads = [streams[s][f] for s in range(S)]
+        pcm = np.asarray(pipe.step(payloads, 960))
+        for s in range(S):
+            want = refs[s].decode_with_ec(payloads[s], 960)
+            err = np.abs(pcm[s] - want).max()
+            assert err < 2e-4, f"frame {f} stream {s}: err {err}"
+
+
+@needs_oracle
+def test_plan_pipeline_stream_overlap():
+    """Plan-mode overlapped generator == step-by-step (buffer-reuse safety)."""
+    from mousiki_tpu.celt import host_native
+    if not host_native.available():
+        pytest.skip("native host lib unavailable")
+    S, F = 2, 5
+    streams = _make_streams(S, F, 2, [96000])
+    p1 = CeltStreamPipeline(S, channels=2, use_plan=True)
+    p2 = CeltStreamPipeline(S, channels=2, use_plan=True)
+    seq = [np.asarray(p1.step([streams[s][f] for s in range(S)], 960))
+           for f in range(F)]
+    ove = [np.asarray(x) for x in p2.decode_stream(
+        ([streams[s][f] for s in range(S)] for f in range(F)), 960)]
+    assert len(ove) == F
+    for a, b in zip(seq, ove):
+        assert np.abs(a - b).max() == 0.0
