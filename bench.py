@@ -1,149 +1,197 @@
 #!/usr/bin/env python
-"""Headline benchmark: aggregate realtime-x for batched 48 kHz stereo CELT
-decode on one chip (BASELINE.md north star: >= 5000x).
+"""Headline benchmark: honest END-TO-END aggregate realtime-x for batched
+48 kHz stereo CELT decode on one chip (BASELINE.md north star: >= 5000x
+while passing the opus_compare quality gate).
 
-End-to-end pipeline: native C++ host symbol decode (packets -> frame
-descriptors, multithreaded across streams) feeding the batched JAX device
-synthesis (denormalise + IMDCT + TDAC + postfilter + deemphasis). The two
-stages run pipelined in production, so aggregate throughput is the min of
-the stage rates; both are reported.
+Pipeline measured (the production plan split, mousiki_tpu/pipeline.py):
+  packets -> native C++ host symbol-only decode (packed band plans, all
+  CPU cores) -> 3 contiguous arena H2D transfers -> fused device step
+  (PVQ band reconstruction + IMDCT synthesis + postfilter + deemphasis).
+
+The quality gate decodes a stream through the same pipeline and runs the
+ported opus_compare psychoacoustic comparison (tools/opus_compare.py)
+against libopus's own float decode of the same packets.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+value = end-to-end realtime-x on THIS host (host stage + transfers +
+device, strictly serialized); device-only and stage breakdowns are
+reported as secondary fields.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+N_FRAMES = 48
+NORTH_STAR = 5000.0
 
-def build_packets(n_frames=8, channels=2):
-    """Real libopus CELT packets when the oracle is present, else None."""
+
+def build_packets(n_frames=N_FRAMES, channels=2, bitrate=128000):
+    """Real libopus CELT packets (payload, full-packet) or (None, None)."""
     try:
         from mousiki_tpu.bitstream.packet import parse_packet
         from mousiki_tpu.testing import oracle
         if not oracle.available():
-            return None
-        enc = oracle.RefEncoder(48000, channels, oracle.APP_RESTRICTED_LOWDELAY)
-        enc.ctl_set(oracle.SET_BITRATE, 128000)
+            return None, None
+        enc = oracle.RefEncoder(48000, channels,
+                                oracle.APP_RESTRICTED_LOWDELAY)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
         sig = oracle.make_test_signal(960 * (n_frames + 1), channels, seed=3)
         pcm16 = oracle.float_to_i16(sig)
-        return [parse_packet(enc.encode(
-            pcm16[f * 960:(f + 1) * 960].reshape(-1))).frames[0]
-            for f in range(n_frames)]
+        pkts = [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(n_frames)]
+        return [parse_packet(p).frames[0] for p in pkts], pkts
     except Exception:
-        return None
+        return None, None
 
 
-def decode_descs_python(payloads, channels):
-    from mousiki_tpu.celt.decoder import CeltDecoder
-    host = CeltDecoder(channels=channels, stream_channels=channels, end=21)
-    return [host.decode_with_ec(p, 960, return_desc=True) for p in payloads]
+def downmix_16k(pcm48):
+    """(N, C) 48 kHz float -> 16 kHz mono via windowed-sinc decimation."""
+    mono = np.asarray(pcm48, np.float64).mean(axis=1)
+    taps = 96
+    t = np.arange(-taps, taps + 1, dtype=np.float64)
+    h = np.sinc(t / 3.0) / 3.0 * np.hanning(2 * taps + 1)
+    filt = np.convolve(mono, h, mode="same")
+    return filt[::3].astype(np.float32)
 
 
-def synthetic_descs(n_frames, channels):
-    rng = np.random.default_rng(0)
-    descs = []
-    for f in range(n_frames):
-        x = rng.standard_normal((channels, 960)).astype(np.float32) * 0.05
-        descs.append({
-            "x": x, "band_log_e": rng.uniform(-2, 8, (2, 21)).astype(np.float32),
-            "transient": f % 4 == 0, "silence": False,
-            "pf_pitch": 120 + 17 * f, "pf_gain": 0.375 if f % 2 else 0.0,
-            "pf_tapset": f % 3,
-        })
-    return descs
+def quality_gate(S, payloads, full_pkts):
+    """Decode via the plan pipeline, compare vs libopus float decode.
+
+    Uses the same S as the perf run so the jitted step is already
+    compiled (fresh pipeline = fresh stream state)."""
+    from mousiki_tpu.pipeline import CeltStreamPipeline
+    from mousiki_tpu.testing import oracle
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from opus_compare import compare
+
+    pipe = CeltStreamPipeline(S, channels=2, use_plan=True)
+    ours = []
+    for p in payloads:
+        pcm = np.asarray(pipe.step([p] * S, 960))
+        ours.append(pcm[0])
+    ours = np.concatenate(ours, axis=0)
+
+    dec = oracle.RefDecoder(48000, 2)
+    ref = np.concatenate([dec.decode_float(p, 960) for p in full_pkts],
+                         axis=0)
+    r = compare(downmix_16k(ref), downmix_16k(ours))
+    return {"pass": bool(r["ok"]), "err4": round(float(r["err4"]), 4),
+            "err16": round(float(r["err16"]), 4),
+            "pitch": round(float(r["pitch"]), 4)}
 
 
-def bench_host_native(payloads, S, channels, n_iter=5):
-    """Native host stage rate: frames (all streams) per second."""
-    from mousiki_tpu.celt import host_native
-    if not host_native.available() or payloads is None:
-        return None
-    batch = host_native.NativeCeltHostBatch(S, channels=channels,
-                                            disable_inv=channels == 1)
-    n_frames = len(payloads)
-    # warm
-    batch.decode([payloads[0]] * S, 960)
+def bench_e2e(payloads, S, n_steps=128):
+    """Steady-state end-to-end rate through the plan pipeline."""
+    from mousiki_tpu.pipeline import CeltStreamPipeline
+
+    pipe = CeltStreamPipeline(S, channels=2, use_plan=True)
+    nf = len(payloads)
+
+    def frames(n):
+        for i in range(n):
+            yield [payloads[i % nf]] * S
+
+    for pcm in pipe.decode_stream(frames(3), 960):   # compile + warm
+        pcm.block_until_ready()
+
+    # three windows, take the best (tunnel transfer timing is noisy)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = n_steps // 3
+        for pcm in pipe.decode_stream(frames(n), 960):
+            pass
+        dt = time.perf_counter() - t0
+        best = max(best, S * n * 0.02 / dt)
+
+    # stage breakdown (same pipeline objects)
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        batch.decode([payloads[i % n_frames]] * S, 960)
-    dt = time.perf_counter() - t0
-    return S * n_iter / dt  # stream-frames per second
+    for i in range(10):
+        pipe._native.decode_plan_arenas([payloads[i % nf]] * S, 960)
+    host_us = (time.perf_counter() - t0) / 10 / S * 1e6
+
+    args = pipe._host_decode_plan([payloads[0]] * S, 960)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        pcm, pipe.state = pipe._plan_step(pipe.consts, pipe.state, *args)
+    pcm.block_until_ready()
+    device_x = 10 * S * 0.02 / (time.perf_counter() - t0)
+    return best, host_us, device_x
+
+
+def bench_device_only(S):
+    """Fallback metric when no oracle/native lib: device synthesis only."""
+    import jax.numpy as jnp
+    from mousiki_tpu.ops.synthesis_jax import (FrameDesc, init_state,
+                                               make_consts, synthesis_step)
+    rng = np.random.default_rng(0)
+    desc = FrameDesc(
+        x=jnp.asarray(rng.standard_normal((S, 2, 960)), jnp.float32) * 0.05,
+        band_log_e=jnp.asarray(rng.uniform(-2, 8, (S, 2, 22)), jnp.float32),
+        transient=jnp.zeros(S, bool), silence=jnp.zeros(S, bool),
+        pf_pitch=jnp.full(S, 120, jnp.int32),
+        pf_gain=jnp.zeros(S, jnp.float32),
+        pf_tapset=jnp.zeros(S, jnp.int32))
+    consts = make_consts()
+    state = init_state(S, 2)
+    pcm, state = synthesis_step(consts, state, desc, channels=2)
+    pcm.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(30):
+        pcm, state = synthesis_step(consts, state, desc, channels=2)
+    pcm.block_until_ready()
+    return 30 * S * 0.02 / (time.perf_counter() - t0)
 
 
 def main():
     import jax
-    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-    from mousiki_tpu.ops.synthesis_jax import (FrameDesc, init_state,
-                                               make_consts, synthesis_step)
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    payloads, full_pkts = build_packets()
 
-    S = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    channels = 2
-    n_frames = 8
-    payloads = build_packets(n_frames, channels)
-    if payloads is not None:
-        descs = decode_descs_python(payloads, channels)
-    else:
-        descs = synthetic_descs(n_frames, channels)
-
-    def to_batch(desc):
-        ble = np.full((2, 22), -28.0, np.float32)
-        ble[:, :21] = desc["band_log_e"][:, :21]
-        return FrameDesc(
-            x=jnp.asarray(np.tile(desc["x"][None], (S, 1, 1)), jnp.float32),
-            band_log_e=jnp.asarray(np.tile(ble[None, :channels], (S, 1, 1))),
-            transient=jnp.full((S,), desc["transient"], bool),
-            silence=jnp.full((S,), desc["silence"], bool),
-            pf_pitch=jnp.full((S,), desc["pf_pitch"], jnp.int32),
-            pf_gain=jnp.full((S,), desc["pf_gain"], jnp.float32),
-            pf_tapset=jnp.full((S,), desc["pf_tapset"], jnp.int32),
-        )
-
-    consts = make_consts()
-    state = init_state(S, channels)
-    batches = [to_batch(d) for d in descs]
-
-    # warmup/compile
-    pcm, state = synthesis_step(consts, state, batches[0], channels=channels)
-    pcm.block_until_ready()
-
-    n_iter = 30
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        pcm, state = synthesis_step(consts, state, batches[i % n_frames],
-                                    channels=channels)
-    pcm.block_until_ready()
-    dt = time.perf_counter() - t0
-    device_fps = S * n_iter / dt
-    device_x = device_fps * 0.02
-
-    import os
-    n_cores = os.cpu_count() or 1
-    host_fps = bench_host_native(payloads, min(S, 256), channels)
-    host_x = host_fps * 0.02 if host_fps else None
-
-    # The host symbol stage runs on CPU threads (one stream per thread) and
-    # pipelines with the device stage, so end-to-end throughput is
-    # min(device, host_cores * host_per_core).
-    e2e_x = min(device_x, host_x) if host_x else device_x
+    native_ok = False
+    try:
+        from mousiki_tpu.celt import host_native
+        native_ok = host_native.available()
+    except Exception:
+        pass
 
     result = {
-        "metric": "aggregate_realtime_x_celt_device_48k_stereo_decode",
-        "value": round(device_x, 1),
+        "metric": "aggregate_realtime_x_celt_48k_stereo_decode_e2e",
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(device_x / 5000.0, 4),
         "streams": S,
-        "host_stage_x_this_host": round(host_x, 1) if host_x else None,
-        "host_cpu_cores": n_cores,
-        "e2e_x_this_host": round(e2e_x, 1),
-        "host_us_per_frame": (round(1e6 / host_fps, 1) * n_cores
-                              if host_fps else None),
+        "host_cpu_cores": os.cpu_count() or 1,
         "device": str(jax.devices()[0]),
     }
+    if payloads is not None and native_ok:
+        e2e_x, host_us, device_x = bench_e2e(payloads, S)
+        gate = quality_gate(S, payloads, full_pkts)
+        result.update({
+            "value": round(e2e_x, 1),
+            "vs_baseline": round(e2e_x / NORTH_STAR, 4),
+            "host_us_per_frame": round(host_us, 1),
+            "device_only_x": round(device_x, 1),
+            "quality_gate": "pass" if gate.pop("pass") else "FAIL",
+            "quality": gate,
+        })
+    else:
+        dev_x = bench_device_only(S)
+        result.update({
+            "value": round(dev_x, 1),
+            "vs_baseline": round(dev_x / NORTH_STAR, 4),
+            "note": "device-synthesis only (oracle or native host "
+                    "unavailable); e2e path not measured",
+        })
     print(json.dumps(result))
 
 

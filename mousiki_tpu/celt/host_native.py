@@ -83,82 +83,139 @@ _TIERS = ((16, 224), (48, 48), (176, 16))
 _NB = 21
 _FILL = 4
 
+# Plane dtypes mirror native PlanOut (celt_host.cpp): narrow types keep
+# host write traffic and the per-step H2D arena transfer small.
+_PLANE_DTYPES = {
+    "direct": np.uint8, "pvq_active": np.uint8, "pvq_n": np.uint8,
+    "pvq_k": np.uint8, "pvq_b": np.uint8, "pvq_spread": np.uint8,
+    "pvq_gain": np.float32, "pvq_idx": np.uint32,
+    "map": np.int16, "call_active": np.uint8, "call_has_lb": np.uint8,
+    "call_lb_src": np.int16, "call_lb_buf": np.uint8,
+    "call_blend_upto": np.int16, "call_pre": np.uint8,
+    "call_post": np.uint8, "call_norm_write": np.uint8,
+    "call_norm_buf": np.uint8, "fill_active": np.uint8,
+    "fill_fold": np.uint8, "fill_off": np.int16, "fill_n": np.int16,
+    "fill_gain": np.float32, "fill_seed": np.uint32,
+    "merge_active": np.uint8, "merge_mid": np.float32,
+    "merge_inv": np.uint8, "theta2_active": np.uint8,
+    "theta2_cswap": np.uint8, "theta2_sign": np.float32,
+    "theta2_mid": np.float32, "theta2_side": np.float32,
+    "theta2_inv": np.uint8, "n1_active": np.uint8, "n1_val": np.float32,
+    "ac_on": np.uint8, "ac_masks": np.uint8, "ac_r": np.float32,
+    "ac_seed": np.uint32, "iflags": np.int32,
+    "ble32": np.float32, "pf32": np.float32,
+}
 
-def alloc_plan_buffers(S: int, channels: int, frame: int) -> dict:
-    """Allocate the packed plan tensors + frame-descriptor outputs.
+# Native pointer-table order (58 entries; see celt_host_decode_plan).
+_PTR_ORDER = (["direct"]
+              + [("pvq_active", t) for t in range(3)]
+              + [("pvq_n", t) for t in range(3)]
+              + [("pvq_k", t) for t in range(3)]
+              + [("pvq_b", t) for t in range(3)]
+              + [("pvq_spread", t) for t in range(3)]
+              + [("pvq_gain", t) for t in range(3)]
+              + [("pvq_idx", t) for t in range(3)]
+              + ["map", "call_active", "call_has_lb", "call_lb_src",
+                 "call_lb_buf", "call_blend_upto", "call_pre", "call_post",
+                 "call_norm_write", "call_norm_buf", "fill_active",
+                 "fill_fold", "fill_off", "fill_n", "fill_gain", "fill_seed",
+                 "merge_active", "merge_mid", "merge_inv", "theta2_active",
+                 "theta2_cswap", "theta2_sign", "theta2_mid", "theta2_side",
+                 "theta2_inv", "n1_active", "n1_val", "ac_on", "ac_masks",
+                 "ac_r", "ac_seed", "x_direct", "band_log_e", "iflags",
+                 "pf_gain", "rcs"])
 
-    Zero-initialized (np.zeros gets lazily-mapped zero pages from calloc,
-    so this is cheap): the native decoder only writes the slots it flags
-    active, and several value planes (e.g. mono ac_r channel 1) are read
-    unconditionally by the masked device executor.
-    """
-    t = lambda dt: [np.zeros((S, slots), dt) for _, slots in _TIERS]
-    return {
-        "direct": np.zeros(S, np.bool_),
-        "pvq_active": t(np.bool_),
-        "pvq_n": t(np.int32), "pvq_k": t(np.int32), "pvq_b": t(np.int32),
-        "pvq_spread": t(np.int32), "pvq_gain": t(np.float32),
-        "pvq_idx": t(np.uint32),
-        "map": np.zeros((S, channels * frame), np.int32),
-        "call_active": np.zeros((S, _NB, 2), np.bool_),
-        "call_has_lb": np.zeros((S, _NB, 2), np.bool_),
-        "call_lb_src": np.zeros((S, _NB, 2), np.int32),
-        "call_lb_buf": np.zeros((S, _NB, 2), np.int32),
-        "call_blend_upto": np.full((S, _NB, 2), -1, np.int32),
-        "call_pre": np.zeros((S, _NB, 2), np.int32),
-        "call_post": np.zeros((S, _NB, 2), np.int32),
-        "call_norm_write": np.zeros((S, _NB, 2), np.bool_),
-        "call_norm_buf": np.zeros((S, _NB, 2), np.int32),
-        "fill_active": np.zeros((S, _NB, 2, _FILL), np.bool_),
-        "fill_fold": np.zeros((S, _NB, 2, _FILL), np.bool_),
-        "fill_off": np.zeros((S, _NB, 2, _FILL), np.int32),
-        "fill_n": np.zeros((S, _NB, 2, _FILL), np.int32),
-        "fill_gain": np.ones((S, _NB, 2, _FILL), np.float32),
-        "fill_seed": np.zeros((S, _NB, 2, _FILL), np.uint32),
-        "merge_active": np.zeros((S, _NB), np.bool_),
-        "merge_mid": np.zeros((S, _NB), np.float32),
-        "merge_inv": np.zeros((S, _NB), np.bool_),
-        "theta2_active": np.zeros((S, _NB), np.bool_),
-        "theta2_cswap": np.zeros((S, _NB), np.bool_),
-        "theta2_sign": np.zeros((S, _NB), np.float32),
-        "theta2_mid": np.zeros((S, _NB), np.float32),
-        "theta2_side": np.zeros((S, _NB), np.float32),
-        "theta2_inv": np.zeros((S, _NB), np.bool_),
-        "n1_active": np.zeros((S, _NB, 2), np.bool_),
-        "n1_val": np.zeros((S, _NB, 2), np.float32),
-        "ac_on": np.zeros(S, np.bool_),
-        "ac_masks": np.zeros((S, _NB, 2), np.int32),
-        "ac_r": np.zeros((S, 2, _NB), np.float32),
-        "ac_seed": np.zeros(S, np.uint32),
-        "x_direct": np.zeros((S, channels, frame), np.float32),
-        "band_log_e": np.zeros((S, 2, _NB), np.float64),
-        "iflags": np.zeros((S, 4), np.int32),
-        "pf_gain": np.zeros(S, np.float64),
-        "rcs": np.zeros(S, np.int32),
+
+def _plane_shapes(S: int, channels: int, frame: int) -> dict:
+    c2, b1, f4 = (S, _NB, 2), (S, _NB), (S, _NB, 2, _FILL)
+    shapes = {
+        "direct": (S,), "map": (S, channels * frame),
+        "call_active": c2, "call_has_lb": c2, "call_lb_src": c2,
+        "call_lb_buf": c2, "call_blend_upto": c2, "call_pre": c2,
+        "call_post": c2, "call_norm_write": c2, "call_norm_buf": c2,
+        "fill_active": f4, "fill_fold": f4, "fill_off": f4, "fill_n": f4,
+        "fill_gain": f4, "fill_seed": f4,
+        "merge_active": b1, "merge_mid": b1, "merge_inv": b1,
+        "theta2_active": b1, "theta2_cswap": b1, "theta2_sign": b1,
+        "theta2_mid": b1, "theta2_side": b1, "theta2_inv": b1,
+        "n1_active": c2, "n1_val": c2, "ac_on": (S,), "ac_masks": c2,
+        "ac_r": (S, 2, _NB), "ac_seed": (S,), "iflags": (S, 4),
+        "ble32": (S, 2, _NB), "pf32": (S,),
     }
+    for t, (_, slots) in enumerate(_TIERS):
+        for k in ("pvq_active", "pvq_n", "pvq_k", "pvq_b", "pvq_spread",
+                  "pvq_gain", "pvq_idx"):
+            shapes[(k, t)] = (S, slots)
+    return shapes
 
 
-def _plan_ptr_table(bufs: dict):
-    order = (["direct"]
-             + [("pvq_active", t) for t in range(3)]
-             + [("pvq_n", t) for t in range(3)]
-             + [("pvq_k", t) for t in range(3)]
-             + [("pvq_b", t) for t in range(3)]
-             + [("pvq_spread", t) for t in range(3)]
-             + [("pvq_gain", t) for t in range(3)]
-             + [("pvq_idx", t) for t in range(3)]
-             + ["map", "call_active", "call_has_lb", "call_lb_src",
-                "call_lb_buf", "call_blend_upto", "call_pre", "call_post",
-                "call_norm_write", "call_norm_buf", "fill_active",
-                "fill_fold", "fill_off", "fill_n", "fill_gain", "fill_seed",
-                "merge_active", "merge_mid", "merge_inv", "theta2_active",
-                "theta2_cswap", "theta2_sign", "theta2_mid", "theta2_side",
-                "theta2_inv", "n1_active", "n1_val", "ac_on", "ac_masks",
-                "ac_r", "ac_seed", "x_direct", "band_log_e", "iflags",
-                "pf_gain", "rcs"])
-    ptrs = (C.c_void_p * len(order))()
-    for k, key in enumerate(order):
-        arr = bufs[key[0]][key[1]] if isinstance(key, tuple) else bufs[key]
+def plan_arena_layout(S: int, channels: int, frame: int):
+    """Byte layout of the three plan arenas (by element width).
+
+    The whole plan ships to the device as 3 contiguous transfers instead
+    of ~40 (each H2D through the device tunnel has ~0.1 ms fixed cost and
+    is synchronous). Returns (layout, sizes) where layout maps each plane
+    key (or (key, tier)) -> (arena_name, elem_offset, shape) and sizes
+    maps arena_name -> element count. Arena dtypes: a32 int32 (f32/u32
+    planes are same-width views), a16 int16, a8 uint8. The ble32/pf32
+    planes are host-converted f32 copies of band_log_e / pf_gain so the
+    descriptor rides the same transfer.
+    """
+    shapes = _plane_shapes(S, channels, frame)
+    arena_of = {1: "a8", 2: "a16", 4: "a32"}
+    layout = {}
+    sizes = {"a8": 0, "a16": 0, "a32": 0}
+    for key in list(shapes):
+        base = key[0] if isinstance(key, tuple) else key
+        dt = np.dtype(_PLANE_DTYPES[base])
+        name = arena_of[dt.itemsize]
+        n = int(np.prod(shapes[key]))
+        layout[key] = (name, sizes[name], shapes[key])
+        sizes[name] += n
+    return layout, sizes
+
+
+def alloc_plan_arenas(S: int, channels: int, frame: int):
+    """Zeroed plan arenas + the separate native output arrays.
+
+    np.zeros gets lazily-mapped zero pages, so allocation is cheap; the
+    native decoder only writes flagged slots and the device executor
+    masks by those flags (zero defaults are correct for every plane,
+    including call_blend_upto where 0 and -1 both mean "no blend").
+    """
+    layout, sizes = plan_arena_layout(S, channels, frame)
+    arenas = {"a8": np.zeros(sizes["a8"], np.uint8),
+              "a16": np.zeros(sizes["a16"], np.int16),
+              "a32": np.zeros(sizes["a32"], np.int32)}
+    aux = {"x_direct": np.zeros((S, channels, frame), np.float32),
+           "band_log_e": np.zeros((S, 2, _NB), np.float64),
+           "pf_gain": np.zeros(S, np.float64),
+           "rcs": np.zeros(S, np.int32)}
+    return arenas, aux, layout
+
+
+def plan_views(arenas: dict, aux: dict, layout: dict) -> dict:
+    """Typed numpy views of every plan plane (the old dict-of-arrays
+    interface, now backed by the arenas)."""
+    out = {}
+    for key, (name, off, shape) in layout.items():
+        base = key[0] if isinstance(key, tuple) else key
+        dt = np.dtype(_PLANE_DTYPES[base])
+        n = int(np.prod(shape))
+        flat = arenas[name][off:off + n]
+        v = flat.view(dt).reshape(shape)
+        if isinstance(key, tuple):
+            out.setdefault(base, [None, None, None])[key[1]] = v
+        else:
+            out[base] = v
+    out.update(aux)
+    return out
+
+
+def _plan_ptr_table(views: dict):
+    ptrs = (C.c_void_p * len(_PTR_ORDER))()
+    for k, key in enumerate(_PTR_ORDER):
+        arr = views[key[0]][key[1]] if isinstance(key, tuple) else views[key]
         ptrs[k] = arr.ctypes.data_as(C.c_void_p)
     return ptrs
 
@@ -323,12 +380,16 @@ class NativeCeltHostBatch:
             self.n_threads)
         return x, ble, iflags, pf_gains, rcs
 
-    def decode_plan(self, payloads: list, frame_size: int) -> dict:
+    def decode_plan_arenas(self, payloads: list, frame_size: int):
         """Symbol-only batch decode emitting packed band plans.
 
-        Returns the plan-buffer dict (see alloc_plan_buffers): the packed
-        plan tensors for ops/band_exec_jax.execute_packed plus band_log_e,
-        iflags, pf_gain, x_direct (fallback spectra), direct and rcs.
+        Returns (arenas, aux, layout): three contiguous plan arenas (see
+        plan_arena_layout) ready for single-shot H2D transfer, plus the
+        separate native outputs {x_direct, band_log_e, pf_gain, rcs}.
+        Arenas are freshly allocated every call: JAX on the CPU backend
+        may alias them zero-copy, so reuse across steps would race.
+        The f32 ble32/pf32 arena planes are filled from the native f64
+        outputs so the descriptor rides the arena transfer.
         """
         S, Cch = self.S, self.channels
         assert len(payloads) == S
@@ -336,10 +397,9 @@ class NativeCeltHostBatch:
         if key not in self._bufs:
             self._bufs[key] = (np.empty(S, np.int32), np.empty(S, np.int32))
         offs, lens = self._bufs[key]
-        # fresh buffers every call (see decode): JAX on the CPU backend may
-        # alias these zero-copy, so reuse across steps would race
-        bufs = alloc_plan_buffers(S, Cch, frame_size)
-        ptrs = _plan_ptr_table(bufs)
+        arenas, aux, layout = alloc_plan_arenas(S, Cch, frame_size)
+        views = plan_views(arenas, aux, layout)
+        ptrs = _plan_ptr_table(views)
         blob = b"".join(payloads)
         pos = 0
         for i, p in enumerate(payloads):
@@ -351,4 +411,11 @@ class NativeCeltHostBatch:
             self._states, blob, offs.ctypes.data_as(ip),
             lens.ctypes.data_as(ip), S, frame_size, Cch, self.start, self.end,
             1 if self.disable_inv else 0, ptrs, self.n_threads)
-        return bufs
+        views["ble32"][:] = aux["band_log_e"]
+        views["pf32"][:] = aux["pf_gain"]
+        return arenas, aux, layout
+
+    def decode_plan(self, payloads: list, frame_size: int) -> dict:
+        """decode_plan_arenas, presented as the dict-of-planes view."""
+        arenas, aux, layout = self.decode_plan_arenas(payloads, frame_size)
+        return plan_views(arenas, aux, layout)

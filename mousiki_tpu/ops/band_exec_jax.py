@@ -298,6 +298,32 @@ def _apply_combo(x, sel, mats: np.ndarray):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+_BOOL_PLANES = ("direct", "pvq_active", "call_active", "call_has_lb",
+                "call_norm_write", "fill_active", "fill_fold",
+                "merge_active", "merge_inv", "theta2_active", "theta2_cswap",
+                "theta2_inv", "n1_active", "ac_on")
+_U32_PLANES = ("pvq_idx", "fill_seed", "ac_seed")
+_F32_PLANES = ("pvq_gain", "fill_gain", "merge_mid", "theta2_sign",
+               "theta2_mid", "theta2_side", "n1_val", "ac_r")
+
+
+def _normalize_plan(p: dict) -> dict:
+    """Cast plan planes to canonical executor dtypes (bool/i32/u32/f32).
+
+    Accepts both the Python packer's wide dtypes and the narrow
+    arena-view dtypes emitted by the native host (host_native.py)."""
+    def cast(key, v):
+        if key in _BOOL_PLANES:
+            return v if v.dtype == jnp.bool_ else (v != 0)
+        if key in _U32_PLANES:
+            return v.astype(jnp.uint32)
+        if key in _F32_PLANES:
+            return v.astype(jnp.float32)
+        return v.astype(jnp.int32)
+    return {k: ([cast(k, t) for t in p[k]] if isinstance(p[k], list) else
+                cast(k, p[k])) for k in PLAN_KEYS}
+
+
 @partial(jax.jit, static_argnames=("channels", "frame", "lm", "start", "end"))
 def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
                    start: int, end: int):
@@ -305,6 +331,7 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
 
     x_direct: (S, channels, frame) fallback spectra for direct streams.
     """
+    p = _normalize_plan(p)
     mode = opus_custom_mode(48000, 960)
     eb = [int(v) for v in mode.ebands]
     nb = mode.num_ebands
@@ -533,4 +560,70 @@ def plan_synthesis_step(consts, state, packed, x_direct, band_log_e,
     desc = FrameDesc(x=X.reshape(-1, channels, 960), band_log_e=band_log_e,
                      transient=transient, silence=silence, pf_pitch=pf_pitch,
                      pf_gain=pf_gain, pf_tapset=pf_tapset)
+    return synthesis_step(consts, state, desc, channels=channels)
+
+
+def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
+    """Reconstruct the plan-plane dict from the three packed arenas.
+
+    Traced: slicing at static offsets is free for XLA; f32/u32 planes are
+    same-width bitcasts of the int32 arena (no endianness concerns).
+    Returns (p, ble, pf_gain, iflags): p has PLAN_KEYS (narrow dtypes —
+    execute_packed normalizes), ble is (S, 2, 21) f32, pf_gain (S,) f32.
+    """
+    from ..celt.host_native import _PLANE_DTYPES, plan_arena_layout
+
+    arenas = {"a8": a8, "a16": a16, "a32": a32}
+
+    def nelems(shape):
+        n = 1
+        for d in shape:
+            n *= d
+        return n
+
+    # every arena plane scales linearly with S, so recover S from a8's
+    # total length via the S=1 layout
+    _, sizes1 = plan_arena_layout(1, channels, frame)
+    S = a8.shape[0] // sizes1["a8"]
+    layout, _ = plan_arena_layout(S, channels, frame)
+
+    def plane(key):
+        name, off, shape = layout[key]
+        base = key[0] if isinstance(key, tuple) else key
+        dt = np.dtype(_PLANE_DTYPES[base])
+        v = lax.slice(arenas[name], (off,), (off + nelems(shape),))
+        if dt == np.float32:
+            v = lax.bitcast_convert_type(v, jnp.float32)
+        elif dt == np.uint32:
+            v = lax.bitcast_convert_type(v, jnp.uint32)
+        elif dt == np.uint8:
+            v = v  # already uint8
+        return v.reshape(shape)
+
+    p = {}
+    for k in PLAN_KEYS:
+        if k.startswith("pvq_"):
+            p[k] = [plane((k, t)) for t in range(3)]
+        else:
+            p[k] = plane(k)
+    return p, plane("ble32"), plane("pf32"), plane("iflags")
+
+
+@partial(jax.jit, static_argnames=("channels",))
+def plan_synthesis_step_arena(consts, state, a32, a16, a8, x_direct,
+                              channels: int = 2):
+    """Fused device step from packed arenas: unpack + band-plan execution
+    + CELT synthesis (20 ms). The host ships 3 arena transfers + x_direct
+    per step (see host_native.decode_plan_arenas)."""
+    from .synthesis_jax import FrameDesc, synthesis_step
+    p, ble, pf_gain, iflags = unpack_plan_arenas(a32, a16, a8,
+                                                 channels=channels, frame=960)
+    X = execute_packed(p, x_direct, channels=channels, frame=960,
+                       lm=3, start=0, end=21)
+    ble_pad = jnp.pad(ble[:, :channels, :], ((0, 0), (0, 0), (0, 1)),
+                      constant_values=-28.0)
+    desc = FrameDesc(x=X.reshape(-1, channels, 960), band_log_e=ble_pad,
+                     transient=iflags[:, 0] != 0, silence=iflags[:, 1] != 0,
+                     pf_pitch=iflags[:, 2], pf_gain=pf_gain,
+                     pf_tapset=iflags[:, 3])
     return synthesis_step(consts, state, desc, channels=channels)

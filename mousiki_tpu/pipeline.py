@@ -77,9 +77,16 @@ class CeltStreamPipeline:
             self._step = jax.jit(functools.partial(
                 synthesis_step, channels=channels))
         if use_plan:
-            from .ops.band_exec_jax import plan_synthesis_step
-            self._plan_step = functools.partial(plan_synthesis_step,
+            from .ops.band_exec_jax import plan_synthesis_step_arena
+            self._plan_step = functools.partial(plan_synthesis_step_arena,
                                                 channels=channels)
+            # cached all-zero device fallback spectra: x_direct only ships
+            # when some stream actually fell back to the direct decoder
+            import jax.numpy as jnp
+            self._xd_zeros = jnp.zeros((n_streams, channels, 960),
+                                       jnp.float32)
+            self._xd_zeros.block_until_ready()
+            self._gc_tick = 0
 
     # ------------------------------------------------------------------
     def _host_decode(self, payloads: list, frame_size: int) -> FrameDesc:
@@ -133,29 +140,34 @@ class CeltStreamPipeline:
         return desc
 
     def _host_decode_plan(self, payloads: list, frame_size: int):
-        """Plan-mode host stage: packed plan tensors + descriptor fields."""
-        import jax.numpy as jnp
-        from .ops.band_exec_jax import PLAN_KEYS
+        """Plan-mode host stage: 3 packed arenas (+ conditional x_direct).
 
-        S, C = self.S, self.channels
-        bufs = self._native.decode_plan(payloads, frame_size)
-        rcs = bufs["rcs"]
+        The whole plan ships as 3 contiguous H2D transfers; x_direct only
+        transfers when some stream fell back to the direct decoder
+        (otherwise a cached device zeros array is passed)."""
+        import jax.numpy as jnp
+
+        arenas, aux, layout = self._native.decode_plan_arenas(payloads,
+                                                              frame_size)
+        rcs = aux["rcs"]
         if np.any(rcs < 0):
             bad = int(np.argmax(rcs < 0))
             raise ValueError(
                 f"stream {bad}: native celt plan decode failed rc={rcs[bad]}")
-        packed = {k: ([jnp.asarray(v) for v in bufs[k]]
-                      if isinstance(bufs[k], list) else jnp.asarray(bufs[k]))
-                  for k in PLAN_KEYS}
-        iflags = bufs["iflags"]
-        ble_pad = np.full((S, C, 22), _LOW_E, np.float32)
-        ble_pad[:, :, :21] = bufs["band_log_e"][:, :C, :]
-        args = (packed, jnp.asarray(bufs["x_direct"]), jnp.asarray(ble_pad),
-                jnp.asarray(iflags[:, 0] != 0), jnp.asarray(iflags[:, 1] != 0),
-                jnp.asarray(iflags[:, 2].copy()),
-                jnp.asarray(bufs["pf_gain"], jnp.float32),
-                jnp.asarray(iflags[:, 3].copy()))
-        return args
+        name, off, shape = layout["direct"]
+        any_direct = bool(arenas[name][off:off + shape[0]].any())
+        xd = jnp.asarray(aux["x_direct"]) if any_direct else self._xd_zeros
+        # Deterministically reap the per-step device buffers: jax.Array
+        # lifetimes otherwise wait on the cyclic GC, and with ~3 fresh
+        # multi-MB transfers per step the buffer backlog degrades the
+        # transfer path several-fold within a few hundred steps.
+        self._gc_tick += 1
+        if self._gc_tick >= 128:
+            self._gc_tick = 0
+            import gc
+            gc.collect()
+        return (jnp.asarray(arenas["a32"]), jnp.asarray(arenas["a16"]),
+                jnp.asarray(arenas["a8"]), xd)
 
     def step(self, payloads: list, frame_size: int = 960):
         """Decode one frame for every stream.
@@ -180,11 +192,17 @@ class CeltStreamPipeline:
         pending = None
         for payloads in frames_iter:
             if self.use_plan:
+                # plan mode runs strictly serialized: on a tunneled device,
+                # H2D transfers racing enqueued executions degrade the
+                # transfer path several-fold within a few hundred steps,
+                # and the device stage (~0.5 us/frame) leaves nothing
+                # worth overlapping anyway.
                 args = self._host_decode_plan(payloads, frame_size)
                 if pending is not None:
                     yield pending
                 pending, self.state = self._plan_step(self.consts,
                                                       self.state, *args)
+                pending.block_until_ready()
             else:
                 desc = self._host_decode(payloads, frame_size)
                 if pending is not None:

@@ -336,7 +336,7 @@ float decode_pulses(EcDec* d, int* iy, int n, int k) {
 // ---------------------------------------------------------------- rate/alloc
 inline int get_pulses(int i) { return i < 8 ? i : (8 + (i & 7)) << ((i >> 3) - 1); }
 
-int bits2pulses(int band, int lm, int bits) {
+int bits2pulses_search(int band, int lm, int bits) {
   if (bits <= 0) return 0;
   int ci = kCacheIndex[(lm + 1) * NB + band];
   if (ci < 0) return 0;
@@ -352,6 +352,28 @@ int bits2pulses(int band, int lm, int bits) {
   }
   int lo_val = lo == 0 ? -1 : (int)table[lo];
   return (bits - lo_val <= (int)table[hi] - bits) ? lo : hi;
+}
+
+// Direct bits -> pseudo-pulse LUT replacing the binary search (hot in
+// clt_compute_allocation: ~100 lookups/frame). Entries are u8 pseudo-bit
+// values, so bits-1 in [0, 255] covers everything; larger clamps to max.
+constexpr int kB2PMax = 257;
+uint8_t g_b2p[5 * NB][kB2PMax + 1];  // rows indexed by (lm + 1), lm in -1..3
+bool g_b2p_built = false;
+
+void build_b2p_table() {
+  if (g_b2p_built) return;
+  for (int lm = -1; lm <= 3; lm++)
+    for (int band = 0; band < NB; band++)
+      for (int bits = 0; bits <= kB2PMax; bits++)
+        g_b2p[(lm + 1) * NB + band][bits] =
+            (uint8_t)bits2pulses_search(band, lm, bits);
+  g_b2p_built = true;
+}
+
+inline int bits2pulses(int band, int lm, int bits) {
+  if (bits <= 0) return 0;
+  return g_b2p[(lm + 1) * NB + band][bits < kB2PMax ? bits : kB2PMax];
 }
 
 int pulses2bits(int band, int lm, int pulses) {
@@ -1634,29 +1656,32 @@ inline int combo_id(int b0, int tf, int M) {
 }
 
 // Per-stream views into the packed output arrays (already offset for s).
+// Narrow dtypes are chosen to minimise host write traffic and the H2D
+// arena transfer: every value provably fits (n<=176, K<=240 via
+// get_pulses(40), pool index<=8705, norm index<=1600, combo<=13, M<=8).
 struct PlanOut {
   uint8_t* direct;
   uint8_t* pvq_active[3];
-  int32_t* pvq_n[3];
-  int32_t* pvq_k[3];
-  int32_t* pvq_b[3];
-  int32_t* pvq_spread[3];
+  uint8_t* pvq_n[3];
+  uint8_t* pvq_k[3];
+  uint8_t* pvq_b[3];
+  uint8_t* pvq_spread[3];
   float* pvq_gain[3];
   uint32_t* pvq_idx[3];
-  int32_t* map;             // (C*frame,)
+  int16_t* map;             // (C*frame,)
   uint8_t* call_active;     // (21, 2)
   uint8_t* call_has_lb;
-  int32_t* call_lb_src;
-  int32_t* call_lb_buf;
-  int32_t* call_blend_upto;
-  int32_t* call_pre;
-  int32_t* call_post;
+  int16_t* call_lb_src;
+  uint8_t* call_lb_buf;
+  int16_t* call_blend_upto;
+  uint8_t* call_pre;
+  uint8_t* call_post;
   uint8_t* call_norm_write;
-  int32_t* call_norm_buf;
+  uint8_t* call_norm_buf;
   uint8_t* fill_active;     // (21, 2, 4)
   uint8_t* fill_fold;
-  int32_t* fill_off;
-  int32_t* fill_n;
+  int16_t* fill_off;
+  int16_t* fill_n;
   float* fill_gain;
   uint32_t* fill_seed;
   uint8_t* merge_active;    // (21,)
@@ -1671,7 +1696,7 @@ struct PlanOut {
   uint8_t* n1_active;       // (21, 2)
   float* n1_val;
   uint8_t* ac_on;
-  int32_t* ac_masks;        // (21, 2)
+  uint8_t* ac_masks;        // (21, 2)
   float* ac_r;              // (2, 21)
   uint32_t* ac_seed;
 };
@@ -2156,6 +2181,7 @@ extern "C" {
 void* celt_host_create() {
   build_u_table();
   build_lcg_jump();
+  build_b2p_table();
   CeltHost* st = new CeltHost();
   celt_host_reset_impl(st);
   return st;
@@ -2410,29 +2436,29 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
     for (int t = 0; t < 3; t++) {
       size_t so = cs * kTierSlots[t];
       o.pvq_active[t] = (uint8_t*)arrs[1 + t] + so;
-      o.pvq_n[t] = (int32_t*)arrs[4 + t] + so;
-      o.pvq_k[t] = (int32_t*)arrs[7 + t] + so;
-      o.pvq_b[t] = (int32_t*)arrs[10 + t] + so;
-      o.pvq_spread[t] = (int32_t*)arrs[13 + t] + so;
+      o.pvq_n[t] = (uint8_t*)arrs[4 + t] + so;
+      o.pvq_k[t] = (uint8_t*)arrs[7 + t] + so;
+      o.pvq_b[t] = (uint8_t*)arrs[10 + t] + so;
+      o.pvq_spread[t] = (uint8_t*)arrs[13 + t] + so;
       o.pvq_gain[t] = (float*)arrs[16 + t] + so;
       o.pvq_idx[t] = (uint32_t*)arrs[19 + t] + so;
     }
-    o.map = (int32_t*)arrs[22] + cs * C * frame_size;
+    o.map = (int16_t*)arrs[22] + cs * C * frame_size;
     size_t c2 = cs * NB * 2;
     o.call_active = (uint8_t*)arrs[23] + c2;
     o.call_has_lb = (uint8_t*)arrs[24] + c2;
-    o.call_lb_src = (int32_t*)arrs[25] + c2;
-    o.call_lb_buf = (int32_t*)arrs[26] + c2;
-    o.call_blend_upto = (int32_t*)arrs[27] + c2;
-    o.call_pre = (int32_t*)arrs[28] + c2;
-    o.call_post = (int32_t*)arrs[29] + c2;
+    o.call_lb_src = (int16_t*)arrs[25] + c2;
+    o.call_lb_buf = (uint8_t*)arrs[26] + c2;
+    o.call_blend_upto = (int16_t*)arrs[27] + c2;
+    o.call_pre = (uint8_t*)arrs[28] + c2;
+    o.call_post = (uint8_t*)arrs[29] + c2;
     o.call_norm_write = (uint8_t*)arrs[30] + c2;
-    o.call_norm_buf = (int32_t*)arrs[31] + c2;
+    o.call_norm_buf = (uint8_t*)arrs[31] + c2;
     size_t f4 = cs * NB * 2 * kFillSlots;
     o.fill_active = (uint8_t*)arrs[32] + f4;
     o.fill_fold = (uint8_t*)arrs[33] + f4;
-    o.fill_off = (int32_t*)arrs[34] + f4;
-    o.fill_n = (int32_t*)arrs[35] + f4;
+    o.fill_off = (int16_t*)arrs[34] + f4;
+    o.fill_n = (int16_t*)arrs[35] + f4;
     o.fill_gain = (float*)arrs[36] + f4;
     o.fill_seed = (uint32_t*)arrs[37] + f4;
     size_t b1 = cs * NB;
@@ -2448,7 +2474,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
     o.n1_active = (uint8_t*)arrs[47] + c2;
     o.n1_val = (float*)arrs[48] + c2;
     o.ac_on = (uint8_t*)arrs[49] + cs;
-    o.ac_masks = (int32_t*)arrs[50] + c2;
+    o.ac_masks = (uint8_t*)arrs[50] + c2;
     o.ac_r = (float*)arrs[51] + cs * 2 * NB;
     o.ac_seed = (uint32_t*)arrs[52] + cs;
   }
@@ -2460,7 +2486,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
   // zero the active flags + map (other fields are written when flagged)
   memset(o.direct, 0, 1);
   for (int t = 0; t < 3; t++) memset(o.pvq_active[t], 0, kTierSlots[t]);
-  memset(o.map, 0, (size_t)C * frame_size * sizeof(int32_t));
+  memset(o.map, 0, (size_t)C * frame_size * sizeof(int16_t));
   memset(o.call_active, 0, NB * 2);
   memset(o.call_has_lb, 0, NB * 2);
   memset(o.call_norm_write, 0, NB * 2);
