@@ -28,7 +28,7 @@ class Repacketizer:
         self.frames: list[bytes] = []
         self.framesize = 0
 
-    def cat(self, data: bytes) -> None:
+    def cat(self, data: bytes, self_delimited: bool = False) -> None:
         """Append the frames of `data`; all packets must share config."""
         if len(data) < 1:
             raise InvalidPacket("empty packet")
@@ -40,7 +40,7 @@ class Repacketizer:
         curr_nb = packet_get_nb_frames(data)
         if (curr_nb + self.nb_frames) * self.framesize > 960:  # 120 ms
             raise InvalidPacket("too much audio")
-        parsed = parse_packet(data)
+        parsed = parse_packet(data, self_delimited=self_delimited)
         self.frames.extend(parsed.frames)
         self.nb_frames += len(parsed.frames)
 
@@ -124,3 +124,50 @@ def opus_packet_unpad(data: bytes) -> bytes:
     rp = Repacketizer()
     rp.cat(data)
     return rp.out_range(0, rp.nb_frames, len(data))
+
+
+def opus_multistream_packet_pad(data: bytes, new_len: int,
+                                nb_streams: int) -> bytes:
+    """Pad a multistream packet to exactly new_len bytes.
+
+    Parity: reference src/repacketizer.rs opus_multistream_packet_pad:572
+    — the first nb_streams-1 self-delimited packets pass through
+    unchanged; all padding goes into the final (regular) packet.
+    """
+    if len(data) < 1 or new_len < len(data):
+        raise InvalidPacket("bad length")
+    if new_len == len(data):
+        return data
+    offset = 0
+    for _ in range(max(0, nb_streams - 1)):
+        if offset >= len(data):
+            raise InvalidPacket("truncated multistream packet")
+        parsed = parse_packet(data[offset:], self_delimited=True)
+        offset += parsed.packet_offset
+    last_new = (len(data) - offset) + (new_len - len(data))
+    return data[:offset] + opus_packet_pad(data[offset:], last_new)
+
+
+def opus_multistream_packet_unpad(data: bytes, nb_streams: int) -> bytes:
+    """Strip padding from every stream's packet inside a multistream
+    packet, re-emitting the most compact framing.
+
+    Parity: reference src/repacketizer.rs opus_multistream_packet_unpad:605.
+    """
+    if len(data) < 1:
+        raise InvalidPacket("short")
+    out = bytearray()
+    offset = 0
+    for stream in range(nb_streams):
+        self_delimited = stream + 1 != nb_streams
+        if offset >= len(data):
+            raise InvalidPacket("truncated multistream packet")
+        parsed = parse_packet(data[offset:], self_delimited=self_delimited)
+        chunk = data[offset:offset + parsed.packet_offset]
+        rp = Repacketizer()
+        rp.cat(chunk, self_delimited=self_delimited)
+        out += rp.out_range(0, rp.nb_frames,
+                            maxlen=len(data) - len(out),
+                            self_delimited=self_delimited)
+        offset += parsed.packet_offset
+    return bytes(out)

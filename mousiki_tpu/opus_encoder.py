@@ -48,6 +48,8 @@ _CELT_BW_TO_CONFIG = {
 
 def celt_toc(frame_size: int, bandwidth: Bandwidth, channels: int) -> int:
     size_code = {120: 0, 240: 1, 480: 2, 960: 3}[frame_size]
+    if bandwidth == Bandwidth.MEDIUMBAND:
+        bandwidth = Bandwidth.WIDEBAND  # CELT has no MB config (RFC 6716)
     config = _CELT_BW_TO_CONFIG[bandwidth] + size_code
     return (config << 3) | (0x4 if channels == 2 else 0)
 
@@ -77,10 +79,17 @@ def hybrid_toc(frame_size: int, bandwidth: Bandwidth, channels: int) -> int:
 
 
 class OpusEncoder:
+    # max coding bandwidth by API sample rate (Nyquist-limited; reference
+    # opus_encoder.rs limits via st.variable... + the CELT upsample path)
+    _BW_CAP = {8000: Bandwidth.NARROWBAND, 12000: Bandwidth.MEDIUMBAND,
+               16000: Bandwidth.WIDEBAND, 24000: Bandwidth.SUPERWIDEBAND,
+               48000: Bandwidth.FULLBAND}
+
     def __init__(self, fs: int = 48000, channels: int = 2,
                  application: int = APP_RESTRICTED_LOWDELAY):
-        if fs != 48000 or channels not in (1, 2):
-            raise NotImplementedError("48 kHz mono/stereo only this round")
+        if fs not in (8000, 12000, 16000, 24000, 48000) \
+                or channels not in (1, 2):
+            raise ValueError("fs must be 8/12/16/24/48 kHz, 1-2 channels")
         self.fs = fs
         self.channels = channels
         self.application = application
@@ -104,6 +113,19 @@ class OpusEncoder:
         if application == APP_VOIP:
             self.mode = Mode.SILK
             self.bandwidth = Bandwidth.WIDEBAND
+        if fs != 48000:
+            # non-48k API input rides the Kaiser polyphase input resampler
+            # up to the 48 kHz core (reference: opus_encoder.rs:3965 API
+            # rates; our core runs at 48 kHz and caps coding bandwidth at
+            # the input Nyquist). The FIFO is primed with the resampler's
+            # output latency so every API frame maps to one 48k frame.
+            from .ops.input_resampler import ArbitraryResampler
+            self._in_rs = ArbitraryResampler(fs, 48000, channels=channels,
+                                             quality=7)
+            self._rs_fifo = np.zeros((self._in_rs.output_latency, channels),
+                                     np.float64)
+            self.set_bandwidth(min(self.bandwidth, self._BW_CAP[fs]))
+            self.bandwidth_forced = False
 
     # -- ctl-equivalents ------------------------------------------------
     def set_bitrate(self, bitrate: int):
@@ -113,9 +135,13 @@ class OpusEncoder:
         self.vbr = vbr
 
     def set_bandwidth(self, bw: Bandwidth):
+        if self.fs != 48000:
+            bw = min(bw, self._BW_CAP[self.fs])
         self.bandwidth = bw
         self.bandwidth_forced = True
-        self.celt.end = {Bandwidth.NARROWBAND: 13, Bandwidth.WIDEBAND: 17,
+        self.celt.end = {Bandwidth.NARROWBAND: 13,
+                         Bandwidth.MEDIUMBAND: 17,  # CELT has no MB config
+                         Bandwidth.WIDEBAND: 17,
                          Bandwidth.SUPERWIDEBAND: 19,
                          Bandwidth.FULLBAND: 21}[bw]
 
@@ -125,9 +151,33 @@ class OpusEncoder:
     # -------------------------------------------------------------------
     def encode(self, pcm: np.ndarray, frame_size: int,
                max_bytes: int = 1275) -> bytes:
-        """Encode one frame of float PCM (frame_size, channels) -> packet."""
+        """Encode one frame of float PCM (frame_size, channels) -> packet.
+
+        frame_size is in samples at the API rate (2.5-120 ms)."""
         if pcm.ndim == 1:
             pcm = pcm[:, None]
+        if self.fs != 48000:
+            # resample to the 48 kHz core; the primed FIFO turns each API
+            # frame into exactly one 48k frame (integer 48000/fs ratios)
+            if pcm.shape[0] != frame_size:
+                raise ValueError("pcm length != frame_size")
+            frame48 = frame_size * 48000 // self.fs
+            if frame48 * self.fs != frame_size * 48000:
+                raise ValueError("bad frame_size for API rate")
+            self._rs_fifo = np.concatenate(
+                [self._rs_fifo, self._in_rs.process(pcm)], axis=0)
+            if self._rs_fifo.shape[0] < frame48:   # only possible on frame 0
+                pad = frame48 - self._rs_fifo.shape[0]
+                self._rs_fifo = np.concatenate(
+                    [np.zeros((pad, self.channels)), self._rs_fifo], axis=0)
+            pcm48 = self._rs_fifo[:frame48]
+            self._rs_fifo = self._rs_fifo[frame48:]
+            saved_fs = self.fs
+            self.fs = 48000
+            try:
+                return self.encode(pcm48, frame48, max_bytes)
+            finally:
+                self.fs = saved_fs
         if frame_size in (3840, 4800, 5760):
             # 80/100/120 ms: encode 20 ms subframes and merge them into one
             # code-3 packet with the repacketizer (opus_encoder.rs multiframe)

@@ -449,3 +449,51 @@ def test_bandwidth_transition_lp_ramp():
     assert all(b == 1103 for b in bws[20: 20 + hold - 1])
     assert bws[22 + hold] == 1101
     assert enc.silk.lp.mode == 0
+
+
+@pytest.mark.parametrize("fs,app", [
+    (8000, oracle.APP_VOIP), (12000, oracle.APP_VOIP),
+    (16000, oracle.APP_VOIP), (24000, oracle.APP_VOIP),
+    (16000, oracle.APP_RESTRICTED_LOWDELAY),
+    (24000, oracle.APP_RESTRICTED_LOWDELAY),
+])
+def test_encoder_api_rates(fs, app):
+    """Non-48k API input: packets decode in libopus with sensible quality.
+
+    Reference: opus_encoder.rs accepts 8/12/16/24/48 kHz API rates; our
+    core runs at 48 kHz behind the Kaiser input resampler."""
+    frame = fs // 50  # 20 ms
+    enc = OpusEncoder(fs, 1, app)
+    enc.set_bitrate(32000)
+    refdec = oracle.RefDecoder(fs, 1)
+    t = np.arange(frame * 30) / fs
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)[:, None]
+    outs = []
+    for f in range(30):
+        pkt = enc.encode(sig[f * frame:(f + 1) * frame], frame)
+        assert len(pkt) >= 1
+        outs.append(refdec.decode_float(pkt, frame))
+    got = np.concatenate(outs).ravel()
+    # search alignment (resampler + codec delay), then gate SNR
+    ref = sig.ravel()
+    best = -99.0
+    for lag in range(0, fs // 10):
+        n = min(len(ref) - lag, len(got) - frame)
+        a = ref[: n]
+        b = got[lag: lag + n]
+        best = max(best, 10 * np.log10(
+            (a ** 2).mean() / ((a - b) ** 2).mean() + 1e-12))
+    assert best > 8.0, (fs, app, best)
+
+
+def test_encoder_int_wrappers_api_rate():
+    """encode_int16/encode_int24 work at non-48k rates too."""
+    enc = OpusEncoder(16000, 1, oracle.APP_VOIP)
+    enc.set_bitrate(24000)
+    rng = np.random.default_rng(0)
+    pcm16 = (rng.standard_normal((320, 1)) * 3000).astype(np.int16)
+    pkt = enc.encode_int16(pcm16, 320)
+    assert len(pkt) > 1
+    pkt = enc.encode_int24((pcm16.astype(np.int32) << 8), 320)
+    assert len(pkt) > 1

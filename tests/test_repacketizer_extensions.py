@@ -54,6 +54,38 @@ def test_repacketizer_merge_decodable():
             [parse_packet(p).frames[0] for p in pkts[b0:b1]]
 
 
+@needs_oracle
+def test_multistream_pad_byte_parity_with_libopus():
+    """opus_multistream_packet_pad/unpad vs libopus (2-stream packet)."""
+    from mousiki_tpu.bitstream.repacketizer import (
+        opus_multistream_packet_pad, opus_multistream_packet_unpad)
+    lib = C.CDLL("libopus.so.0")
+    lib.opus_multistream_packet_pad.restype = C.c_int
+    lib.opus_multistream_packet_unpad.restype = C.c_int
+
+    p0s = make_packets(3, br=24000)
+    p1s = make_packets(3, br=40000)
+    for p0, p1 in zip(p0s, p1s):
+        # build a 2-stream multistream packet: stream 0 self-delimited
+        rp = Repacketizer()
+        rp.cat(p0)
+        ms = rp.out_range(0, rp.nb_frames, self_delimited=True) + p1
+        for add in (1, 2, 7, 260):
+            newlen = len(ms) + add
+            buf = C.create_string_buffer(bytes(ms), newlen)
+            assert lib.opus_multistream_packet_pad(
+                buf, len(ms), newlen, 2) == 0
+            mine = opus_multistream_packet_pad(ms, newlen, 2)
+            assert mine == buf.raw[:newlen]
+            # unpad both ways and compare byte-for-byte
+            buf2 = C.create_string_buffer(bytes(mine), len(mine))
+            rc = lib.opus_multistream_packet_unpad(buf2, len(mine), 2)
+            assert rc > 0
+            theirs = buf2.raw[:rc]
+            ours = opus_multistream_packet_unpad(mine, 2)
+            assert ours == theirs
+
+
 def test_extension_roundtrip_simple():
     exts = [
         ExtensionData(33, 0, b"hello world"),
