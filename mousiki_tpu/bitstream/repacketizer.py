@@ -48,7 +48,13 @@ class Repacketizer:
         return self.nb_frames
 
     def out_range(self, begin: int, end: int, maxlen: int = 65535,
-                  self_delimited: bool = False, pad: bool = False) -> bytes:
+                  self_delimited: bool = False, pad: bool = False,
+                  pad_content: bytes | None = None) -> bytes:
+        """pad_content: bytes to place in the code-3 padding region
+        (extension data per the Opus extension format) instead of zeros;
+        implies pad=True and sizes the padding to fit exactly."""
+        if pad_content is not None:
+            pad = True
         if not (0 <= begin < end <= self.nb_frames):
             raise InvalidPacket("bad range")
         frames = self.frames[begin:end]
@@ -86,7 +92,15 @@ class Repacketizer:
             for f in frames:
                 body += f
             if pad:
-                pad_amount = maxlen - (2 + len(body))
+                if pad_content is not None:
+                    # choose pad_amount so the content area is exactly
+                    # len(pad_content): amount = chain bytes + content
+                    cl = len(pad_content)
+                    pad_amount = cl + 1
+                    while ((pad_amount - 1) // 255 + 1 + cl) != pad_amount:
+                        pad_amount += 1
+                else:
+                    pad_amount = maxlen - (2 + len(body))
                 if pad_amount < 0:
                     raise InvalidPacket("too large")
                 if pad_amount > 0:
@@ -94,8 +108,9 @@ class Repacketizer:
                     nb_255s = (pad_amount - 1) // 255
                     pad_hdr = bytes([255] * nb_255s
                                     + [pad_amount - 255 * nb_255s - 1])
-                    body = bytearray(pad_hdr) + body \
-                        + b"\x00" * (pad_amount - nb_255s - 1)
+                    content = (pad_content if pad_content is not None
+                               else b"\x00" * (pad_amount - nb_255s - 1))
+                    body = bytearray(pad_hdr) + body + content
             out += body
         if len(out) > maxlen:
             raise InvalidPacket("too large")
@@ -124,6 +139,17 @@ def opus_packet_unpad(data: bytes) -> bytes:
     rp = Repacketizer()
     rp.cat(data)
     return rp.out_range(0, rp.nb_frames, len(data))
+
+
+def opus_packet_pad_ext(data: bytes, ext_blob: bytes,
+                        maxlen: int = 65535) -> bytes:
+    """Re-emit `data` as a code-3 packet whose padding region carries
+    `ext_blob` (Opus extension format data, e.g. a DRED payload wrapped
+    by extensions_generate). Reference: repacketizer.rs out_range_impl's
+    extension path used by the DRED encoder (opus_encoder.rs:1666)."""
+    rp = Repacketizer()
+    rp.cat(data)
+    return rp.out_range(0, rp.nb_frames, maxlen, pad_content=ext_blob)
 
 
 def opus_multistream_packet_pad(data: bytes, new_len: int,

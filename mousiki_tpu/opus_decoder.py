@@ -255,6 +255,45 @@ class OpusDecoder:
         if getattr(self, "deep_plc", None) is not None:
             self.deep_plc.inject_fec_features(features_list)
 
+    # -- DRED public surface (reference src/dred.rs:463,509,608) --------
+    def set_dred_models(self, dec_model=None, stats=None) -> None:
+        """Install the RDOVAE decoder model + quantization stats used by
+        dred_parse/dred_process (defaults: synthetic weights)."""
+        self._dred_dec_model = dec_model
+        self._dred_stats = stats
+
+    def dred_parse(self, data: bytes):
+        """opus_dred_parse: extract the DRED extension (id 126) from a
+        packet's padding; returns OpusDred or None."""
+        from .dred import opus_dred_parse
+        return opus_dred_parse(data, getattr(self, "_dred_stats", None))
+
+    def dred_process(self, dred):
+        """opus_dred_process: RDOVAE-decode the latents into chronological
+        10 ms feature vectors (fills dred.features)."""
+        from .dred import opus_dred_process
+        return opus_dred_process(dred,
+                                 getattr(self, "_dred_dec_model", None),
+                                 getattr(self, "_dred_stats", None))
+
+    def dred_decode(self, dred, dred_offset_10ms: int,
+                    frame_size: int) -> np.ndarray:
+        """opus_decoder_dred_decode: synthesize PCM for a lost span using
+        DRED-recovered features ending dred_offset_10ms x 10 ms before
+        the packet that carried them. Requires set_deep_plc()."""
+        if getattr(self, "deep_plc", None) is None:
+            raise RuntimeError("dred_decode requires set_deep_plc()")
+        if dred.features is None:
+            self.dred_process(dred)
+        n10 = frame_size * 100 // self.fs
+        feats = dred.features
+        # select the span covering the lost frames: features are
+        # chronological and end dred_offset_10ms x 10 ms before "now"
+        end = len(feats) - dred_offset_10ms
+        take = feats[max(0, end - n10): end] if end > 0 else []
+        self.deep_plc.inject_fec_features(list(take))
+        return self.decode(None, frame_size)
+
     def _deep_plc_conceal(self, frame_size: int) -> np.ndarray:
         """Neural concealment: FARGAN at 16 kHz, repeated up to fs, blended
         into the classic PLC over 2.5 ms for continuity."""

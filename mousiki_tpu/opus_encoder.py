@@ -148,12 +148,58 @@ class OpusEncoder:
     def set_complexity(self, c: int):
         self.celt.complexity = max(0, min(10, c))
 
+    def set_dred_duration(self, frames_10ms: int, model=None,
+                          stats=None) -> None:
+        """Enable DRED redundancy covering ~frames_10ms x 10 ms of past
+        audio, embedded in each packet's padding as extension id 126
+        (OPUS_SET_DRED_DURATION; reference opus_encoder.rs:1666 +
+        dred_encoder.rs). model/stats default to synthetic weights when
+        no trained blob is loaded."""
+        frames_10ms = max(0, min(104, frames_10ms))
+        self._dred_frames = frames_10ms
+        if frames_10ms == 0:
+            self._dred = None
+            return
+        from .dred import DredEncoder
+        self._dred = DredEncoder(self.fs, self.channels, model=model,
+                                 stats=stats,
+                                 max_dframes=max(2, frames_10ms // 2))
+
     # -------------------------------------------------------------------
     def encode(self, pcm: np.ndarray, frame_size: int,
                max_bytes: int = 1275) -> bytes:
         """Encode one frame of float PCM (frame_size, channels) -> packet.
 
         frame_size is in samples at the API rate (2.5-120 ms)."""
+        outer = not getattr(self, "_in_encode", False)
+        self._in_encode = True
+        try:
+            pkt = self._encode_impl(pcm, frame_size, max_bytes)
+        finally:
+            if outer:
+                self._in_encode = False
+        if outer and getattr(self, "_dred", None) is not None \
+                and len(pkt) > 1:
+            # feed the DRED latent pipeline and embed the redundancy
+            # payload as extension id 126 in the packet padding
+            from .bitstream.extensions import ExtensionData, extensions_generate
+            from .bitstream.packet import packet_get_nb_frames
+            from .bitstream.repacketizer import opus_packet_pad_ext
+            from .models.dred import DRED_EXTENSION_ID
+            self._dred.frame(pcm if pcm.ndim == 2 else
+                             np.asarray(pcm)[:, None])
+            payload = self._dred.payload(max_bytes=max(32, min(
+                160, max_bytes - len(pkt))))
+            self._dred_last_payload = payload
+            if payload is not None:
+                nb = packet_get_nb_frames(pkt)
+                blob = extensions_generate(
+                    [ExtensionData(DRED_EXTENSION_ID, 0, payload)], nb)
+                pkt = opus_packet_pad_ext(pkt, blob)
+        return pkt
+
+    def _encode_impl(self, pcm: np.ndarray, frame_size: int,
+                     max_bytes: int = 1275) -> bytes:
         if pcm.ndim == 1:
             pcm = pcm[:, None]
         if self.fs != 48000:
