@@ -172,6 +172,64 @@ def random_dec(key) -> RdovaeDec:
         output=lin(next(keys), total, _DEC_OUTPUT))
 
 
+def enc_from_blob(arrays: dict) -> RdovaeEnc:
+    """Build the RDOVAE encoder from a parsed libopus weight blob using
+    the reference names (dred_rdovae_enc.rs init_rdovaeenc_from_weights)."""
+    from .nnet import load_linear
+
+    grus, convs = [], []
+    acc = _ENC_DENSE1
+    for k in range(_ENC_GRUS):
+        gi = load_linear(arrays, f"enc_gru{k + 1}_input", acc,
+                         3 * _ENC_GRU_OUT)
+        gr = load_linear(arrays, f"enc_gru{k + 1}_recurrent", _ENC_GRU_OUT,
+                         3 * _ENC_GRU_OUT)
+        grus.append((gi, gr))
+        acc += _ENC_GRU_OUT
+        convs.append(load_linear(arrays, f"enc_conv{k + 1}", 2 * acc,
+                                 _ENC_CONV_OUT))
+        acc += _ENC_CONV_OUT
+    return RdovaeEnc(
+        dense1=load_linear(arrays, "enc_dense1", 2 * DRED_NUM_FEATURES,
+                           _ENC_DENSE1),
+        grus=tuple(grus), convs=tuple(convs),
+        zdense=load_linear(arrays, "enc_zdense", acc,
+                           DRED_PADDED_LATENT_DIM),
+        gdense1=load_linear(arrays, "gdense1", acc, _GDENSE1),
+        gdense2=load_linear(arrays, "gdense2", _GDENSE1,
+                            DRED_PADDED_STATE_DIM))
+
+
+def dec_from_blob(arrays: dict) -> RdovaeDec:
+    """Build the RDOVAE decoder from a parsed libopus weight blob
+    (dred_rdovae_dec.rs init_rdovaedec_from_weights; sizes per its
+    DEC_*_SIZE constants)."""
+    from .nnet import load_linear
+
+    grus, glus, convs = [], [], []
+    acc = _DEC_DENSE1
+    for k in range(5):
+        gi = load_linear(arrays, f"dec_gru{k + 1}_input", acc,
+                         3 * _DEC_GRU_OUT)
+        gr = load_linear(arrays, f"dec_gru{k + 1}_recurrent", _DEC_GRU_OUT,
+                         3 * _DEC_GRU_OUT)
+        grus.append((gi, gr))
+        glus.append(load_linear(arrays, f"dec_glu{k + 1}", _DEC_GRU_OUT,
+                                _DEC_GRU_OUT))
+        acc += _DEC_GRU_OUT
+        convs.append(load_linear(arrays, f"dec_conv{k + 1}", 2 * acc,
+                                 _DEC_CONV_OUT))
+        acc += _DEC_CONV_OUT
+    return RdovaeDec(
+        hidden_init=load_linear(arrays, "dec_hidden_init",
+                                DRED_PADDED_STATE_DIM, 128),
+        gru_init=load_linear(arrays, "dec_gru_init", 128, 5 * _DEC_GRU_OUT),
+        dense1=load_linear(arrays, "dec_dense1", DRED_PADDED_LATENT_DIM,
+                           _DEC_DENSE1),
+        grus=tuple(grus), glus=tuple(glus), convs=tuple(convs),
+        output=load_linear(arrays, "dec_output", acc, _DEC_OUTPUT))
+
+
 def enc_init_state(model: RdovaeEnc) -> RdovaeEncState:
     import jax.numpy as jnp
 

@@ -197,3 +197,34 @@ def random_model(key, cond_dim=256, gru_dim=128, embed_dim=12,
         sig_dense_out=lin(gru_dim, sub),
         gain_dense_out=lin(cond_dim, 4),
     )
+
+
+def from_blob(arrays: dict) -> FarganModel:
+    """Build FARGAN from a parsed libopus weight blob using the reference
+    names (fargan.rs init_fargan_from_weights); layer sizes are inferred
+    from the blob like the reference's linear_layer_from_blob."""
+    from .nnet import load_linear_auto as la
+
+    pembed = la(arrays, "cond_net_pembed")
+    return FarganModel(
+        cond_pembed=pembed.w.T,    # (n_periods, embed_dim) lookup table
+        cond_fdense1=la(arrays, "cond_net_fdense1"),
+        cond_fconv1=la(arrays, "cond_net_fconv1"),
+        cond_fdense2=la(arrays, "cond_net_fdense2"),
+        cond_gain_dense=la(arrays, "sig_net_cond_gain_dense"),
+        fwc0_conv=la(arrays, "sig_net_fwc0_conv"),
+        fwc0_glu=la(arrays, "sig_net_fwc0_glu_gate"),
+        gru1_in=la(arrays, "sig_net_gru1_input"),
+        gru1_rec=la(arrays, "sig_net_gru1_recurrent"),
+        gru1_glu=la(arrays, "sig_net_gru1_glu_gate"),
+        gru2_in=la(arrays, "sig_net_gru2_input"),
+        gru2_rec=la(arrays, "sig_net_gru2_recurrent"),
+        gru2_glu=la(arrays, "sig_net_gru2_glu_gate"),
+        gru3_in=la(arrays, "sig_net_gru3_input"),
+        gru3_rec=la(arrays, "sig_net_gru3_recurrent"),
+        gru3_glu=la(arrays, "sig_net_gru3_glu_gate"),
+        skip_dense=la(arrays, "sig_net_skip_dense"),
+        skip_glu=la(arrays, "sig_net_skip_glu_gate"),
+        sig_dense_out=la(arrays, "sig_net_sig_dense_out"),
+        gain_dense_out=la(arrays, "sig_net_gain_dense_out"),
+    )

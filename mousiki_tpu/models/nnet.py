@@ -151,13 +151,15 @@ def _i8(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, np.int8).copy()
 
 
-def _densify_sparse8x4(weights_i8, idx, rows, scale):
-    """Expand libopus 8x4-block sparse int8 weights to a dense float matrix.
+def _densify_sparse8x4(weights, idx, rows, scale=None):
+    """Expand libopus 8x4-block sparse weights to a dense float matrix.
 
     idx stream per 8-row band: [nb_blocks, col0, col1, ...]; each block is
-    8x4 int8 values (column-major 4-wide), scaled per output row.
+    8 rows x 4 cols stored ROW-major (reference nnet.rs sparse_sgemv8x4 /
+    sparse_cgemv8x4: y[r] uses w[4r..4r+4]). For int8 weights pass the
+    per-row scale; the result folds in the x127 input-quantization factor
+    so float math reproduces the quantized computation.
     """
-    # Infer cols from the max column index
     pos = 0
     blocks = []
     band = 0
@@ -174,30 +176,96 @@ def _densify_sparse8x4(weights_i8, idx, rows, scale):
     wpos = 0
     for band, cols in blocks:
         for c in cols:
-            blk = weights_i8[wpos: wpos + 32].reshape(4, 8).T  # 8 rows x 4 cols
+            blk = weights[wpos: wpos + 32].reshape(8, 4)  # row-major block
             w[band: band + 8, c: c + 4] = blk
             wpos += 32
-    return w * scale[:, None]
+    if scale is not None:
+        w = w * (127.0 * scale[:, None])
+    return w
+
+
+def _densify_dense8x4(weights_i8, rows, cols, scale):
+    """Expand libopus dense blocked int8 weights (cgemv8x4 layout: 8x4
+    row-major blocks, row-band major then column blocks) to float."""
+    cols4 = (cols + 3) & ~3
+    w = np.zeros((rows, cols4), np.float32)
+    wpos = 0
+    for band in range(0, rows, 8):
+        for c in range(0, cols4, 4):
+            blk = weights_i8[wpos: wpos + 32].reshape(8, 4)
+            w[band: band + 8, c: c + 4] = blk
+            wpos += 32
+    return w[:, :cols] * (127.0 * scale[:, None])
 
 
 def load_linear(arrays: dict, prefix: str, nb_inputs: int,
                 nb_outputs: int) -> Linear:
-    """Build a Linear from blob arrays using libopus naming conventions:
-    <prefix>_weights_float / _weights+_weights_idx+_scale, _bias, _diag."""
+    """Build a Linear from blob arrays using libopus naming conventions
+    (reference nnet.rs linear_layer_from_weights / compute_linear):
+    <prefix>_weights_float (dense col-major, or sparse 8x4 with
+    _weights_idx) or <prefix>_weights_int8 / _weights (+_scale, sparse
+    with _weights_idx or dense cgemv8x4 blocks), plus _bias and _diag.
+    int8 variants fold the x127 input-quantization factor so the float
+    graph reproduces the reference's quantized computation."""
     b = arrays.get(prefix + "_bias")
     bias = jnp.asarray(_f32(b)) if b else None
     d = arrays.get(prefix + "_diag")
     diag = jnp.asarray(_f32(d)) if d else None
+    idx_b = arrays.get(prefix + "_weights_idx")
+    idx = np.frombuffer(idx_b, "<i4") if idx_b else None
     wf = arrays.get(prefix + "_weights_float")
-    if wf is not None:
-        w = _f32(wf).reshape(nb_inputs, nb_outputs).T  # column-major storage
+    wi = arrays.get(prefix + "_weights_int8") or arrays.get(
+        prefix + "_weights")
+    if wf is not None:  # float weights win when both present (nnet.rs:502)
+        if idx is not None:
+            w = _densify_sparse8x4(_f32(wf), idx, nb_outputs)
+            if w.shape[1] < nb_inputs:
+                w = np.pad(w, ((0, 0), (0, nb_inputs - w.shape[1])))
+            w = w[:, :nb_inputs]
+        else:
+            w = _f32(wf).reshape(nb_inputs, nb_outputs).T  # col-major
         return Linear(jnp.asarray(w), bias, diag)
-    wi = arrays.get(prefix + "_weights")
     if wi is not None:
         scale = _f32(arrays[prefix + "_scale"])
-        idx = np.frombuffer(arrays[prefix + "_weights_idx"], "<i4")
-        w = _densify_sparse8x4(_i8(wi), idx, nb_outputs, scale)
+        if idx is not None:
+            w = _densify_sparse8x4(_i8(wi), idx, nb_outputs, scale)
+        else:
+            w = _densify_dense8x4(_i8(wi), nb_outputs, nb_inputs, scale)
         if w.shape[1] < nb_inputs:
             w = np.pad(w, ((0, 0), (0, nb_inputs - w.shape[1])))
         return Linear(jnp.asarray(w[:, :nb_inputs]), bias, diag)
     raise KeyError(f"no weights for {prefix}")
+
+
+def load_linear_auto(arrays: dict, prefix: str, nb_inputs: int | None = None,
+                     nb_outputs: int | None = None) -> Linear:
+    """load_linear with sizes inferred from the blob itself (the way the
+    reference's linear_layer_from_blob works): nb_outputs from the bias
+    length, nb_inputs from the float weight count or the sparse index."""
+    if nb_outputs is None:
+        b = arrays.get(prefix + "_bias")
+        if not b:
+            raise KeyError(f"cannot infer nb_outputs for {prefix}")
+        nb_outputs = len(b) // 4
+    if nb_inputs is None:
+        wf = arrays.get(prefix + "_weights_float")
+        idx_b = arrays.get(prefix + "_weights_idx")
+        if wf is not None and idx_b is None:
+            nb_inputs = (len(wf) // 4) // nb_outputs
+        elif idx_b is not None:
+            idx = np.frombuffer(idx_b, "<i4")
+            pos, mx = 0, 0
+            while pos < len(idx):
+                nb = int(idx[pos])
+                pos += 1
+                for c in idx[pos: pos + nb]:
+                    mx = max(mx, int(c) + 4)
+                pos += nb
+            nb_inputs = mx
+        else:
+            wi = arrays.get(prefix + "_weights_int8") or arrays.get(
+                prefix + "_weights")
+            if wi is None:
+                raise KeyError(f"cannot infer nb_inputs for {prefix}")
+            nb_inputs = len(wi) // (((nb_outputs + 7) & ~7))
+    return load_linear(arrays, prefix, nb_inputs, nb_outputs)

@@ -1,0 +1,234 @@
+"""Weight-blob layout validation (VERDICT round-1 item 3).
+
+Two layers of evidence:
+1. Layout unit tests lock our densifiers to the reference's storage
+   conventions (nnet.rs sgemv col-major; sparse_/cgemv8x4 8x4 row-major
+   blocks with x127 input quantization folded in).
+2. A synthetic blob written with the reference's exact names/format
+   roundtrips through parse_weight_blob + from_blob into models whose
+   outputs match the source weights — validating every name and shape
+   mapping the real blob would exercise.
+3. With DNN_BLOB set (path to a real libopus weight blob, e.g. from
+   opus_data), the real models load and synthesize; skips LOUDLY if
+   absent (reference gates these via dred_vectors with fetched data).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mousiki_tpu.models.nnet import (Linear, _densify_dense8x4,
+                                     _densify_sparse8x4, load_linear,
+                                     parse_weight_blob, write_weight_blob)
+
+
+def _blob_arrays_from_linear(prefix, lin: Linear) -> dict:
+    """Serialize a Linear as the blob's float col-major convention."""
+    w = np.asarray(lin.w, np.float32)
+    out = {prefix + "_weights_float": w.T.astype("<f4").tobytes()}
+    if lin.b is not None:
+        out[prefix + "_bias"] = np.asarray(
+            lin.b, np.float32).astype("<f4").tobytes()
+    return out
+
+
+def test_dense_int8_layout_matches_reference_cgemv8x4():
+    """Emulate the reference's cgemv8x4 directly and compare."""
+    rng = np.random.default_rng(0)
+    rows, cols = 16, 8
+    w8 = rng.integers(-127, 128, rows * cols, np.int8)
+    scale = rng.uniform(0.001, 0.01, rows).astype(np.float32)
+    # exactly quantizer-representable input: xq == 127*x with no rounding
+    x = (rng.integers(-100, 101, cols) / 127.0).astype(np.float32)
+
+    # reference cgemv8x4: quantize input, blocked accumulate, scale rows
+    xq = np.clip(np.floor(127.0 * x + 0.5), -128, 127).astype(np.int32)
+    ref = np.zeros(rows, np.float32)
+    wpos = 0
+    for band in range(0, rows, 8):
+        for c in range(0, cols, 4):
+            for r in range(8):
+                acc = sum(int(w8[wpos + 4 * r + j]) * int(xq[c + j])
+                          for j in range(4))
+                ref[band + r] += acc
+            wpos += 32
+    ref *= scale
+
+    w = _densify_dense8x4(w8, rows, cols, scale)
+    got = w @ x
+    # equal up to the input-quantization rounding the reference itself has
+    assert np.abs(got - ref).max() < np.abs(ref).max() * 0.02 + 1e-3
+
+
+def test_sparse_int8_layout_matches_reference_sparse_cgemv8x4():
+    rng = np.random.default_rng(1)
+    rows, cols = 16, 12
+    # idx stream: per 8-row band, [nblocks, col...]
+    idx = np.array([2, 0, 8, 1, 4], np.int32)
+    nblocks = 3
+    w8 = rng.integers(-127, 128, nblocks * 32, np.int8)
+    scale = rng.uniform(0.001, 0.01, rows).astype(np.float32)
+    x = (rng.integers(-100, 101, cols) / 127.0).astype(np.float32)
+
+    xq = np.clip(np.floor(127.0 * x + 0.5), -128, 127).astype(np.int32)
+    ref = np.zeros(rows, np.float32)
+    wpos = 0
+    ipos = 0
+    for band in range(0, rows, 8):
+        nb = int(idx[ipos]); ipos += 1
+        for _ in range(nb):
+            c = int(idx[ipos]); ipos += 1
+            for r in range(8):
+                acc = sum(int(w8[wpos + 4 * r + j]) * int(xq[c + j])
+                          for j in range(4))
+                ref[band + r] += acc
+            wpos += 32
+    ref *= scale
+
+    w = _densify_sparse8x4(w8, idx, rows, scale)
+    got = w[:, :cols] @ x
+    assert np.abs(got - ref).max() < np.abs(ref).max() * 0.02 + 1e-3
+
+
+def test_fargan_blob_roundtrip():
+    """FarganModel -> blob (reference names) -> from_blob == original."""
+    from mousiki_tpu.models import fargan
+
+    m = fargan.random_model(jax.random.PRNGKey(0))
+    names = {
+        "cond_net_fdense1": m.cond_fdense1, "cond_net_fconv1": m.cond_fconv1,
+        "cond_net_fdense2": m.cond_fdense2,
+        "sig_net_cond_gain_dense": m.cond_gain_dense,
+        "sig_net_fwc0_conv": m.fwc0_conv,
+        "sig_net_fwc0_glu_gate": m.fwc0_glu,
+        "sig_net_gru1_input": m.gru1_in,
+        "sig_net_gru1_recurrent": m.gru1_rec,
+        "sig_net_gru1_glu_gate": m.gru1_glu,
+        "sig_net_gru2_input": m.gru2_in,
+        "sig_net_gru2_recurrent": m.gru2_rec,
+        "sig_net_gru2_glu_gate": m.gru2_glu,
+        "sig_net_gru3_input": m.gru3_in,
+        "sig_net_gru3_recurrent": m.gru3_rec,
+        "sig_net_gru3_glu_gate": m.gru3_glu,
+        "sig_net_skip_dense": m.skip_dense,
+        "sig_net_skip_glu_gate": m.skip_glu,
+        "sig_net_sig_dense_out": m.sig_dense_out,
+        "sig_net_gain_dense_out": m.gain_dense_out,
+    }
+    arrays = {}
+    for prefix, lin in names.items():
+        arrays.update(_blob_arrays_from_linear(prefix, lin))
+    arrays.update(_blob_arrays_from_linear(
+        "cond_net_pembed",
+        Linear(jnp.asarray(np.asarray(m.cond_pembed).T),
+               jnp.zeros(m.cond_pembed.shape[1]), None)))
+
+    blob = write_weight_blob(arrays)
+    m2 = fargan.from_blob(parse_weight_blob(blob))
+
+    np.testing.assert_allclose(np.asarray(m2.cond_pembed),
+                               np.asarray(m.cond_pembed), atol=1e-6)
+    for f in m._fields:
+        if f == "cond_pembed":
+            continue
+        a, b = getattr(m, f), getattr(m2, f)
+        np.testing.assert_allclose(np.asarray(b.w), np.asarray(a.w),
+                                   atol=1e-6, err_msg=f)
+    # behavioral equality on a full synthesis step
+    st = fargan.init_state(m, 2)
+    st2 = fargan.init_state(m2, 2)
+    feats = jnp.asarray(np.random.default_rng(3).standard_normal((2, 20)),
+                        jnp.float32) * 0.2
+    per = jnp.asarray([80, 120])
+    y1, _ = fargan.synthesize_frame(m, st, feats, per)
+    y2, _ = fargan.synthesize_frame(m2, st2, feats, per)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_rdovae_blob_roundtrip():
+    """RdovaeEnc/Dec -> blob (reference names) -> from_blob == original."""
+    from mousiki_tpu.models import dred as M
+
+    enc = M.random_enc(jax.random.PRNGKey(1))
+    dec = M.random_dec(jax.random.PRNGKey(2))
+    arrays = {}
+    arrays.update(_blob_arrays_from_linear("enc_dense1", enc.dense1))
+    arrays.update(_blob_arrays_from_linear("enc_zdense", enc.zdense))
+    arrays.update(_blob_arrays_from_linear("gdense1", enc.gdense1))
+    arrays.update(_blob_arrays_from_linear("gdense2", enc.gdense2))
+    for k in range(5):
+        gi, gr = enc.grus[k]
+        arrays.update(_blob_arrays_from_linear(f"enc_gru{k + 1}_input", gi))
+        arrays.update(_blob_arrays_from_linear(f"enc_gru{k + 1}_recurrent",
+                                               gr))
+        arrays.update(_blob_arrays_from_linear(f"enc_conv{k + 1}",
+                                               enc.convs[k]))
+    arrays.update(_blob_arrays_from_linear("dec_hidden_init",
+                                           dec.hidden_init))
+    arrays.update(_blob_arrays_from_linear("dec_gru_init", dec.gru_init))
+    arrays.update(_blob_arrays_from_linear("dec_dense1", dec.dense1))
+    arrays.update(_blob_arrays_from_linear("dec_output", dec.output))
+    for k in range(5):
+        gi, gr = dec.grus[k]
+        arrays.update(_blob_arrays_from_linear(f"dec_gru{k + 1}_input", gi))
+        arrays.update(_blob_arrays_from_linear(f"dec_gru{k + 1}_recurrent",
+                                               gr))
+        arrays.update(_blob_arrays_from_linear(f"dec_glu{k + 1}",
+                                               dec.glus[k]))
+        arrays.update(_blob_arrays_from_linear(f"dec_conv{k + 1}",
+                                               dec.convs[k]))
+
+    parsed = parse_weight_blob(write_weight_blob(arrays))
+    enc2 = M.enc_from_blob(parsed)
+    dec2 = M.dec_from_blob(parsed)
+
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.standard_normal(40), jnp.float32) * 0.3
+    l1, s1, _ = M.encode_dframe(enc, M.enc_init_state(enc), feats)
+    l2, s2, _ = M.encode_dframe(enc2, M.enc_init_state(enc2), feats)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+    lat = jnp.asarray(rng.standard_normal(24), jnp.float32)
+    st24 = np.zeros(24, np.float32)
+    o1, _ = M.decode_qframe(dec, M.dec_init_state(dec, st24), lat)
+    o2, _ = M.decode_qframe(dec2, M.dec_init_state(dec2, st24), lat)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+@pytest.mark.skipif(not os.environ.get("DNN_BLOB"),
+                    reason="DNN_BLOB not set: real-weight validation "
+                           "SKIPPED — export DNN_BLOB=/path/to/blob "
+                           "(libopus opus_data weight blob) to run it")
+def test_real_blob_loads_and_synthesizes():
+    from mousiki_tpu.models import dred as M
+    from mousiki_tpu.models import fargan
+
+    with open(os.environ["DNN_BLOB"], "rb") as f:
+        arrays = parse_weight_blob(f.read())
+
+    loaded = []
+    if any(k.startswith("cond_net_") for k in arrays):
+        m = fargan.from_blob(arrays)
+        st = fargan.init_state(m, 1)
+        feats = jnp.zeros((1, 20), jnp.float32)
+        pcm, _ = fargan.synthesize_frame(m, st, feats, jnp.asarray([100]))
+        assert np.isfinite(np.asarray(pcm)).all()
+        loaded.append("fargan")
+    if "enc_dense1_bias" in arrays:
+        enc = M.enc_from_blob(arrays)
+        lat, st, _ = M.encode_dframe(enc, M.enc_init_state(enc),
+                                     jnp.zeros(40))
+        assert np.isfinite(np.asarray(lat)).all()
+        loaded.append("rdovae_enc")
+    if "dec_dense1_bias" in arrays:
+        dec = M.dec_from_blob(arrays)
+        out, _ = M.decode_qframe(dec, M.dec_init_state(
+            dec, np.zeros(24, np.float32)), jnp.zeros(24))
+        assert np.isfinite(np.asarray(out)).all()
+        loaded.append("rdovae_dec")
+    assert loaded, "blob contained no recognizable model weights"
