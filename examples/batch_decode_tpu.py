@@ -3,6 +3,10 @@ through the native host symbol stage + jitted device synthesis
 (this framework's flagship pipeline; no reference equivalent — the
 reference decodes one stream per call)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable from anywhere
+
 import sys
 
 import numpy as np

@@ -1,6 +1,10 @@
 """Decode an .opus (Ogg Opus) file to raw f32 PCM on stdout
 (reference examples/decode.rs)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable from anywhere
+
 import sys
 
 import mousiki_tpu as m

@@ -1,6 +1,10 @@
 """Write an .opus file from arbitrary-rate PCM
 (reference examples/libopusenc_example.rs)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable from anywhere
+
 import sys
 
 import numpy as np

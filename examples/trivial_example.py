@@ -1,6 +1,10 @@
 """48 kHz stereo encode -> decode round trip via the typed facade
 (reference examples/trivial_example.rs)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable from anywhere
+
 import numpy as np
 
 import mousiki_tpu as m
