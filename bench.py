@@ -125,6 +125,59 @@ def bench_e2e(payloads, S, n_steps=128):
     return best, host_us, device_x
 
 
+def build_mixed_packets(n_frames=24):
+    """Mono 20 ms packets cycling CELT / SILK-WB / hybrid per stream."""
+    try:
+        from mousiki_tpu.testing import oracle
+        if not oracle.available():
+            return None
+        sig = oracle.make_test_signal(960 * (n_frames + 1), 1, seed=5)
+        pcm16 = oracle.float_to_i16(sig)
+        cfgs = [(oracle.APP_RESTRICTED_LOWDELAY, 96000, None),
+                (oracle.APP_VOIP, 16000, 1103),      # SILK WB
+                (oracle.APP_VOIP, 40000, 1104)]      # hybrid SWB
+        streams = []
+        for app, br, bw in cfgs:
+            enc = oracle.RefEncoder(48000, 1, app)
+            enc.ctl_set(oracle.SET_BITRATE, br)
+            if bw is not None:
+                enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+            streams.append([enc.encode(
+                pcm16[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(n_frames)])
+        return streams
+    except Exception:
+        return None
+
+
+def bench_mixed(S, n_steps=60):
+    """Mixed SILK/CELT/hybrid e2e rate through OpusStreamPipeline."""
+    from mousiki_tpu import opus_host_native
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+    if not opus_host_native.available():
+        return None
+    streams = build_mixed_packets()
+    if streams is None:
+        return None
+    nf = len(streams[0])
+    pipe = OpusStreamPipeline(S)
+
+    def frames(n):
+        for i in range(n):
+            yield [streams[s % 3][i % nf] for s in range(S)]
+
+    for pcm in pipe.decode_stream(frames(2), 960):
+        pass
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = n_steps // 2
+        for pcm in pipe.decode_stream(frames(n), 960):
+            pass
+        best = max(best, S * n * 0.02 / (time.perf_counter() - t0))
+    return best
+
+
 def bench_device_only(S):
     """Fallback metric when no oracle/native lib: device synthesis only."""
     import jax.numpy as jnp
@@ -176,11 +229,14 @@ def main():
     if payloads is not None and native_ok:
         e2e_x, host_us, device_x = bench_e2e(payloads, S)
         gate = quality_gate(S, payloads, full_pkts)
+        mixed_x = bench_mixed(S)
         result.update({
             "value": round(e2e_x, 1),
             "vs_baseline": round(e2e_x / NORTH_STAR, 4),
             "host_us_per_frame": round(host_us, 1),
             "device_only_x": round(device_x, 1),
+            "mixed_silk_celt_hybrid_e2e_x": (round(mixed_x, 1)
+                                             if mixed_x else None),
             "quality_gate": "pass" if gate.pop("pass") else "FAIL",
             "quality": gate,
         })

@@ -104,6 +104,7 @@ _PLANE_DTYPES = {
     "ac_on": np.uint8, "ac_masks": np.uint8, "ac_r": np.float32,
     "ac_seed": np.uint32, "iflags": np.int32,
     "ble32": np.float32, "pf32": np.float32,
+    "call_dup": np.int16,
 }
 
 # Native pointer-table order (58 entries; see celt_host_decode_plan).
@@ -123,7 +124,7 @@ _PTR_ORDER = (["direct"]
                  "theta2_cswap", "theta2_sign", "theta2_mid", "theta2_side",
                  "theta2_inv", "n1_active", "n1_val", "ac_on", "ac_masks",
                  "ac_r", "ac_seed", "x_direct", "band_log_e", "iflags",
-                 "pf_gain", "rcs"])
+                 "pf_gain", "rcs", "call_dup"])
 
 
 def _plane_shapes(S: int, channels: int, frame: int) -> dict:
@@ -141,6 +142,7 @@ def _plane_shapes(S: int, channels: int, frame: int) -> dict:
         "n1_active": c2, "n1_val": c2, "ac_on": (S,), "ac_masks": c2,
         "ac_r": (S, 2, _NB), "ac_seed": (S,), "iflags": (S, 4),
         "ble32": (S, 2, _NB), "pf32": (S,),
+        "call_dup": (S, _NB, 2, 3),
     }
     for t, (_, slots) in enumerate(_TIERS):
         for k in ("pvq_active", "pvq_n", "pvq_k", "pvq_b", "pvq_spread",

@@ -116,6 +116,9 @@ def pack_plans(plans, channels: int, frame: int):
         "ac_masks": np.zeros((S, nb, 2), np.int32),
         "ac_r": np.zeros((S, 2, nb), np.float32),
         "ac_seed": np.zeros(S, np.uint32),
+        # special_hybrid_folding window-duplicate op: zero for start==0
+        # plans (the Python recorder covers the CELT-only path)
+        "call_dup": np.zeros((S, nb, 2, 3), np.int16),
     }
 
     for s, plan in enumerate(plans):

@@ -320,8 +320,12 @@ def _normalize_plan(p: dict) -> dict:
         if key in _F32_PLANES:
             return v.astype(jnp.float32)
         return v.astype(jnp.int32)
-    return {k: ([cast(k, t) for t in p[k]] if isinstance(p[k], list) else
-                cast(k, p[k])) for k in PLAN_KEYS}
+    out = {k: ([cast(k, t) for t in p[k]] if isinstance(p[k], list) else
+               cast(k, p[k])) for k in PLAN_KEYS if k in p}
+    if "call_dup" not in out:  # pre-hybrid plan dicts carry no dup ops
+        S = out["direct"].shape[0]
+        out["call_dup"] = jnp.zeros((S, 21, 2, 3), jnp.int32)
+    return out
 
 
 @partial(jax.jit, static_argnames=("channels", "frame", "lm", "start", "end"))
@@ -384,6 +388,16 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
             gc = jnp.clip(gidx, 0, npad - 1)
             nv = jnp.take_along_axis(norm, gc, axis=1)
             n2v = jnp.take_along_axis(norm2, gc, axis=1)
+            # special_hybrid_folding (bands.rs): window-local duplicate of
+            # the first band's folding data before the gather is consumed
+            dup = p["call_dup"][:, i, slot]            # (S, 3)
+            posb = jnp.arange(n_b, dtype=jnp.int32)
+            d_rel = posb[None, :] - dup[:, 0:1]
+            in_dup = (d_rel >= 0) & (d_rel < dup[:, 2:3])
+            sidx = jnp.clip(dup[:, 1:2] + d_rel, 0, n_b - 1)
+            nv = jnp.where(in_dup, jnp.take_along_axis(nv, sidx, axis=1), nv)
+            n2v = jnp.where(in_dup,
+                            jnp.take_along_axis(n2v, sidx, axis=1), n2v)
             blend = gidx < p["call_blend_upto"][:, i, slot][:, None]
             base = jnp.where((p["call_lb_buf"][:, i, slot] == 1)[:, None],
                              n2v, nv)
@@ -546,7 +560,7 @@ PLAN_KEYS = (
     "fill_off", "fill_n", "fill_gain", "fill_seed", "merge_active",
     "merge_mid", "merge_inv", "theta2_active", "theta2_cswap", "theta2_sign",
     "theta2_mid", "theta2_side", "theta2_inv", "n1_active", "n1_val",
-    "ac_on", "ac_masks", "ac_r", "ac_seed")
+    "ac_on", "ac_masks", "ac_r", "ac_seed", "call_dup")
 
 
 @partial(jax.jit, static_argnames=("channels",))

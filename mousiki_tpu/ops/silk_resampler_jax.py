@@ -49,6 +49,9 @@ _FRAC = np.asarray(T.SILK_RESAMPLER_FRAC_FIR_12, np.float64) / 32768.0
 class Up48Plan(NamedTuple):
     base: jnp.ndarray      # (M,) int32 gather bases into [fir(8) | up(2L)]
     weights: jnp.ndarray   # (M, 8) float32 FIR weights
+    gmat: jnp.ndarray      # (8 + 2L, M) dense FIR operator: the fractional
+                           # interpolation as ONE matmul on the MXU instead
+                           # of an M x 8 gather (which lowers poorly on TPU)
     n_out: int
 
 
@@ -76,9 +79,13 @@ def make_up48_plan(in_len: int) -> Up48Plan:
             weights.append(w)
             index_q16 += _INV_RATIO_Q16
         up_off += 2 * n
+    n_up = _FIR_ORDER + 2 * in_len
+    G = np.zeros((n_up, len(bases)), np.float32)
+    for m, (b, w) in enumerate(zip(bases, weights)):
+        G[b:b + _FIR_ORDER, m] = w
     return Up48Plan(jnp.asarray(bases, jnp.int32),
                     jnp.asarray(np.stack(weights), jnp.float32),
-                    len(bases))
+                    jnp.asarray(G), len(bases))
 
 
 class Up48State(NamedTuple):
@@ -93,53 +100,55 @@ def init_up48_state(n_streams: int) -> Up48State:
                      jnp.zeros((n_streams, _IN_KHZ), jnp.float32))
 
 
+def _allpass_scan(u, s_init, A, B, C, D):
+    """First-order allpass section as a parallel affine scan.
+
+    t_n = A t_{n-1} + B u_n with t_{-1} = s_init; out_n = C s_n + D u_n
+    where s_n is the pre-update state. Log-depth instead of a per-sample
+    lax.scan (which is latency-bound on TPU at ~hundreds of steps).
+    """
+    from .band_exec_jax import _affine_scan
+
+    Av = jnp.full_like(u, A)
+    Av = Av.at[:, 0].set(0.0)
+    Bv = B * u
+    Bv = Bv.at[:, 0].add(A * s_init)
+    t = _affine_scan(Av, Bv, 1)
+    s_pre = jnp.concatenate([s_init[:, None], t[:, :-1]], axis=1)
+    return C * s_pre + D * u, t[:, -1]
+
+
 def _up2_scan(x, s_iir):
-    """x: (S, L) -> (S, 2L) via the two allpass chains."""
-    c00, c01, c02 = _C0
-    c10, c11, c12 = _C1
+    """x: (S, L) -> (S, 2L) via the two 3-section allpass chains.
 
-    def step(s, xn):
-        s0, s1, s2, s3, s4, s5 = [s[:, i] for i in range(6)]
-        y = xn - s0
-        xv = y * c00
-        o1 = s0 + xv
-        s0 = xn + xv
-        y = o1 - s1
-        xv = y * c01
-        o2 = s1 + xv
-        s1 = o1 + xv
-        y = o2 - s2
-        xv = y + y * c02
-        even = s2 + xv
-        s2 = o2 + xv
-        y = xn - s3
-        xv = y * c10
-        o1 = s3 + xv
-        s3 = xn + xv
-        y = o1 - s4
-        xv = y * c11
-        o2 = s4 + xv
-        s4 = o1 + xv
-        y = o2 - s5
-        xv = y + y * c12
-        odd = s5 + xv
-        s5 = o2 + xv
-        return jnp.stack([s0, s1, s2, s3, s4, s5], 1), jnp.stack([even, odd], 1)
-
-    s, pairs = jax.lax.scan(step, s_iir, x.T)        # pairs: (L, S, 2)
-    up = pairs.transpose(1, 0, 2).reshape(x.shape[0], -1)
-    return up, s
+    Section algebra (see the sequential host resampler.py _up2_hq):
+      sections 1-2 (coef c):  s' = -c s + (1+c) u,  out = (1-c) s + c u
+      section 3 (coef c2):    s' = -(1+c2) s + (2+c2) u,
+                              out = -c2 s + (1+c2) u
+    """
+    new_s = [None] * 6
+    outs = []
+    for chain, coefs in enumerate((_C0, _C1)):
+        u = x
+        for sec in range(2):
+            c = coefs[sec]
+            u, last = _allpass_scan(u, s_iir[:, chain * 3 + sec],
+                                    -c, 1.0 + c, 1.0 - c, c)
+            new_s[chain * 3 + sec] = last
+        c2 = coefs[2]
+        u, last = _allpass_scan(u, s_iir[:, chain * 3 + 2],
+                                -(1.0 + c2), 2.0 + c2, -c2, 1.0 + c2)
+        new_s[chain * 3 + 2] = last
+        outs.append(u)
+    up = jnp.stack(outs, axis=2).reshape(x.shape[0], -1)  # interleave
+    return up, jnp.stack(new_s, axis=1)
 
 
-@partial(jax.jit, static_argnames=("plan_len",))
-def _apply(x_delayed, state_iir, state_fir, plan_base, plan_w, plan_len):
+def _apply(x_delayed, state_iir, state_fir, gmat):
     up, new_iir = _up2_scan(x_delayed, state_iir)
     prefixed = jnp.concatenate([state_fir, up], axis=1)
-    idx = plan_base[:, None] + jnp.arange(_FIR_ORDER)[None, :]   # (M, 8)
-    S = prefixed.shape[0]
-    g = jnp.take(prefixed, idx.reshape(-1), axis=1).reshape(
-        S, plan_len, _FIR_ORDER)
-    out = (g * plan_w[None]).sum(-1)
+    out = jnp.einsum("sj,jm->sm", prefixed, gmat,
+                     precision=jax.lax.Precision.HIGHEST)
     return out, new_iir, prefixed[:, -_FIR_ORDER:]
 
 
@@ -153,7 +162,7 @@ def up48_step(x, state: Up48State, plan: Up48Plan):
     x_delayed = jnp.concatenate(
         [state.delay[:, :_INPUT_DELAY], x[:, : L - _INPUT_DELAY]], axis=1)
     out, new_iir, new_fir = _apply(x_delayed, state.s_iir, state.s_fir,
-                                   plan.base, plan.weights, plan.n_out)
+                                   plan.gmat)
     new_delay = jnp.concatenate(
         [x[:, L - _INPUT_DELAY:],
          jnp.zeros((S, _IN_KHZ - _INPUT_DELAY), x.dtype)], axis=1)

@@ -1,0 +1,136 @@
+"""ctypes binding for the unified native Opus host stage.
+
+libopus_host.so (native/opus_host.cpp + celt_host.cpp + silk_host.cpp)
+routes mixed SILK / CELT / hybrid 20 ms packets per stream: CELT frames
+emit packed band plans, SILK frames decode to 16 kHz pcm, hybrid frames
+do both over one shared range decoder (the reference's decode_frame
+topology, src/opus_decoder.rs:453). Consumed by
+pipeline.OpusStreamPipeline.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+
+import numpy as np
+
+from .celt.host_native import (_plan_ptr_table, alloc_plan_arenas,
+                               plan_views)
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libopus_host.so")
+_SRCS = ["opus_host.cpp", "celt_host.cpp", "silk_host.cpp"]
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _SO_PATH] + _SRCS,
+            check=True, capture_output=True, cwd=_NATIVE_DIR)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    srcs = [os.path.join(_NATIVE_DIR, s) for s in _SRCS]
+    if not all(os.path.exists(s) for s in srcs):
+        return None
+    if not os.path.exists(_SO_PATH) or any(
+            os.path.getmtime(s) > os.path.getmtime(_SO_PATH) for s in srcs):
+        if not _build():
+            return None
+    try:
+        lib = C.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.celt_host_create.restype = C.c_void_p
+    lib.celt_host_destroy.argtypes = [C.c_void_p]
+    lib.silk_host_create.restype = C.c_void_p
+    lib.silk_host_destroy.argtypes = [C.c_void_p]
+    ip = C.POINTER(C.c_int32)
+    sp = C.POINTER(C.c_int16)
+    vp = C.POINTER(C.c_void_p)
+    lib.opus_host_decode_plan_batch.argtypes = [
+        vp, vp, C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int, vp, sp, ip,
+        C.c_int]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeOpusHostBatch:
+    """S independent (CELT state, SILK state) pairs driven by one
+    TOC-routed multithreaded batch call."""
+
+    def __init__(self, n_streams: int, channels: int = 1,
+                 n_threads: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native opus host library unavailable")
+        if channels != 1:
+            raise NotImplementedError("unified pipeline is mono (v1)")
+        self._lib = lib
+        self.S = n_streams
+        self.channels = channels
+        self.n_threads = n_threads
+        self._celt = (C.c_void_p * n_streams)(
+            *[lib.celt_host_create() for _ in range(n_streams)])
+        self._silk = (C.c_void_p * n_streams)(
+            *[lib.silk_host_create() for _ in range(n_streams)])
+        self._lenbufs = (np.empty(n_streams, np.int32),
+                        np.empty(n_streams, np.int32))
+
+    def __del__(self):
+        if getattr(self, "_celt", None) is not None and self._lib is not None:
+            for st in self._celt:
+                if st:
+                    self._lib.celt_host_destroy(st)
+            for st in self._silk:
+                if st:
+                    self._lib.silk_host_destroy(st)
+            self._celt = self._silk = None
+
+    def decode(self, packets: list, frame_size: int = 960):
+        """packets: S whole Opus packets (mono, 20 ms, code 0).
+
+        Returns (arenas, aux, layout, silk16, modes): the CELT plan
+        arenas (zero rows for SILK-only streams), (S, 320) int16 16 kHz
+        SILK pcm (zero for CELT-only), and per-stream mode tags
+        (0 CELT / 1 SILK / 2 hybrid). rcs rides in aux."""
+        S = self.S
+        assert len(packets) == S
+        offs, lens = self._lenbufs
+        arenas, aux, layout = alloc_plan_arenas(S, self.channels, frame_size)
+        views = plan_views(arenas, aux, layout)
+        ptrs = _plan_ptr_table(views)
+        silk16 = np.zeros((S, 320), np.int16)
+        modes = np.zeros(S, np.int32)
+        blob = b"".join(packets)
+        pos = 0
+        for i, p in enumerate(packets):
+            offs[i] = pos
+            lens[i] = len(p)
+            pos += lens[i]
+        ip = C.POINTER(C.c_int32)
+        sp = C.POINTER(C.c_int16)
+        self._lib.opus_host_decode_plan_batch(
+            self._celt, self._silk, blob, offs.ctypes.data_as(ip),
+            lens.ctypes.data_as(ip), S, self.channels, 1, ptrs,
+            silk16.ctypes.data_as(sp), modes.ctypes.data_as(ip),
+            self.n_threads)
+        views["ble32"][:] = aux["band_log_e"]
+        views["pf32"][:] = aux["pf_gain"]
+        return arenas, aux, layout, silk16, modes

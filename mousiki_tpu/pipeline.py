@@ -247,3 +247,103 @@ class SilkStreamPipeline:
         out, self._rs_state = self._up48_step(jnp.asarray(x), self._rs_state,
                                               self._plan)
         return out / 32768.0
+
+
+class OpusStreamPipeline:
+    """Decode S parallel mono Opus streams of mixed SILK / CELT / hybrid
+    20 ms packets, one frame per step, batched on device.
+
+    The native unified host (opus_host_native) routes each packet by TOC:
+    CELT frames emit packed band plans, SILK(WB) frames decode to 16 kHz
+    pcm, hybrid frames run SILK then resume the same range decoder into
+    the CELT plan decode (reference decode_frame topology,
+    opus_decoder.rs:453). One fused jitted device step then runs CELT
+    band reconstruction + synthesis, the batched 16k->48k up-resampler,
+    and sums the two paths — per-stream mode needs no explicit masks
+    because inactive components carry all-zero inputs.
+
+    v1 scope: mono, 20 ms, one frame per packet, WB SILK internal rate,
+    streams keep a consistent mode (no per-stream mode switching with
+    transition smoothing — use OpusDecoder for those).
+    """
+
+    def __init__(self, n_streams: int, host_threads: int = 0):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .opus_host_native import NativeOpusHostBatch
+        from .ops.band_exec_jax import plan_synthesis_step_arena
+        from .ops.silk_resampler_jax import (init_up48_state, make_up48_plan,
+                                             up48_step)
+
+        self.S = n_streams
+        self.channels = 1
+        self._native = NativeOpusHostBatch(n_streams, 1, host_threads)
+        self.consts = make_consts()
+        self.state = init_state(n_streams, 1)
+        self.rs_state = init_up48_state(n_streams)
+        plan = make_up48_plan(320)
+
+        # ONE fused program per step: steady-state decode must dispatch a
+        # single executable — on a tunneled device, alternating between
+        # two compiled programs forces an executable reload per switch
+        # (~0.8 s for the ~35 MB plan executable; measured 0.1 ms when one
+        # program runs alone vs 810 ms/step when two alternate).
+        @jax.jit
+        def step_fn(consts, state, rs_state, silk_prev, a32, a16, a8,
+                    x_direct, silk16):
+            pcm, new_state = plan_synthesis_step_arena(
+                consts, state, a32, a16, a8, x_direct, channels=1)
+            # the SILK decode API feeds its resampler through a 1-sample
+            # delay (the s_mid stereo-prediction tail; silk/dec_api.py:330
+            # resamples samples_out1[1:]) — mirror it for exact alignment
+            xs = silk16.astype(jnp.float32)
+            x = jnp.concatenate([silk_prev[:, None], xs[:, :-1]], axis=1)
+            up, new_rs = up48_step(x, rs_state, plan)
+            out = pcm + up[:, :, None] * (1.0 / 32768.0)
+            return out, new_state, new_rs, xs[:, -1]
+
+        self._step = step_fn
+        self.silk_prev = jnp.zeros((n_streams,), jnp.float32)
+        self._xd_zeros = jnp.zeros((n_streams, 1, 960), jnp.float32)
+        self._xd_zeros.block_until_ready()
+        self._gc_tick = 0
+        self.last_modes = None
+
+    def step(self, packets: list, frame_size: int = 960):
+        """packets: S whole Opus packets (one 20 ms frame each).
+        Returns a device array (S, 960, 1), float32."""
+        import gc
+
+        import jax.numpy as jnp
+
+        arenas, aux, layout, silk16, modes = self._native.decode(
+            packets, frame_size)
+        rcs = aux["rcs"]
+        if np.any(rcs < 0):
+            bad = int(np.argmax(rcs < 0))
+            raise ValueError(f"stream {bad}: native opus host decode "
+                             f"failed rc={rcs[bad]}")
+        self.last_modes = modes
+        name, off, shape = layout["direct"]
+        any_direct = bool(arenas[name][off:off + shape[0]].any())
+        xd = jnp.asarray(aux["x_direct"]) if any_direct else self._xd_zeros
+        self._gc_tick += 1
+        if self._gc_tick >= 128:
+            self._gc_tick = 0
+            gc.collect()
+        pcm, self.state, self.rs_state, self.silk_prev = self._step(
+            self.consts, self.state, self.rs_state, self.silk_prev,
+            jnp.asarray(arenas["a32"]), jnp.asarray(arenas["a16"]),
+            jnp.asarray(arenas["a8"]), xd, jnp.asarray(silk16))
+        return pcm
+
+    def decode_stream(self, frames_iter, frame_size: int = 960):
+        """Generator over frames of S packets (strictly serialized; see
+        CeltStreamPipeline.decode_stream)."""
+        for packets in frames_iter:
+            pcm = self.step(packets, frame_size)
+            pcm.block_until_ready()
+            yield pcm

@@ -5,4 +5,6 @@ set -e
 cd "$(dirname "$0")"
 g++ -O3 -march=native -shared -fPIC -pthread -o libcelt_host.so celt_host.cpp
 g++ -O3 -march=native -shared -fPIC -pthread -o libsilk_host.so silk_host.cpp
-echo "built libcelt_host.so libsilk_host.so"
+g++ -O3 -march=native -shared -fPIC -pthread -o libopus_host.so \
+    celt_host.cpp silk_host.cpp opus_host.cpp
+echo "built libcelt_host.so libsilk_host.so libopus_host.so"

@@ -1678,6 +1678,10 @@ struct PlanOut {
   uint8_t* call_post;
   uint8_t* call_norm_write;
   uint8_t* call_norm_buf;
+  int16_t* call_dup;        // (21, 2, 3): window-local duplicate op
+                            // (dst_off, src_off, n) emulating
+                            // special_hybrid_folding (bands.rs) — the
+                            // lowband gather window self-copies before use
   uint8_t* fill_active;     // (21, 2, 4)
   uint8_t* fill_fold;
   int16_t* fill_off;
@@ -1718,6 +1722,8 @@ struct PlanCtx {
   int fill_used;      // fills recorded for the current call
   bool failed;
   int frame;          // frame_size N (per channel plane)
+  int dup_dst, dup_src, dup_n;  // pending special-hybrid-folding copy
+                                // (norm coords; 0 n = none)
 };
 
 // index -> pulse vector (reference cwrs.rs cwrsi); same descent as
@@ -1926,6 +1932,11 @@ uint32_t pq_band(PlanCtx* ctx, int dst, int N, int b, int B,
     o->call_lb_buf[cs] = lb_buf;
     o->call_lb_src[cs] = lb_src;
     o->call_blend_upto[cs] = lb_buf == 0 ? avg_upto : -1;
+    if (ctx->dup_n > 0) {
+      o->call_dup[cs * 3 + 0] = (int16_t)(ctx->dup_dst - lb_src);
+      o->call_dup[cs * 3 + 1] = (int16_t)(ctx->dup_src - lb_src);
+      o->call_dup[cs * 3 + 2] = (int16_t)ctx->dup_n;
+    }
   }
   int combo = combo_id(B_entry, tf_change, M);
   if (combo < 0) {
@@ -2102,13 +2113,17 @@ uint32_t pq_all_bands(int start, int end, uint8_t* collapse_masks,
     if ((M * kEBands[i] - N >= M * kEBands[start] || i == start + 1) &&
         (update_lowband || lowband_offset == 0))
       lowband_offset = i;
+    ctx.dup_n = 0;
     if (i == start + 1) {
+      // special_hybrid_folding (bands.rs): duplicate the tail of the
+      // first band's folding data so the (larger) second band can fold;
+      // recorded as a window-local copy op on this band's call
       int n1f = M * (kEBands[start + 1] - kEBands[start]);
       int n2f = M * (kEBands[start + 2] - kEBands[start + 1]);
-      if (n1f != n2f) {
-        // real hybrid folding (start > 0): no device op yet -> fall back
-        ctx.failed = true;
-        break;
+      if (n2f > n1f) {
+        ctx.dup_dst = n1f;
+        ctx.dup_src = 2 * n1f - n2f;
+        ctx.dup_n = n2f - n1f;
       }
     }
 
@@ -2416,9 +2431,77 @@ uint32_t celt_host_rng(void* p) { return ((CeltHost*)p)->rng; }
 //   49 ac_on u8(S)  50 ac_masks i32(S,21,2)  51 ac_r f32(S,2,21)
 //   52 ac_seed u32(S)  53 x_direct f32(S,C,frame)  54 band_log_e f64(S,2,21)
 //   55 iflags i32(S,4)  56 pf_gain f64(S)  57 rcs i32(S)
+//   58 call_dup i16(S,21,2,3)
+int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
+                                 int frame_size, int C, int start, int end,
+                                 int disable_inv, void** arrs, int S, int s,
+                                 const uint32_t* ec_in);
+
+// Consume the hybrid-mode redundancy signaling between the SILK and CELT
+// halves of a shared-stream packet (reference opus_decoder.rs decode_frame:
+// 1 bit logp-12 redundancy flag, then celt_to_silk bit + byte count).
+// ec[10] is the exported range-decoder state (silk_host.cpp layout),
+// updated in place. out[0]=redundancy, out[1]=celt_to_silk,
+// out[2]=redundancy_bytes. Returns the effective payload length for the
+// CELT decode (len minus any redundancy bytes).
+int celt_host_hybrid_redundancy(uint32_t* ec, const uint8_t* data, int len,
+                                int32_t* out) {
+  EcDec d;
+  d.buf = data;
+  d.storage = (uint32_t)len;
+  d.offs = ec[0];
+  d.rng = ec[1];
+  d.val = ec[2];
+  d.nbits_total = (int)ec[3];
+  d.end_offs = ec[4];
+  d.end_window = ec[5];
+  d.nend_bits = (int)ec[6];
+  d.error = (int)ec[7];
+  d.rem = (int)ec[8];
+  d.ext = 0;
+  int length = len;
+  out[0] = out[1] = out[2] = 0;
+  if (ec_tell(&d) + 17 + 20 <= 8 * length) {
+    out[0] = ec_dec_bit_logp(&d, 12);
+    if (out[0]) {
+      out[1] = ec_dec_bit_logp(&d, 1);
+      int rbytes = (int)ec_dec_uint(&d, 256) + 2;
+      length -= rbytes;
+      if (8 * length < ec_tell(&d)) {
+        length = 0;
+        rbytes = 0;
+        out[0] = 0;
+      }
+      d.storage -= (uint32_t)rbytes;
+      out[2] = rbytes;
+    }
+  }
+  ec[0] = d.offs;
+  ec[1] = d.rng;
+  ec[2] = d.val;
+  ec[3] = (uint32_t)d.nbits_total;
+  ec[4] = d.end_offs;
+  ec[5] = d.end_window;
+  ec[6] = (uint32_t)d.nend_bits;
+  ec[7] = (uint32_t)d.error;
+  ec[8] = (uint32_t)d.rem;
+  return length;
+}
+
 int celt_host_decode_plan(void* p, const uint8_t* data, int len,
                           int frame_size, int C, int start, int end,
                           int disable_inv, void** arrs, int S, int s) {
+  return celt_host_decode_plan_resume(p, data, len, frame_size, C, start,
+                                      end, disable_inv, arrs, S, s, nullptr);
+}
+
+// As celt_host_decode_plan, but ec_in (when non-null) resumes a range
+// decoder exported by silk_host_decode_ec over the same buffer — the
+// hybrid-mode shared-stream handoff (layout: see silk_host.cpp).
+int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
+                                 int frame_size, int C, int start, int end,
+                                 int disable_inv, void** arrs, int S, int s,
+                                 const uint32_t* ec_in) {
   CeltHost* st = (CeltHost*)p;
   int LM = -1;
   for (int lm = 0; lm <= kMaxLM; lm++)
@@ -2477,6 +2560,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
     o.ac_masks = (uint8_t*)arrs[50] + c2;
     o.ac_r = (float*)arrs[51] + cs * 2 * NB;
     o.ac_seed = (uint32_t*)arrs[52] + cs;
+    o.call_dup = (int16_t*)arrs[58] + c2 * 3;
   }
   float* x_direct = (float*)arrs[53] + (size_t)s * C * frame_size;
   double* band_log_e = (double*)arrs[54] + (size_t)s * 2 * NB;
@@ -2495,6 +2579,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
   memset(o.theta2_active, 0, NB);
   memset(o.n1_active, 0, NB * 2);
   memset(o.ac_on, 0, 1);
+  memset(o.call_dup, 0, NB * 2 * 3 * sizeof(int16_t));
 
   // snapshot for the direct-decode fallback
   double snap_e[2 * NB], snap_l1[2 * NB], snap_l2[2 * NB], snap_bg[2 * NB];
@@ -2507,7 +2592,22 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
 
   EcDec dec_s;
   EcDec* dec = &dec_s;
-  ec_dec_init(dec, data, (uint32_t)len);
+  if (ec_in) {
+    dec->buf = data;
+    dec->storage = (uint32_t)len;
+    dec->offs = ec_in[0];
+    dec->rng = ec_in[1];
+    dec->val = ec_in[2];
+    dec->nbits_total = (int)ec_in[3];
+    dec->end_offs = ec_in[4];
+    dec->end_window = ec_in[5];
+    dec->nend_bits = (int)ec_in[6];
+    dec->error = (int)ec_in[7];
+    dec->rem = (int)ec_in[8];
+    dec->ext = 0;
+  } else {
+    ec_dec_init(dec, data, (uint32_t)len);
+  }
   int length = len;
 
   double* old_band_e = st->old_ebands;
@@ -2620,6 +2720,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
     memcpy(st->background_log_e, snap_bg, sizeof(snap_bg));
     st->rng = snap_rng;
     st->loss_count = snap_loss;
+    if (ec_in) return -4;  // resumed (hybrid) streams cannot re-init the ec
     o.direct[0] = 1;
     return celt_host_decode(p, data, len, frame_size, C, start, end,
                             disable_inv, x_direct, band_log_e, iflags,

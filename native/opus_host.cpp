@@ -1,0 +1,122 @@
+// Unified Opus host stage: TOC-routed symbol decode for mixed
+// SILK / CELT / hybrid 20 ms traffic feeding one batched device step.
+//
+// Mirrors the reference's per-stream routing (src/opus_decoder.rs:453
+// decode_frame): SILK frames run the native SILK decoder at the internal
+// rate, hybrid frames run SILK then resume the SAME range decoder into
+// the CELT plan decode (start band 17), CELT frames run the plan decode
+// directly. Outputs: packed CELT band plans (celt_host.cpp layout),
+// 16 kHz SILK pcm, and a per-stream mode tag. Build together with
+// celt_host.cpp and silk_host.cpp into libopus_host.so (see
+// mousiki_tpu/opus_host_native.py).
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <thread>
+#include <atomic>
+#include <vector>
+
+extern "C" {
+// celt_host.cpp
+int celt_host_decode_plan(void* p, const uint8_t* data, int len,
+                          int frame_size, int C, int start, int end,
+                          int disable_inv, void** arrs, int S, int s);
+int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
+                                 int frame_size, int C, int start, int end,
+                                 int disable_inv, void** arrs, int S, int s,
+                                 const uint32_t* ec_in);
+int celt_host_hybrid_redundancy(uint32_t* ec, const uint8_t* data, int len,
+                                int32_t* out);
+// silk_host.cpp
+int silk_host_decode_ec(void* p, const uint8_t* data, int len, int fs_khz,
+                        int frame_ms, int16_t* xq_out, uint32_t* ec_out);
+}
+
+extern "C" {
+
+// Decode one 20 ms mono Opus packet for stream s.
+//   modes[s]: 0 = CELT, 1 = SILK, 2 = hybrid
+//   silk16:   320 int16 at 16 kHz (zeroed for CELT-only frames)
+// Returns 0 / negative error (-10 multiframe, -11 non-20ms,
+// -12 non-WB SILK, decoder errors pass through).
+int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
+                          int len, int C, int disable_inv, void** arrs,
+                          int S, int s, int16_t* silk16, int32_t* mode_out) {
+  if (!pkt || len < 1) return -1;
+  int toc = pkt[0];
+  int config = toc >> 3;
+  int code = toc & 3;
+  if (code != 0) return -10;  // single-frame packets only on this path
+  const uint8_t* pay = pkt + 1;
+  int plen = len - 1;
+  memset(silk16, 0, 320 * sizeof(int16_t));
+
+  if (config >= 16) {  // CELT-only: configs 16..31
+    static const int kEnds[4] = {13, 17, 19, 21};
+    if ((config & 3) != 3) return -11;  // 20 ms only
+    int end = kEnds[(config - 16) >> 2];
+    *mode_out = 0;
+    return celt_host_decode_plan(celt_st, pay, plen, 960, C, 0, end,
+                                 disable_inv, arrs, S, s);
+  }
+  if (config >= 12) {  // hybrid: 12/13 SWB, 14/15 FB (odd = 20 ms)
+    if ((config & 1) != 1) return -11;
+    int end = config < 14 ? 19 : 21;
+    uint32_t ec[10];
+    int n = silk_host_decode_ec(silk_st, pay, plen, 16, 20, silk16, ec);
+    if (n < 0) return n;
+    // redundancy signaling sits between the SILK and CELT halves; the
+    // redundant CELT audio itself (transition smoothing) is skipped on
+    // this steady-state path
+    int32_t red[3];
+    int elen = celt_host_hybrid_redundancy(ec, pay, plen, red);
+    if (elen <= 0) return -13;
+    *mode_out = 2;
+    return celt_host_decode_plan_resume(celt_st, pay, elen, 960, C, 17, end,
+                                        disable_inv, arrs, S, s, ec);
+  }
+  // SILK-only: configs 0..11 (NB/MB/WB x 10/20/40/60 ms)
+  if ((config & 3) != 1) return -11;  // 20 ms only
+  int fs = config < 4 ? 8 : (config < 8 ? 12 : 16);
+  if (fs != 16) return -12;  // device up-resampler is 16k->48k (WB)
+  int n = silk_host_decode_ec(silk_st, pay, plen, fs, 20, silk16, nullptr);
+  if (n < 0) return n;
+  *mode_out = 1;
+  return 0;
+}
+
+// Batched variant: arrs is the 58-pointer CELT plan table (rcs at [57]);
+// silk16_all is (S, 320) int16; modes is (S,) int32.
+void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
+                                 const uint8_t* blob, const int32_t* offs,
+                                 const int32_t* lens, int S, int C,
+                                 int disable_inv, void** arrs,
+                                 int16_t* silk16_all, int32_t* modes,
+                                 int n_threads) {
+  int32_t* rcs = (int32_t*)arrs[57];
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, S);
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int s = next.fetch_add(1);
+      if (s >= S) break;
+      rcs[s] = opus_host_decode_plan(celt_states[s], silk_states[s],
+                                     blob + offs[s], lens[s], C, disable_inv,
+                                     arrs, S, s, silk16_all + (size_t)s * 320,
+                                     modes + s);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

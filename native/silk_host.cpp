@@ -928,8 +928,13 @@ void silk_host_reset(void* p) {
 //   params layout per frame: exc[L] f32, a[2*16] f32, b[nb*5] f32,
 //   pitch[nb] i32, gains[nb] f32, voiced i32, ltp_scale f32
 // Returns number of samples, or < 0 on error.
-int silk_host_decode(void* p, const uint8_t* data, int len, int fs_khz,
-                     int frame_ms, int16_t* xq_out) {
+// As silk_host_decode, but optionally exports the final range-decoder
+// state (ec_out[10] = {offs, rng, val, nbits_total, end_offs, end_window,
+// nend_bits, error, rem, 0}) so a CELT plan decode can resume the same
+// stream — the hybrid-mode handoff (reference opus_decoder.rs
+// decode_frame passes one shared EcDec through SILK then CELT).
+int silk_host_decode_ec(void* p, const uint8_t* data, int len, int fs_khz,
+                        int frame_ms, int16_t* xq_out, uint32_t* ec_out) {
   SilkState* st = (SilkState*)p;
   if (!data || len < 1) return -1;
   int n_frames = frame_ms >= 20 ? frame_ms / 20 : 1;
@@ -991,7 +996,25 @@ int silk_host_decode(void* p, const uint8_t* data, int len, int fs_khz,
     total += st->frame_length;
   }
   st->last_rng = dec.rng;
+  if (ec_out) {
+    ec_out[0] = dec.offs;
+    ec_out[1] = dec.rng;
+    ec_out[2] = dec.val;
+    ec_out[3] = (uint32_t)dec.nbits_total;
+    ec_out[4] = dec.end_offs;
+    ec_out[5] = dec.end_window;
+    ec_out[6] = (uint32_t)dec.nend_bits;
+    ec_out[7] = (uint32_t)dec.error;
+    ec_out[8] = (uint32_t)dec.rem;
+    ec_out[9] = 0;
+  }
   return dec.error ? -2 : total;
+}
+
+int silk_host_decode(void* p, const uint8_t* data, int len, int fs_khz,
+                     int frame_ms, int16_t* xq_out) {
+  return silk_host_decode_ec(p, data, len, fs_khz, frame_ms, xq_out,
+                             nullptr);
 }
 
 uint32_t silk_host_rng(void* p) { return ((SilkState*)p)->last_rng; }

@@ -187,3 +187,48 @@ def test_plan_pipeline_stream_overlap():
     assert len(ove) == F
     for a, b in zip(seq, ove):
         assert np.abs(a - b).max() == 0.0
+
+
+@needs_oracle
+def test_opus_mixed_mode_pipeline():
+    """Unified pipeline: mixed CELT / SILK(WB) / hybrid mono streams must
+    match the validated per-stream OpusDecoder within 2e-4."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 8
+    sig = oracle.make_test_signal(960 * (F + 1), 1, seed=9)
+    pcm16 = oracle.float_to_i16(sig)
+
+    def enc_stream(app, bitrate, bw=None, signal=None):
+        enc = oracle.RefEncoder(48000, 1, app)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        if bw is not None:
+            enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+        x = pcm16 if signal is None else signal
+        return [enc.encode(x[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(F)]
+
+    streams = [
+        enc_stream(oracle.APP_RESTRICTED_LOWDELAY, 96000),     # CELT FB
+        enc_stream(oracle.APP_RESTRICTED_LOWDELAY, 64000),     # CELT
+        enc_stream(oracle.APP_VOIP, 16000, 1103),   # SILK WB
+        enc_stream(oracle.APP_VOIP, 40000, 1104),   # hybrid SWB
+    ]
+    S = len(streams)
+    modes_seen = set()
+    pipe = OpusStreamPipeline(S)
+    refs = [OpusDecoder(48000, 1) for _ in range(S)]
+    for f in range(F):
+        packets = [streams[s][f] for s in range(S)]
+        got = np.asarray(pipe.step(packets, 960))
+        modes_seen.update(int(m) for m in pipe.last_modes)
+        for s in range(S):
+            want = refs[s].decode(packets[s], 960)
+            err = np.abs(got[s] - want).max()
+            assert err < 2e-4, (f, s, err, int(pipe.last_modes[s]))
+    # the batch genuinely exercised all three modes
+    assert modes_seen == {0, 1, 2}, modes_seen
