@@ -80,7 +80,7 @@ def quality_gate(S, payloads, full_pkts):
     dec = oracle.RefDecoder(48000, 2)
     ref = np.concatenate([dec.decode_float(p, 960) for p in full_pkts],
                          axis=0)
-    r = compare(downmix_16k(ref), downmix_16k(ours))
+    r = compare(32768.0 * downmix_16k(ref), 32768.0 * downmix_16k(ours))
     return {"pass": bool(r["ok"]), "err4": round(float(r["err4"]), 4),
             "err16": round(float(r["err16"]), 4),
             "pitch": round(float(r["pitch"]), 4)}

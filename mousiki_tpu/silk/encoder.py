@@ -482,18 +482,25 @@ class SilkEncoder:
         self.lbrr_store = None  # (ix, pulses) of the previous frame's LBRR
         from .lp_filter import LpState
         self.lp = LpState()  # bandwidth-transition low-pass
+        # cross-frame integral rate control: multiplies the quantization-
+        # gain scale so active-frame bits track the target (the streaming
+        # analogue of libopus's per-frame gain_mult retry loop); included
+        # in snapshot/restore so the byte-budget retry attempts in
+        # opus_encoder._encode_silk don't pollute it
+        self.rate_mult = 1.0
 
     def snapshot(self):
         import copy
         return (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
                 copy.deepcopy(self.resampler), copy.deepcopy(self.mirror),
                 None if self.x_hist is None else self.x_hist.copy(),
-                copy.deepcopy(self.lbrr_store), copy.deepcopy(self.lp))
+                copy.deepcopy(self.lbrr_store), copy.deepcopy(self.lp),
+                self.rate_mult)
 
     def restore(self, snap):
         import copy
         (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
-         resampler, mirror, xh, lbrr, lp) = snap
+         resampler, mirror, xh, lbrr, lp, self.rate_mult) = snap
         # deep-copy so repeated restores from one snapshot stay independent
         self.resampler = copy.deepcopy(resampler)
         self.mirror = copy.deepcopy(mirror)
@@ -727,7 +734,9 @@ class SilkEncoder:
         ix.seed = self.seed_ctr & 3
         self.seed_ctr += 1
 
-        rate_scale = max(0.6, 24000.0 / max(8000, target_rate_bps)) * coarsen
+        tell0 = enc.tell()
+        rate_scale = (max(0.15, 24000.0 / max(8000, target_rate_bps))
+                      * coarsen * self.rate_mult)
         if voiced:
             ix.lag_index, ix.contour_index = self._choose_contour(
                 res, frame_length, nb_subfr, lag)
@@ -785,11 +794,14 @@ class SilkEncoder:
 
         pulses = [0] * frame_length
         res_frame = res[len(self.x_hist):]
-        # fine quantizer -> closed-loop tracking helps; coarse -> the fed-back
-        # rounding noise destabilizes, so fall back to open-loop targets
+        # Open-loop excitation targets by default: on speech the damped
+        # closed-loop feedback destabilizes the quantizer (opus_compare
+        # err4 6-13x worse at 12-32 kbps, QUALITY_SILK.md experiment);
+        # open loop scores at parity with libopus in SILK's natural
+        # 12-16 kbps range.
         gamma = self.fb_gamma
         if gamma is None:
-            gamma = 0.8 if coarsen < 3.0 else 0.0
+            gamma = 0.0
         xq = encode_core(st, ctrl, x, pulses, mute=coarsen >= 500,
                          res=res_frame, fb_gamma=gamma)
 
@@ -808,6 +820,14 @@ class SilkEncoder:
 
         encode_pulses(enc, ix.signal_type, ix.quant_offset_type, pulses,
                       frame_length)
+        # integral rate control update (coarser gain = fewer bits, so the
+        # multiplier follows spent/budget)
+        if coarsen < 500 and vad_active:
+            spent = enc.tell() - tell0
+            budget = target_rate_bps * frame_length / (self.fs_khz * 1000.0)
+            ratio = spent / max(1.0, budget)
+            self.rate_mult = min(6.0, max(0.1,
+                                          self.rate_mult * ratio ** 0.35))
         self.x_hist = xfull[-st.ltp_mem_length:]
         self.first = False
 
