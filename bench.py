@@ -119,7 +119,7 @@ def bench_e2e(payloads, S, n_steps=128):
     args = pipe._host_decode_plan([payloads[0]] * S, 960)
     t0 = time.perf_counter()
     for _ in range(10):
-        pcm, pipe.state = pipe._plan_step(pipe.consts, pipe.state, *args)
+        pcm, pipe.state = pipe._plan_step(960, pipe.state, *args)
     pcm.block_until_ready()
     device_x = 10 * S * 0.02 / (time.perf_counter() - t0)
     return best, host_us, device_x

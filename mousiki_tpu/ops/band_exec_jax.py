@@ -623,21 +623,24 @@ def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
     return p, plane("ble32"), plane("pf32"), plane("iflags")
 
 
-@partial(jax.jit, static_argnames=("channels",))
+@partial(jax.jit, static_argnames=("channels", "frame"))
 def plan_synthesis_step_arena(consts, state, a32, a16, a8, x_direct,
-                              channels: int = 2):
+                              channels: int = 2, frame: int = 960):
     """Fused device step from packed arenas: unpack + band-plan execution
-    + CELT synthesis (20 ms). The host ships 3 arena transfers + x_direct
-    per step (see host_native.decode_plan_arenas)."""
+    + CELT synthesis (frame = 120/240/480/960 samples, LM 0-3). The host
+    ships 3 arena transfers + x_direct per step (see
+    host_native.decode_plan_arenas); consts must be make_consts(n=frame)."""
     from .synthesis_jax import FrameDesc, synthesis_step
+    lm = {120: 0, 240: 1, 480: 2, 960: 3}[frame]
     p, ble, pf_gain, iflags = unpack_plan_arenas(a32, a16, a8,
-                                                 channels=channels, frame=960)
-    X = execute_packed(p, x_direct, channels=channels, frame=960,
-                       lm=3, start=0, end=21)
+                                                 channels=channels,
+                                                 frame=frame)
+    X = execute_packed(p, x_direct, channels=channels, frame=frame,
+                       lm=lm, start=0, end=21)
     ble_pad = jnp.pad(ble[:, :channels, :], ((0, 0), (0, 0), (0, 1)),
                       constant_values=-28.0)
-    desc = FrameDesc(x=X.reshape(-1, channels, 960), band_log_e=ble_pad,
+    desc = FrameDesc(x=X.reshape(-1, channels, frame), band_log_e=ble_pad,
                      transient=iflags[:, 0] != 0, silence=iflags[:, 1] != 0,
                      pf_pitch=iflags[:, 2], pf_gain=pf_gain,
                      pf_tapset=iflags[:, 3])
-    return synthesis_step(consts, state, desc, channels=channels)
+    return synthesis_step(consts, state, desc, channels=channels, n=frame)

@@ -60,14 +60,16 @@ class SynthesisConsts(NamedTuple):
     comb_gains: jnp.ndarray  # (3, 3)
 
 
-def make_consts(dtype=jnp.float32) -> SynthesisConsts:
+def make_consts(dtype=jnp.float32, n: int = N960) -> SynthesisConsts:
+    """Constants for frame size n (120/240/480/960 = LM 0-3)."""
     mode = opus_custom_mode()
+    M = n // mode.short_mdct_size
     e_means = np.concatenate([E_MEANS[:21], [0.0]]).astype(np.float32)
     return SynthesisConsts(
-        m_long=jnp.asarray(imdct_matrix(960), dtype),
+        m_long=jnp.asarray(imdct_matrix(n), dtype),
         m_short=jnp.asarray(imdct_matrix(120), dtype),
         window=jnp.asarray(mode.window, dtype),
-        bin_band=jnp.asarray(_bin_band_map(mode, 8)),
+        bin_band=jnp.asarray(_bin_band_map(mode, M)),
         e_means=jnp.asarray(e_means, dtype),
         comb_gains=jnp.asarray(_COMB_GAINS, dtype),
     )
@@ -132,13 +134,14 @@ def imdct_blocks(consts: SynthesisConsts, freq, transient):
     # f32-accurate MXU matmuls (bf16 default is ~1e-3, too coarse for
     # conformance; HIGHEST uses the 3-pass bf16 decomposition on TPU)
     prec = jax.lax.Precision.HIGHEST
-    # long: one block of 960
+    # long: one block of N
     raw_long = jnp.einsum("sck,nk->scn", freq, consts.m_long,
-                          precision=prec)  # (S, C, 960)
-    # short: de-interleave 8 blocks: block b coefficient k = freq[b + 8k]
-    fs = freq.reshape(S, C, 120, 8).transpose(0, 1, 3, 2)      # (S, C, 8, 120)
+                          precision=prec)  # (S, C, N)
+    # short: de-interleave B=N/120 blocks: block b coefficient k = freq[b + B*k]
+    B = N // 120
+    fs = freq.reshape(S, C, 120, B).transpose(0, 1, 3, 2)      # (S, C, B, 120)
     raw_short = jnp.einsum("scbk,nk->scbn", fs, consts.m_short,
-                           precision=prec).reshape(S, C, 960)
+                           precision=prec).reshape(S, C, N)
     return jnp.where(transient[:, None, None], raw_short, raw_long)
 
 
@@ -168,7 +171,7 @@ def overlap_windows(consts: SynthesisConsts, raw, prev_tail, transient):
         out = jnp.where(r < HALF, head, jnp.where(r < OVERLAP, mid, tj))
         return out
 
-    out_long = combine(960)
+    out_long = combine(N)
     out_short = combine(120)
     out = jnp.where(transient[:, None, None], out_short, out_long)
     new_tail = T[..., N: N + HALF]
@@ -270,11 +273,12 @@ def deemphasis(x, mem, coef=0.85):
     return y, y[..., -1]
 
 
-@partial(jax.jit, static_argnames=("channels",))
+@partial(jax.jit, static_argnames=("channels", "n"))
 def synthesis_step(consts: SynthesisConsts, state: StreamState,
-                   desc: FrameDesc, channels: int = 2):
-    """One 20ms frame for all streams; returns (pcm (S, 960, C), new state)."""
-    N = N960
+                   desc: FrameDesc, channels: int = 2, n: int = N960):
+    """One frame (n = 120/240/480/960 samples, LM 0-3) for all streams;
+    returns (pcm (S, n, C), new state). consts must be make_consts(n=n)."""
+    N = n
     freq = denormalise(consts, desc.x, desc.band_log_e, desc.silence)
     raw = imdct_blocks(consts, freq, desc.transient)
 
@@ -289,26 +293,36 @@ def synthesis_step(consts: SynthesisConsts, state: StreamState,
     # postfilter: old->current over first shortMdctSize, current->new for rest
     per = jnp.maximum(state.pf_period, COMB_MIN)
     per_old = jnp.maximum(state.pf_period_old, COMB_MIN)
-    mem = comb_filter_batched(consts, mem, pos, 120, per_old, per,
+    blend = min(120, N)
+    mem = comb_filter_batched(consts, mem, pos, blend, per_old, per,
                               state.pf_gain_old, state.pf_gain,
                               state.pf_tapset_old, state.pf_tapset)
-    mem = comb_filter_batched(consts, mem, pos + 120, N - 120,
-                              per, jnp.maximum(desc.pf_pitch, COMB_MIN),
-                              state.pf_gain, desc.pf_gain,
-                              state.pf_tapset, desc.pf_tapset)
+    if N > blend:
+        mem = comb_filter_batched(consts, mem, pos + blend, N - blend,
+                                  per, jnp.maximum(desc.pf_pitch, COMB_MIN),
+                                  state.pf_gain, desc.pf_gain,
+                                  state.pf_tapset, desc.pf_tapset)
 
     synth = jax.lax.dynamic_slice_in_dim(mem, pos, N, axis=-1)
     pcm, new_preemph = deemphasis(synth, state.preemph)
     pcm = pcm * (1.0 / 32768.0)
 
+    # state rotation (celt_decoder.rs:4011): old <- current, current <- new;
+    # for LM != 0 old is then overwritten with the new values too, so only
+    # 2.5 ms frames keep the one-frame-delayed "old" postfilter params
+    if n == 120:
+        old_p, old_g, old_t = per, state.pf_gain, state.pf_tapset
+    else:
+        old_p = jnp.maximum(desc.pf_pitch, COMB_MIN)
+        old_g, old_t = desc.pf_gain, desc.pf_tapset
     new_state = StreamState(
         decode_mem=mem,
         preemph=new_preemph,
         pf_period=jnp.maximum(desc.pf_pitch, COMB_MIN),
         pf_gain=desc.pf_gain,
         pf_tapset=desc.pf_tapset,
-        pf_period_old=jnp.maximum(desc.pf_pitch, COMB_MIN),
-        pf_gain_old=desc.pf_gain,
-        pf_tapset_old=desc.pf_tapset,
+        pf_period_old=old_p,
+        pf_gain_old=old_g,
+        pf_tapset_old=old_t,
     )
     return pcm.transpose(0, 2, 1), new_state

@@ -78,15 +78,20 @@ class CeltStreamPipeline:
                 synthesis_step, channels=channels))
         if use_plan:
             from .ops.band_exec_jax import plan_synthesis_step_arena
-            self._plan_step = functools.partial(plan_synthesis_step_arena,
-                                                channels=channels)
-            # cached all-zero device fallback spectra: x_direct only ships
-            # when some stream actually fell back to the direct decoder
-            import jax.numpy as jnp
-            self._xd_zeros = jnp.zeros((n_streams, channels, 960),
-                                       jnp.float32)
-            self._xd_zeros.block_until_ready()
+            self._plan_step_fn = plan_synthesis_step_arena
+            # per-frame-size caches (LM 0-3): synthesis consts and the
+            # all-zero device x_direct fallback (only shipped when some
+            # stream fell back to the direct decoder)
+            self._plan_consts = {960: self.consts}
+            self._xd_zeros = {}
             self._gc_tick = 0
+
+    def _plan_step(self, frame_size, state, *args):
+        if frame_size not in self._plan_consts:
+            self._plan_consts[frame_size] = make_consts(n=frame_size)
+        return self._plan_step_fn(self._plan_consts[frame_size], state,
+                                  *args, channels=self.channels,
+                                  frame=frame_size)
 
     # ------------------------------------------------------------------
     def _host_decode(self, payloads: list, frame_size: int) -> FrameDesc:
@@ -156,7 +161,12 @@ class CeltStreamPipeline:
                 f"stream {bad}: native celt plan decode failed rc={rcs[bad]}")
         name, off, shape = layout["direct"]
         any_direct = bool(arenas[name][off:off + shape[0]].any())
-        xd = jnp.asarray(aux["x_direct"]) if any_direct else self._xd_zeros
+        if frame_size not in self._xd_zeros:
+            self._xd_zeros[frame_size] = jnp.zeros(
+                (self.S, self.channels, frame_size), jnp.float32)
+            self._xd_zeros[frame_size].block_until_ready()
+        xd = (jnp.asarray(aux["x_direct"]) if any_direct
+              else self._xd_zeros[frame_size])
         # Deterministically reap the per-step device buffers: jax.Array
         # lifetimes otherwise wait on the cyclic GC, and with ~3 fresh
         # multi-MB transfers per step the buffer backlog degrades the
@@ -177,7 +187,7 @@ class CeltStreamPipeline:
         """
         if self.use_plan:
             args = self._host_decode_plan(payloads, frame_size)
-            pcm, self.state = self._plan_step(self.consts, self.state, *args)
+            pcm, self.state = self._plan_step(frame_size, self.state, *args)
             return pcm
         desc = self._host_decode(payloads, frame_size)
         pcm, self.state = self._step(self.consts, self.state, desc)
@@ -200,7 +210,7 @@ class CeltStreamPipeline:
                 args = self._host_decode_plan(payloads, frame_size)
                 if pending is not None:
                     yield pending
-                pending, self.state = self._plan_step(self.consts,
+                pending, self.state = self._plan_step(frame_size,
                                                       self.state, *args)
                 pending.block_until_ready()
             else:

@@ -232,3 +232,36 @@ def test_opus_mixed_mode_pipeline():
             assert err < 2e-4, (f, s, err, int(pipe.last_modes[s]))
     # the batch genuinely exercised all three modes
     assert modes_seen == {0, 1, 2}, modes_seen
+
+
+@needs_oracle
+@pytest.mark.parametrize("frame", [120, 240, 480])
+def test_plan_pipeline_all_lm(frame):
+    """Plan split for 2.5/5/10 ms CELT frames (LM 0-2) on device must
+    match per-stream reference decode (VERDICT r1 item 5)."""
+    from mousiki_tpu.celt import host_native
+    if not host_native.available():
+        pytest.skip("native host lib unavailable")
+    from mousiki_tpu.bitstream.packet import parse_packet
+
+    S, channels = 3, 2
+    F = 6
+    enc = oracle.RefEncoder(48000, channels, oracle.APP_RESTRICTED_LOWDELAY)
+    enc.ctl_set(oracle.SET_BITRATE, 96000)
+    sig = oracle.make_test_signal(frame * (F + 2), channels, seed=4)
+    pcm16 = oracle.float_to_i16(sig)
+    payloads = [parse_packet(enc.encode(
+        pcm16[f * frame:(f + 1) * frame].reshape(-1), frame)).frames[0]
+        for f in range(F)]
+
+    pipe = CeltStreamPipeline(S, channels=channels, use_plan=True)
+    refs = [CeltDecoder(channels=channels, stream_channels=channels)
+            for _ in range(S)]
+    for r in refs:
+        r.disable_inv = False
+    for f in range(F):
+        pcm = np.asarray(pipe.step([payloads[f]] * S, frame))
+        for s in range(S):
+            want = refs[s].decode_with_ec(payloads[f], frame)
+            err = np.abs(pcm[s] - want).max()
+            assert err < 2e-4, (frame, f, s, err)
