@@ -124,14 +124,16 @@ def opus_encoder_ctl(enc, request: int, value=None):
         OPUS_GET_PREDICTION_DISABLED: "prediction_disabled",
         OPUS_SET_PHASE_INVERSION_DISABLED: "phase_inversion_disabled",
         OPUS_GET_PHASE_INVERSION_DISABLED: "phase_inversion_disabled",
-        OPUS_SET_DRED_DURATION: "dred_duration",
-        OPUS_GET_DRED_DURATION: "dred_duration",
+        OPUS_GET_DRED_DURATION: "_dred_frames",
         OPUS_SET_VBR_CONSTRAINT: "vbr_constraint",
         OPUS_GET_VBR_CONSTRAINT: "vbr_constraint",
         OPUS_SET_SIGNAL: "signal_type_hint", OPUS_GET_SIGNAL: "signal_type_hint",
         OPUS_SET_MAX_BANDWIDTH: "max_bandwidth",
         OPUS_GET_MAX_BANDWIDTH: "max_bandwidth",
     }
+    if request == OPUS_SET_DRED_DURATION:
+        enc.set_dred_duration(int(value))   # activates the DRED pipeline
+        return None
     if request == OPUS_SET_BITRATE:
         enc.set_bitrate(value)
         return None
