@@ -29,10 +29,11 @@ import jax.numpy as jnp
 from ..silk import tables as T
 
 _FIR_ORDER = 8
-_IN_KHZ = 16
-_BATCH = 160                    # host RESAMPLER_MAX_BATCH_SIZE_MS * fs_in_khz
-_INV_RATIO_Q16 = 43691          # host inv_ratio for 16k -> 48k
-_INPUT_DELAY = 7                # host delay matrix entry for 16k -> 48k
+# per internal rate (kHz): host inv_ratio_q16 (resampler_init arithmetic,
+# up2x = 1 since 48k is not 2x the input) and the DEC delay-matrix entry
+_RATE_PARAMS = {8: (21846, 0), 12: (32768, 4), 16: (43691, 7)}
+_IN_KHZ = 16                    # default rate (back-compat)
+_INPUT_DELAY = 7
 
 
 def _i16(v):
@@ -53,18 +54,23 @@ class Up48Plan(NamedTuple):
                            # interpolation as ONE matmul on the MXU instead
                            # of an M x 8 gather (which lowers poorly on TPU)
     n_out: int
+    in_khz: int = 16       # internal rate (8/12/16 kHz -> 48 kHz)
+    delay: int = 7         # host input_delay for this rate pair
 
 
-def make_up48_plan(in_len: int) -> Up48Plan:
-    """Simulate the host batch/index arithmetic for a fixed frame length.
+def make_up48_plan(in_len: int, in_khz: int = 16) -> Up48Plan:
+    """Simulate the host batch/index arithmetic for a fixed frame length
+    at internal rate in_khz (8/12/16 kHz -> 48 kHz, host FUNC_IIR_FIR).
 
-    The host processes [delay_buf(16) | input(in_len - 16)] as segments of
-    at most _BATCH samples, resetting the Q16 phase accumulator per batch;
-    source indices/phases are therefore static per frame length."""
-    segments = [min(_IN_KHZ, in_len)]
+    The host processes [delay_buf(in_khz) | input(in_len - delay)] as
+    segments of at most 10 ms, resetting the Q16 phase accumulator per
+    batch; source indices/phases are therefore static per frame length."""
+    inv_ratio, delay = _RATE_PARAMS[in_khz]
+    batch = in_khz * 10  # RESAMPLER_MAX_BATCH_SIZE_MS * fs_in_khz
+    segments = [min(in_khz, in_len)]
     rest = in_len - segments[0]
     while rest > 0:
-        segments.append(min(rest, _BATCH))
+        segments.append(min(rest, batch))
         rest -= segments[-1]
     bases, weights = [], []
     up_off = 0  # index of this batch's first upsampled sample in `prefixed`
@@ -77,7 +83,7 @@ def make_up48_plan(in_len: int) -> Up48Plan:
             bases.append(up_off + b)
             w = np.concatenate([_FRAC[ti], _FRAC[11 - ti][::-1]])
             weights.append(w)
-            index_q16 += _INV_RATIO_Q16
+            index_q16 += inv_ratio
         up_off += 2 * n
     n_up = _FIR_ORDER + 2 * in_len
     G = np.zeros((n_up, len(bases)), np.float32)
@@ -85,7 +91,7 @@ def make_up48_plan(in_len: int) -> Up48Plan:
         G[b:b + _FIR_ORDER, m] = w
     return Up48Plan(jnp.asarray(bases, jnp.int32),
                     jnp.asarray(np.stack(weights), jnp.float32),
-                    jnp.asarray(G), len(bases))
+                    jnp.asarray(G), len(bases), in_khz, delay)
 
 
 class Up48State(NamedTuple):
@@ -153,17 +159,22 @@ def _apply(x_delayed, state_iir, state_fir, gmat):
 
 
 def up48_step(x, state: Up48State, plan: Up48Plan):
-    """x: (S, L) float input at 16 kHz; returns (out (S, 3L), new state).
+    """x: (S, L) float input at plan.in_khz; returns the 48 kHz output
+    (S, 48L/in_khz) and the new state.
 
     Mirrors silk_resampler's delay handling: the first fs_in_khz samples
     come from [delay_buf | head of x]."""
     S, L = x.shape
-    n = _IN_KHZ - _INPUT_DELAY
-    x_delayed = jnp.concatenate(
-        [state.delay[:, :_INPUT_DELAY], x[:, : L - _INPUT_DELAY]], axis=1)
+    d = plan.delay
+    if d > 0:
+        x_delayed = jnp.concatenate(
+            [state.delay[:, :d], x[:, : L - d]], axis=1)
+    else:
+        x_delayed = x
     out, new_iir, new_fir = _apply(x_delayed, state.s_iir, state.s_fir,
                                    plan.gmat)
+    pad = state.delay.shape[1] - d
     new_delay = jnp.concatenate(
-        [x[:, L - _INPUT_DELAY:],
-         jnp.zeros((S, _IN_KHZ - _INPUT_DELAY), x.dtype)], axis=1)
+        [x[:, L - d:] if d > 0 else jnp.zeros((S, 0), x.dtype),
+         jnp.zeros((S, pad), x.dtype)], axis=1)
     return out, Up48State(new_iir, new_fir, new_delay)

@@ -236,13 +236,13 @@ class SilkStreamPipeline:
 
         if not silk_native.available():
             raise RuntimeError("native silk host library unavailable")
-        if fs_khz != 16:
-            raise NotImplementedError("device up-resampler is 16k->48k")
+        if fs_khz not in (8, 12, 16):
+            raise ValueError("SILK internal rate must be 8/12/16 kHz")
         self.S = n_streams
         self.fs_khz = fs_khz
         self.frame_ms = frame_ms
         self.hosts = [silk_native.NativeSilkHost() for _ in range(n_streams)]
-        self._plan = make_up48_plan(fs_khz * frame_ms)
+        self._plan = make_up48_plan(fs_khz * frame_ms, fs_khz)
         self._rs_state = init_up48_state(n_streams)
         self._up48_step = up48_step
 
