@@ -107,7 +107,7 @@ _PLANE_DTYPES = {
     "call_dup": np.int16,
 }
 
-# Native pointer-table order (58 entries; see celt_host_decode_plan).
+# Native pointer-table order (59 entries; see celt_host_decode_plan).
 _PTR_ORDER = (["direct"]
               + [("pvq_active", t) for t in range(3)]
               + [("pvq_n", t) for t in range(3)]

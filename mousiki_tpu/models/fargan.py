@@ -199,32 +199,41 @@ def random_model(key, cond_dim=256, gru_dim=128, embed_dim=12,
     )
 
 
-def from_blob(arrays: dict) -> FarganModel:
+def from_blob(arrays: dict, cond_dim: int = 256, gru_dim: int = 128,
+              embed_dim: int = 12) -> FarganModel:
     """Build FARGAN from a parsed libopus weight blob using the reference
-    names (fargan.rs init_fargan_from_weights); layer sizes are inferred
-    from the blob like the reference's linear_layer_from_blob."""
+    names (fargan.rs init_fargan_from_weights). Layer input dims are the
+    known architecture constants — passing them explicitly guards against
+    the inference-from-padded-storage overestimate in load_linear_auto
+    (blob rows are padded to 8, cols to 4)."""
     from .nnet import load_linear_auto as la
 
-    pembed = la(arrays, "cond_net_pembed")
+    sub = FARGAN_SUBFRAME_SIZE
+    fwc0_in = cond_dim + (sub + 4) + sub
+    g1_in = cond_dim + 2 * sub
+    g2_in = gru_dim + 2 * sub
+    skip_in = gru_dim * 3 + cond_dim + 2 * sub
+    pembed = la(arrays, "cond_net_pembed", nb_outputs=embed_dim)
     return FarganModel(
         cond_pembed=pembed.w.T,    # (n_periods, embed_dim) lookup table
-        cond_fdense1=la(arrays, "cond_net_fdense1"),
-        cond_fconv1=la(arrays, "cond_net_fconv1"),
-        cond_fdense2=la(arrays, "cond_net_fdense2"),
-        cond_gain_dense=la(arrays, "sig_net_cond_gain_dense"),
-        fwc0_conv=la(arrays, "sig_net_fwc0_conv"),
-        fwc0_glu=la(arrays, "sig_net_fwc0_glu_gate"),
-        gru1_in=la(arrays, "sig_net_gru1_input"),
-        gru1_rec=la(arrays, "sig_net_gru1_recurrent"),
-        gru1_glu=la(arrays, "sig_net_gru1_glu_gate"),
-        gru2_in=la(arrays, "sig_net_gru2_input"),
-        gru2_rec=la(arrays, "sig_net_gru2_recurrent"),
-        gru2_glu=la(arrays, "sig_net_gru2_glu_gate"),
-        gru3_in=la(arrays, "sig_net_gru3_input"),
-        gru3_rec=la(arrays, "sig_net_gru3_recurrent"),
-        gru3_glu=la(arrays, "sig_net_gru3_glu_gate"),
-        skip_dense=la(arrays, "sig_net_skip_dense"),
-        skip_glu=la(arrays, "sig_net_skip_glu_gate"),
-        sig_dense_out=la(arrays, "sig_net_sig_dense_out"),
-        gain_dense_out=la(arrays, "sig_net_gain_dense_out"),
+        cond_fdense1=la(arrays, "cond_net_fdense1",
+                        NB_FEATURES + embed_dim, cond_dim),
+        cond_fconv1=la(arrays, "cond_net_fconv1", cond_dim * 2, cond_dim),
+        cond_fdense2=la(arrays, "cond_net_fdense2", cond_dim, cond_dim),
+        cond_gain_dense=la(arrays, "sig_net_cond_gain_dense", cond_dim, 1),
+        fwc0_conv=la(arrays, "sig_net_fwc0_conv", fwc0_in, cond_dim),
+        fwc0_glu=la(arrays, "sig_net_fwc0_glu_gate", cond_dim, cond_dim),
+        gru1_in=la(arrays, "sig_net_gru1_input", g1_in, 3 * gru_dim),
+        gru1_rec=la(arrays, "sig_net_gru1_recurrent", gru_dim, 3 * gru_dim),
+        gru1_glu=la(arrays, "sig_net_gru1_glu_gate", gru_dim, gru_dim),
+        gru2_in=la(arrays, "sig_net_gru2_input", g2_in, 3 * gru_dim),
+        gru2_rec=la(arrays, "sig_net_gru2_recurrent", gru_dim, 3 * gru_dim),
+        gru2_glu=la(arrays, "sig_net_gru2_glu_gate", gru_dim, gru_dim),
+        gru3_in=la(arrays, "sig_net_gru3_input", g2_in, 3 * gru_dim),
+        gru3_rec=la(arrays, "sig_net_gru3_recurrent", gru_dim, 3 * gru_dim),
+        gru3_glu=la(arrays, "sig_net_gru3_glu_gate", gru_dim, gru_dim),
+        skip_dense=la(arrays, "sig_net_skip_dense", skip_in, gru_dim),
+        skip_glu=la(arrays, "sig_net_skip_glu_gate", gru_dim, gru_dim),
+        sig_dense_out=la(arrays, "sig_net_sig_dense_out", gru_dim, sub),
+        gain_dense_out=la(arrays, "sig_net_gain_dense_out", cond_dim, 4),
     )

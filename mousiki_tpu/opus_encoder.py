@@ -1,7 +1,9 @@
-"""Opus encoder top level (CELT-only path this round; SILK/hybrid next).
+"""Opus encoder top level: SILK, hybrid, and CELT modes with DTX, LBRR,
+VBR/CBR, DRED embedding, and 8-48 kHz API rates.
 
 Parity: reference `src/opus_encoder.rs` (opus_encoder_create:3965, TOC gen
-gen_toc:1214). Produces standard Opus packets decodable by any decoder.
+gen_toc:1214, mode/bandwidth decision :1247-1511, DTX decide_dtx_mode:4365).
+Produces standard Opus packets decodable by any decoder.
 """
 
 from __future__ import annotations
@@ -188,8 +190,16 @@ class OpusEncoder:
             from .models.dred import DRED_EXTENSION_ID
             self._dred.frame(pcm if pcm.ndim == 2 else
                              np.asarray(pcm)[:, None])
-            payload = self._dred.payload(max_bytes=max(32, min(
-                160, max_bytes - len(pkt))))
+            # pad_ext overhead: TOC padding signalling + length chain +
+            # extension header (~6 bytes worst case for payloads <= 160).
+            # Skip DRED entirely when the remaining budget can't fit the
+            # minimum useful payload without exceeding the caller's
+            # max_bytes (reference dred_encoder.rs caps against the same
+            # budget rather than forcing a floor).
+            _PAD_OVERHEAD = 6
+            headroom = max_bytes - len(pkt) - _PAD_OVERHEAD
+            payload = (self._dred.payload(max_bytes=min(160, headroom))
+                       if headroom >= 32 else None)
             self._dred_last_payload = payload
             if payload is not None:
                 nb = packet_get_nb_frames(pkt)

@@ -329,6 +329,11 @@ class OpusStreamPipeline:
 
         import jax.numpy as jnp
 
+        if frame_size != 960:
+            # the native opus_host plan path hard-codes 20 ms plane offsets;
+            # any other frame size would corrupt the arena layout
+            raise ValueError("OpusStreamPipeline supports 20 ms (960-sample) "
+                             f"frames only, got {frame_size}")
         arenas, aux, layout, silk16, modes = self._native.decode(
             packets, frame_size)
         rcs = aux["rcs"]

@@ -17,6 +17,9 @@
 #include <chrono>
 
 extern "C" {
+#ifdef PLAN_PROF
+void celt_host_prof_report();
+#endif
 void* celt_host_create();
 void celt_host_destroy(void*);
 int celt_host_decode_plan(void* p, const uint8_t* data, int len,
@@ -24,66 +27,75 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
                           int disable_inv, void** arrs, int S, int s);
 }
 
-// Array layout mirrors mousiki_tpu/celt/host_native.py alloc_plan_buffers
-// (58 pointers; see the layout comment above celt_host_decode_plan).
+// Array layout + dtypes mirror mousiki_tpu/celt/host_native.py
+// (_PTR_ORDER / _PLANE_DTYPES, 59 pointers; see the layout comment above
+// celt_host_decode_plan in celt_host.cpp).
 static constexpr int kNB = 21, kFill = 4;
 static constexpr int kTier[3] = {224, 48, 16};
 
 struct PlanArrays {
   std::vector<std::vector<uint8_t>> u8;
+  std::vector<std::vector<int16_t>> i16;
   std::vector<std::vector<int32_t>> i32;
   std::vector<std::vector<float>> f32;
   std::vector<std::vector<uint32_t>> u32;
   std::vector<std::vector<double>> f64;
-  void* ptrs[58];
+  void* ptrs[59];
 };
 
 static void build_arrays(PlanArrays& a, int S, int C, int frame) {
   auto u8p = [&](size_t n) { a.u8.emplace_back(n, 0); return (void*)a.u8.back().data(); };
+  auto i16p = [&](size_t n) { a.i16.emplace_back(n, 0); return (void*)a.i16.back().data(); };
   auto i32p = [&](size_t n) { a.i32.emplace_back(n, 0); return (void*)a.i32.back().data(); };
   auto f32p = [&](size_t n, float v = 0.f) { a.f32.emplace_back(n, v); return (void*)a.f32.back().data(); };
   auto u32p = [&](size_t n) { a.u32.emplace_back(n, 0); return (void*)a.u32.back().data(); };
   auto f64p = [&](size_t n) { a.f64.emplace_back(n, 0.0); return (void*)a.f64.back().data(); };
   int k = 0;
-  a.ptrs[k++] = u8p(S);                                         // direct
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // pvq_active
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = i32p((size_t)S * kTier[t]);  // pvq_n
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = i32p((size_t)S * kTier[t]);  // pvq_k
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = i32p((size_t)S * kTier[t]);  // pvq_b
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = i32p((size_t)S * kTier[t]);  // pvq_spread
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = f32p((size_t)S * kTier[t]);  // pvq_gain
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u32p((size_t)S * kTier[t]);  // pvq_idx
-  a.ptrs[k++] = i32p((size_t)S * C * frame);                    // map
-  for (int i = 0; i < 2; i++) a.ptrs[k++] = u8p((size_t)S * kNB * 2);  // call_active, call_has_lb
-  for (int i = 0; i < 5; i++) a.ptrs[k++] = i32p((size_t)S * kNB * 2); // lb_src,lb_buf,blend,pre,post
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                       // call_norm_write
-  a.ptrs[k++] = i32p((size_t)S * kNB * 2);                      // call_norm_buf
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);               // fill_active
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);               // fill_fold
-  a.ptrs[k++] = i32p((size_t)S * kNB * 2 * kFill);              // fill_off
-  a.ptrs[k++] = i32p((size_t)S * kNB * 2 * kFill);              // fill_n
-  a.ptrs[k++] = f32p((size_t)S * kNB * 2 * kFill, 1.f);         // fill_gain
-  a.ptrs[k++] = u32p((size_t)S * kNB * 2 * kFill);              // fill_seed
-  a.ptrs[k++] = u8p((size_t)S * kNB);                           // merge_active
-  a.ptrs[k++] = f32p((size_t)S * kNB);                          // merge_mid
-  a.ptrs[k++] = u8p((size_t)S * kNB);                           // merge_inv
-  a.ptrs[k++] = u8p((size_t)S * kNB);                           // theta2_active
-  a.ptrs[k++] = u8p((size_t)S * kNB);                           // theta2_cswap
-  a.ptrs[k++] = f32p((size_t)S * kNB);                          // theta2_sign
-  a.ptrs[k++] = f32p((size_t)S * kNB);                          // theta2_mid
-  a.ptrs[k++] = f32p((size_t)S * kNB);                          // theta2_side
-  a.ptrs[k++] = u8p((size_t)S * kNB);                           // theta2_inv
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                       // n1_active
-  a.ptrs[k++] = f32p((size_t)S * kNB * 2);                      // n1_val
-  a.ptrs[k++] = u8p(S);                                         // ac_on
-  a.ptrs[k++] = i32p((size_t)S * kNB * 2);                      // ac_masks
-  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                      // ac_r
-  a.ptrs[k++] = u32p(S);                                        // ac_seed
-  a.ptrs[k++] = f32p((size_t)S * C * frame);                    // x_direct
-  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                      // band_log_e
-  a.ptrs[k++] = i32p((size_t)S * 4);                            // iflags
-  a.ptrs[k++] = f64p(S);                                        // pf_gain
-  a.ptrs[k++] = i32p(S);                                        // rcs
+  a.ptrs[k++] = u8p(S);                                          // 0 direct
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 1-3 pvq_active
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 4-6 pvq_n
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 7-9 pvq_k
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 10-12 pvq_b
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 13-15 pvq_spread
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = f32p((size_t)S * kTier[t]);  // 16-18 pvq_gain
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u32p((size_t)S * kTier[t]);  // 19-21 pvq_idx
+  a.ptrs[k++] = i16p((size_t)S * C * frame);                     // 22 map
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 23 call_active
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 24 call_has_lb
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 25 call_lb_src
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 26 call_lb_buf
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 27 call_blend_upto
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 28 call_pre
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 29 call_post
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 30 call_norm_write
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 31 call_norm_buf
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);                // 32 fill_active
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);                // 33 fill_fold
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * kFill);               // 34 fill_off
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * kFill);               // 35 fill_n
+  a.ptrs[k++] = f32p((size_t)S * kNB * 2 * kFill, 1.f);          // 36 fill_gain
+  a.ptrs[k++] = u32p((size_t)S * kNB * 2 * kFill);               // 37 fill_seed
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 38 merge_active
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 39 merge_mid
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 40 merge_inv
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 41 theta2_active
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 42 theta2_cswap
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 43 theta2_sign
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 44 theta2_mid
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 45 theta2_side
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 46 theta2_inv
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 47 n1_active
+  a.ptrs[k++] = f32p((size_t)S * kNB * 2);                       // 48 n1_val
+  a.ptrs[k++] = u8p(S);                                          // 49 ac_on
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 50 ac_masks
+  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 51 ac_r
+  a.ptrs[k++] = u32p(S);                                         // 52 ac_seed
+  a.ptrs[k++] = f32p((size_t)S * C * frame);                     // 53 x_direct
+  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                       // 54 band_log_e
+  a.ptrs[k++] = i32p((size_t)S * 4);                             // 55 iflags
+  a.ptrs[k++] = f64p(S);                                         // 56 pf_gain
+  a.ptrs[k++] = i32p(S);                                         // 57 rcs
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * 3);                   // 58 call_dup
 }
 
 int main(int argc, char** argv) {
@@ -118,6 +130,9 @@ int main(int argc, char** argv) {
   double us = std::chrono::duration<double, std::micro>(t1 - t0).count() / n_iter;
   printf("%.3f us/frame  (%.0f frames/s, %.0fx realtime 20ms)\n", us, 1e6 / us,
          1e6 / us * 0.02);
+#ifdef PLAN_PROF
+  celt_host_prof_report();
+#endif
   celt_host_destroy(st);
   return 0;
 }

@@ -22,6 +22,42 @@
 
 #include "celt_tables.h"
 
+// Optional phase profiler for the plan decode (build with -DPLAN_PROF and
+// call celt_host_prof_report() from the harness; see native/bench_plan.cpp).
+#ifdef PLAN_PROF
+#include <x86intrin.h>
+#include <cstdio>
+namespace planprof {
+enum Phase { HDR, COARSE, DYNALLOC, ALLOC, FINE, BANDS, THETA, PULSES,
+             FINALISE, TAIL, MEMSET, N_PHASE };
+static const char* kNames[N_PHASE] = {
+    "header", "coarse_energy", "dynalloc", "allocation", "fine_energy",
+    "pq_all_bands", "  theta(sub)", "  pulse_decode(sub)", "finalise",
+    "state_tail", "memsets"};
+static uint64_t acc[N_PHASE];
+static uint64_t frames;
+struct Scope {
+  int p;
+  uint64_t t0;
+  Scope(int ph) : p(ph), t0(__rdtsc()) {}
+  ~Scope() { acc[p] += __rdtsc() - t0; }
+};
+}  // namespace planprof
+#define PROF_SCOPE(ph) planprof::Scope _prof_scope_##ph(planprof::ph)
+#define PROF_FRAME() planprof::frames++
+extern "C" void celt_host_prof_report() {
+  double f = planprof::frames ? (double)planprof::frames : 1.0;
+  std::fprintf(stderr, "plan decode phase profile (%llu frames):\n",
+               (unsigned long long)planprof::frames);
+  for (int i = 0; i < planprof::N_PHASE; i++)
+    std::fprintf(stderr, "  %-22s %8.1f cycles/frame\n", planprof::kNames[i],
+                 planprof::acc[i] / f);
+}
+#else
+#define PROF_SCOPE(ph) ((void)0)
+#define PROF_FRAME() ((void)0)
+#endif
+
 namespace {
 
 constexpr int BITRES = 3;
@@ -961,6 +997,7 @@ struct SplitCtx {
 void compute_theta_impl(EcDec* ec, int i, int intensity, int remaining_bits,
                         bool disable_inv, SplitCtx* sctx, int N, int* b,
                         int B, int B0, int LM, bool stereo, uint32_t* fill) {
+  PROF_SCOPE(THETA);
   int inv = 0, itheta = 0;
 
   int pulse_cap = (int)kLogN[i] + LM * (1 << BITRES);
@@ -1749,6 +1786,7 @@ void cwrs_iy(uint32_t idx, int* iy, int n, int k) {
 
 uint32_t pq_alg_unquant(PlanCtx* ctx, int dst, int N, int K, int B,
                         double gain) {
+  PROF_SCOPE(PULSES);
   uint32_t idx = ec_dec_uint(ctx->ec, pvq_v(N, K));
   uint32_t cm;
   if (B <= 1) {
@@ -2415,20 +2453,21 @@ uint32_t celt_host_rng(void* p) { return ((CeltHost*)p)->rng; }
 
 // Plan-mode decode: symbols only; band signal math is recorded as a packed
 // plan for the device executor (mousiki_tpu/ops/band_exec_jax.py). `arrs`
-// is the packed-array pointer table for ALL S streams, in this fixed order
-// (matching mousiki_tpu/celt/host_native.py PLAN_ARRS):
-//   0 direct u8(S)  1-3 pvq_active u8(S,slots_t)  4-6 pvq_n i32
-//   7-9 pvq_k  10-12 pvq_b  13-15 pvq_spread  16-18 pvq_gain f32
-//   19-21 pvq_idx u32  22 map i32(S,C*frame)  23 call_active u8(S,21,2)
-//   24 call_has_lb u8  25 call_lb_src i32  26 call_lb_buf i32
-//   27 call_blend_upto i32  28 call_pre i32  29 call_post i32
-//   30 call_norm_write u8  31 call_norm_buf i32  32 fill_active u8(S,21,2,4)
-//   33 fill_fold u8  34 fill_off i32  35 fill_n i32  36 fill_gain f32
+// is the packed-array pointer table for ALL S streams — 59 entries, in this
+// fixed order with these dtypes (must match the PlanOut views below and
+// mousiki_tpu/celt/host_native.py _PTR_ORDER/_PLANE_DTYPES):
+//   0 direct u8(S)  1-3 pvq_active u8(S,slots_t)  4-6 pvq_n u8
+//   7-9 pvq_k u8  10-12 pvq_b u8  13-15 pvq_spread u8  16-18 pvq_gain f32
+//   19-21 pvq_idx u32  22 map i16(S,C*frame)  23 call_active u8(S,21,2)
+//   24 call_has_lb u8  25 call_lb_src i16  26 call_lb_buf u8
+//   27 call_blend_upto i16  28 call_pre u8  29 call_post u8
+//   30 call_norm_write u8  31 call_norm_buf u8  32 fill_active u8(S,21,2,4)
+//   33 fill_fold u8  34 fill_off i16  35 fill_n i16  36 fill_gain f32
 //   37 fill_seed u32  38 merge_active u8(S,21)  39 merge_mid f32
 //   40 merge_inv u8  41 theta2_active u8  42 theta2_cswap u8
 //   43 theta2_sign f32  44 theta2_mid f32  45 theta2_side f32
 //   46 theta2_inv u8  47 n1_active u8(S,21,2)  48 n1_val f32
-//   49 ac_on u8(S)  50 ac_masks i32(S,21,2)  51 ac_r f32(S,2,21)
+//   49 ac_on u8(S)  50 ac_masks u8(S,21,2)  51 ac_r f32(S,2,21)
 //   52 ac_seed u32(S)  53 x_direct f32(S,C,frame)  54 band_log_e f64(S,2,21)
 //   55 iflags i32(S,4)  56 pf_gain f64(S)  57 rcs i32(S)
 //   58 call_dup i16(S,21,2,3)
@@ -2568,18 +2607,22 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   double* pf_gain = (double*)arrs[56] + s;
 
   // zero the active flags + map (other fields are written when flagged)
-  memset(o.direct, 0, 1);
-  for (int t = 0; t < 3; t++) memset(o.pvq_active[t], 0, kTierSlots[t]);
-  memset(o.map, 0, (size_t)C * frame_size * sizeof(int16_t));
-  memset(o.call_active, 0, NB * 2);
-  memset(o.call_has_lb, 0, NB * 2);
-  memset(o.call_norm_write, 0, NB * 2);
-  memset(o.fill_active, 0, NB * 2 * kFillSlots);
-  memset(o.merge_active, 0, NB);
-  memset(o.theta2_active, 0, NB);
-  memset(o.n1_active, 0, NB * 2);
-  memset(o.ac_on, 0, 1);
-  memset(o.call_dup, 0, NB * 2 * 3 * sizeof(int16_t));
+  {
+    PROF_SCOPE(MEMSET);
+    memset(o.direct, 0, 1);
+    for (int t = 0; t < 3; t++) memset(o.pvq_active[t], 0, kTierSlots[t]);
+    memset(o.map, 0, (size_t)C * frame_size * sizeof(int16_t));
+    memset(o.call_active, 0, NB * 2);
+    memset(o.call_has_lb, 0, NB * 2);
+    memset(o.call_norm_write, 0, NB * 2);
+    memset(o.fill_active, 0, NB * 2 * kFillSlots);
+    memset(o.merge_active, 0, NB);
+    memset(o.theta2_active, 0, NB);
+    memset(o.n1_active, 0, NB * 2);
+    memset(o.ac_on, 0, 1);
+    memset(o.call_dup, 0, NB * 2 * 3 * sizeof(int16_t));
+  }
+  PROF_FRAME();
 
   // snapshot for the direct-decode fallback
   double snap_e[2 * NB], snap_l1[2 * NB], snap_l2[2 * NB], snap_bg[2 * NB];
@@ -2653,7 +2696,10 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   bool short_blocks = is_transient != 0;
 
   int intra_ener = (tell + 3 <= total_bits) ? ec_dec_bit_logp(dec, 3) : 0;
-  unquant_coarse_energy(start, end, old_band_e, intra_ener != 0, dec, C, LM);
+  {
+    PROF_SCOPE(COARSE);
+    unquant_coarse_energy(start, end, old_band_e, intra_ener != 0, dec, C, LM);
+  }
 
   int tf_res[NB] = {0};
   tf_decode(start, end, is_transient != 0, tf_res, LM, dec);
@@ -2668,6 +2714,7 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   int dynalloc_logp = 6;
   total_bits <<= BITRES;
   tell = ec_tell_frac(dec);
+  { PROF_SCOPE(DYNALLOC);
   for (int i = start; i < end; i++) {
     int width = C * (kEBands[i + 1] - kEBands[i]) << LM;
     int quanta = std::min(width << BITRES, std::max(6 << BITRES, width));
@@ -2684,7 +2731,7 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
     }
     offsets[i] = boost;
     if (boost > 0) dynalloc_logp = std::max(2, dynalloc_logp - 1);
-  }
+  } }
 
   int alloc_trim = (tell + (6 << BITRES) <= total_bits)
                        ? ec_dec_icdf(dec, kTrimICDF, 7)
@@ -2698,19 +2745,27 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
 
   Alloc alloc;
   memset(&alloc, 0, sizeof(alloc));
-  clt_compute_allocation(start, end, offsets, cap, alloc_trim, bits, C, LM,
-                         dec, &alloc);
+  {
+    PROF_SCOPE(ALLOC);
+    clt_compute_allocation(start, end, offsets, cap, alloc_trim, bits, C, LM,
+                           dec, &alloc);
+  }
 
-  unquant_fine_energy(start, end, old_band_e, alloc.ebits, dec, C);
+  {
+    PROF_SCOPE(FINE);
+    unquant_fine_energy(start, end, old_band_e, alloc.ebits, dec, C);
+  }
 
   uint8_t collapse_masks[2 * NB] = {0};
   bool failed = false;
+  { PROF_SCOPE(BANDS);
   st->rng = pq_all_bands(
       start, end, collapse_masks, alloc.pulses, short_blocks, spread_decision,
       alloc.dual_stereo, alloc.intensity, tf_res,
       length * (8 << BITRES) - anti_collapse_rsv, alloc.balance, dec, LM,
       alloc.coded_bands, st->rng, disable_inv != 0, C, frame_size, &o,
       &failed);
+  }
 
   if (failed) {
     // restore entry state and run the direct decoder for this stream
@@ -2730,9 +2785,12 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   int anti_collapse_on = 0;
   if (anti_collapse_rsv > 0) anti_collapse_on = (int)ec_dec_bits(dec, 1);
 
-  unquant_energy_finalise(start, end, old_band_e, alloc.ebits,
-                          alloc.fine_priority, length * 8 - ec_tell(dec), dec,
-                          C);
+  {
+    PROF_SCOPE(FINALISE);
+    unquant_energy_finalise(start, end, old_band_e, alloc.ebits,
+                            alloc.fine_priority, length * 8 - ec_tell(dec),
+                            dec, C);
+  }
 
   if (anti_collapse_on) {
     o.ac_on[0] = 1;
