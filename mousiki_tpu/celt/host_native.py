@@ -388,10 +388,18 @@ class NativeCeltHostBatch:
         Returns (arenas, aux, layout): three contiguous plan arenas (see
         plan_arena_layout) ready for single-shot H2D transfer, plus the
         separate native outputs {x_direct, band_log_e, pf_gain, rcs}.
-        Arenas are freshly allocated every call: JAX on the CPU backend
-        may alias them zero-copy, so reuse across steps would race.
-        The f32 ble32/pf32 arena planes are filled from the native f64
-        outputs so the descriptor rides the arena transfer.
+
+        Arenas are double-buffered and REUSED across calls (fresh
+        alloc + zero + 59-view/pointer-table rebuild cost ~5 us/frame of
+        pure glue at S=256): the native decoder re-memsets every flag
+        plane and the device executor masks all value planes by those
+        flags, so stale values in inactive slots are never read. Safe for
+        the strictly-serialized plan pipelines (on the TPU backend
+        jnp.asarray copies H2D before the next step overwrites the
+        buffer; two buffers add one step of margin). Callers that stash
+        arenas across >=2 steps must copy. The f32 ble32/pf32 arena
+        planes are filled from the native f64 outputs so the descriptor
+        rides the arena transfer.
         """
         S, Cch = self.S, self.channels
         assert len(payloads) == S
@@ -399,9 +407,19 @@ class NativeCeltHostBatch:
         if key not in self._bufs:
             self._bufs[key] = (np.empty(S, np.int32), np.empty(S, np.int32))
         offs, lens = self._bufs[key]
-        arenas, aux, layout = alloc_plan_arenas(S, Cch, frame_size)
-        views = plan_views(arenas, aux, layout)
-        ptrs = _plan_ptr_table(views)
+        if not hasattr(self, "_plan_db"):
+            self._plan_db = {}
+        if frame_size not in self._plan_db:
+            sets = []
+            for _ in range(2):
+                arenas, aux, layout = alloc_plan_arenas(S, Cch, frame_size)
+                views = plan_views(arenas, aux, layout)
+                sets.append((arenas, aux, layout, views,
+                             _plan_ptr_table(views)))
+            self._plan_db[frame_size] = [0, sets]
+        slot = self._plan_db[frame_size]
+        slot[0] ^= 1
+        arenas, aux, layout, views, ptrs = slot[1][slot[0]]
         blob = b"".join(payloads)
         pos = 0
         for i, p in enumerate(payloads):

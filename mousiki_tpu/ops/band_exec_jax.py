@@ -111,6 +111,40 @@ def _combo_mats(n_band: int, M: int):
     return pre, post
 
 
+@lru_cache(maxsize=None)
+def _plan_combo_mats_np(frame: int):
+    """Numpy stacks for plan_combo_mats (cache holds host arrays only --
+    caching jnp arrays would capture tracers when first hit inside jit)."""
+    mode = opus_custom_mode(48000, 960)
+    eb = [int(v) for v in mode.ebands]
+    M = frame // mode.short_mdct_size
+    nbmax = 22 * M
+    nc = len(combos_for_m(M))
+    pre_all = np.zeros((21, nc, nbmax, nbmax), np.float32)
+    post_all = np.zeros_like(pre_all)
+    eye = np.eye(nbmax, dtype=np.float32)
+    for i in range(21):
+        n_b = M * (eb[i + 1] - eb[i])
+        pre_all[i] = eye
+        post_all[i] = eye
+        if n_b > 1:
+            pre, post = _combo_mats(n_b, M)
+            pre_all[i, :, :n_b, :n_b] = pre
+            post_all[i, :, :n_b, :n_b] = post
+    return pre_all, post_all
+
+
+def plan_combo_mats(channels: int, frame: int):
+    """Stacked per-band pre/post combo operators, padded to NBMAX with
+    identity, as DEVICE arrays: (21, NC, NBMAX, NBMAX) f32 each.
+
+    Pass these to execute_packed/plan_synthesis_step_arena as runtime
+    arguments -- baked-in constants would add ~36 MB to every compiled
+    executable (see the executable-store note in _affine_scan)."""
+    pre_all, post_all = _plan_combo_mats_np(frame)
+    return jnp.asarray(pre_all), jnp.asarray(post_all)
+
+
 # ------------------------------------------------------------------ P1 walk
 
 def cwrs_walk(active, n, k0, idx, nmax: int, slack: int = 12):
@@ -168,9 +202,12 @@ def cwrs_walk(active, n, k0, idx, nmax: int, slack: int = 12):
         return (j2, k2, kj2, idx2, pending2, psign2, done2, iy), None
 
     B = n.shape[0]
-    z = jnp.zeros(B, jnp.int32)
-    fb = jnp.zeros(B, jnp.bool_)
-    iy0 = jnp.zeros((B, nmax), jnp.int32)
+    # derive the zero-initialised carry components from the inputs so they
+    # inherit the shard_map varying axis (plain jnp.zeros would be
+    # "unvarying" and scan would reject the carry type mismatch)
+    z = n * 0
+    fb = active & False
+    iy0 = jnp.zeros((B, nmax), jnp.int32) + z[:, None]
     state0 = (z, k0, k0, idx, fb, fb, ~active, iy0)
     state, _ = lax.scan(step, state0, None, length=nmax + slack)
     return state[-1]
@@ -179,12 +216,31 @@ def cwrs_walk(active, n, k0, idx, nmax: int, slack: int = 12):
 # ------------------------------------------------------------ P2 rotation
 
 def _affine_scan(A, Bv, axis: int):
-    """x_t = A_t * x_{t-1} + B_t (x_{-1} irrelevant when A_0 = 0)."""
-    def comb(l, r):
-        Al, Bl = l
-        Ar, Br = r
-        return Al * Ar, Br + Ar * Bl
-    return lax.associative_scan(comb, (A, Bv), axis=axis)[1]
+    """x_t = A_t * x_{t-1} + B_t (x_{-1} irrelevant when A_0 = 0).
+
+    Hillis-Steele doubling with the level as a lax.scan carry, so the
+    (roll + mask + fma) body compiles ONCE instead of being unrolled
+    log2(Q) times: on TPU every unrolled level costs ~1 MB of executable,
+    and oversized executables thrash the device program store (multiple
+    >300 MB programs in one process degraded dispatch to ~0.8 s/step)."""
+    assert axis == 1
+    Q = A.shape[1]
+    levels = max(1, (Q - 1).bit_length())
+    pos = jnp.arange(Q, dtype=jnp.int32)[None, :]
+
+    def step(carry, k):
+        Ac, Bc = carry
+        s = jnp.int32(1) << k
+        valid = pos >= s
+        Ash = jnp.roll(Ac, s, axis=1)
+        Bsh = jnp.roll(Bc, s, axis=1)
+        Bn = jnp.where(valid, Bc + Ac * Bsh, Bc)
+        An = jnp.where(valid, Ac * Ash, Ac)
+        return (An, Bn), None
+
+    (_, B_out), _ = lax.scan(step, (A, Bv),
+                             jnp.arange(levels, dtype=jnp.int32))
+    return B_out
 
 
 def _rot1_contig(x, valid, first, lastm, c, s):
@@ -330,10 +386,13 @@ def _normalize_plan(p: dict) -> dict:
 
 @partial(jax.jit, static_argnames=("channels", "frame", "lm", "start", "end"))
 def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
-                   start: int, end: int):
+                   start: int, end: int, mats=None):
     """Run S packed band plans; returns the X plane (S, channels*frame) f32.
 
     x_direct: (S, channels, frame) fallback spectra for direct streams.
+    mats: (pre, post) stacked combo operators from plan_combo_mats — pass
+    them as runtime args in production jits (None falls back to baked-in
+    constants, acceptable only for small test invocations).
     """
     p = _normalize_plan(p)
     mode = opus_custom_mode(48000, 960)
@@ -367,129 +426,191 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
     X = jnp.take_along_axis(pool, p["map"], axis=1)  # (S, C*frame)
 
     # ---- P3: band assembly -------------------------------------------
-    norm = jnp.zeros((S, npad), jnp.float32)
-    norm2 = jnp.zeros((S, npad), jnp.float32)
+    # Sequential over bands (fold lowbands read previously decoded bands),
+    # but as a lax.scan with band-major plan planes so the ~45-op body
+    # compiles ONCE for all 21 bands instead of being unrolled 21x2 times
+    # (executable size: see the note in _affine_scan).
+    if mats is None:
+        mats = plan_combo_mats(channels, frame)
+    pre_stack, post_stack = mats
+    NBMAX = 22 * M
+    # + 0*X[:, :1]: inherit the shard_map varying axis (see cwrs_walk)
+    norm = jnp.zeros((S, npad), jnp.float32) + 0.0 * X[:, :1]
+    norm2 = norm
 
-    for i in range(start, end):
-        n_b = M * (eb[i + 1] - eb[i])
-        boff = M * eb[i]
+    n_b_np = np.array([M * (eb[i + 1] - eb[i]) for i in range(start, end)],
+                      np.int32)
+    boff_np = np.array([M * eb[i] for i in range(start, end)], np.int32)
+    nwoff_np = boff_np - norm_offset
+    nw_ok_np = (nwoff_np >= 0) & (nwoff_np + n_b_np <= norm_len)
+    scale_np = np.where(n_b_np > 1, np.sqrt(n_b_np.astype(np.float64)),
+                        1.0).astype(np.float32)
+
+    def bm(x):
+        """(S, 21, ...) plan plane -> band-major (nbands, S, ...)."""
+        return jnp.moveaxis(x, 1, 0)[start:end]
+
+    xs = {
+        "n_b": jnp.asarray(n_b_np), "boff": jnp.asarray(boff_np),
+        "nwoff": jnp.asarray(np.clip(nwoff_np, 0, max(0, npad - NBMAX))),
+        "nw_ok": jnp.asarray(nw_ok_np), "scale": jnp.asarray(scale_np),
+        "is1": jnp.asarray(n_b_np == 1), "is2": jnp.asarray(n_b_np == 2),
+        "gt2": jnp.asarray(n_b_np > 2),
+        "ca": bm(p["call_active"]), "src": bm(p["call_lb_src"]),
+        "lbuf": bm(p["call_lb_buf"]), "blendu": bm(p["call_blend_upto"]),
+        "pre": bm(p["call_pre"]), "post": bm(p["call_post"]),
+        "nwr": bm(p["call_norm_write"]), "nbuf": bm(p["call_norm_buf"]),
+        "dup": bm(p["call_dup"]),
+        "fa": bm(p["fill_active"]), "ff": bm(p["fill_fold"]),
+        "foff": bm(p["fill_off"]), "fn": bm(p["fill_n"]),
+        "fg": bm(p["fill_gain"]), "fseed": bm(p["fill_seed"]),
+        "n1a": bm(p["n1_active"]), "n1v": bm(p["n1_val"]),
+        "pre_m": pre_stack[start:end], "post_m": post_stack[start:end],
+    }
+    if channels == 2:
+        xs.update({
+            "ma": p["merge_active"].T[start:end],
+            "mmid": p["merge_mid"].T[start:end],
+            "minv": p["merge_inv"].T[start:end],
+            "ta": p["theta2_active"].T[start:end],
+            "tcsw": p["theta2_cswap"].T[start:end],
+            "tsgn": p["theta2_sign"].T[start:end],
+            "tmid": p["theta2_mid"].T[start:end],
+            "tside": p["theta2_side"].T[start:end],
+            "tinv": p["theta2_inv"].T[start:end],
+        })
+    posb = jnp.arange(NBMAX, dtype=jnp.int32)
+
+    def band_body(carry, bz):
+        X, norm, norm2 = carry
+        n_b = bz["n_b"]
+        boff = bz["boff"]
+        valid = (posb < n_b)[None, :]
         bx = []
         for slot in range(channels):
-            sl = lax.dynamic_slice(X, (0, slot * frame + boff), (S, n_b))
-            act = p["call_active"][:, i, slot]
-            if n_b == 1:
-                sl = jnp.where(p["n1_active"][:, i, slot][:, None],
-                               p["n1_val"][:, i, slot][:, None], sl)
-                bx.append(sl)
-                continue
-            has = p["call_has_lb"][:, i, slot] & act
-            src = p["call_lb_src"][:, i, slot]
-            gidx = src[:, None] + jnp.arange(n_b, dtype=jnp.int32)[None, :]
+            cur = lax.dynamic_slice(X, (0, slot * frame + boff), (S, NBMAX))
+            act = bz["ca"][:, slot]
+            src = bz["src"][:, slot]
+            gidx = src[:, None] + posb[None, :]
             gc = jnp.clip(gidx, 0, npad - 1)
             nv = jnp.take_along_axis(norm, gc, axis=1)
             n2v = jnp.take_along_axis(norm2, gc, axis=1)
             # special_hybrid_folding (bands.rs): window-local duplicate of
             # the first band's folding data before the gather is consumed
-            dup = p["call_dup"][:, i, slot]            # (S, 3)
-            posb = jnp.arange(n_b, dtype=jnp.int32)
+            dup = bz["dup"][:, slot]
             d_rel = posb[None, :] - dup[:, 0:1]
             in_dup = (d_rel >= 0) & (d_rel < dup[:, 2:3])
             sidx = jnp.clip(dup[:, 1:2] + d_rel, 0, n_b - 1)
             nv = jnp.where(in_dup, jnp.take_along_axis(nv, sidx, axis=1), nv)
             n2v = jnp.where(in_dup,
                             jnp.take_along_axis(n2v, sidx, axis=1), n2v)
-            blend = gidx < p["call_blend_upto"][:, i, slot][:, None]
-            base = jnp.where((p["call_lb_buf"][:, i, slot] == 1)[:, None],
-                             n2v, nv)
+            blend = gidx < bz["blendu"][:, slot][:, None]
+            base = jnp.where((bz["lbuf"][:, slot] == 1)[:, None], n2v, nv)
             scr = jnp.where(blend, 0.5 * (nv + n2v), base)
-            pre_m, post_m = _combo_mats(n_b, M)
-            scr = _apply_combo(scr, p["call_pre"][:, i, slot], pre_m)
+            scr = jnp.einsum(
+                "sn,smn->sm", scr,
+                jnp.take(bz["pre_m"], bz["pre"][:, slot], axis=0),
+                precision=jax.lax.Precision.HIGHEST)
             # fold/noise fills — all FILL_SLOTS at once (windows disjoint)
-            posf = jnp.arange(n_b, dtype=jnp.int32)
-            fa = p["fill_active"][:, i, slot, :] & act[:, None]  # (S, F)
-            offr = p["fill_off"][:, i, slot, :]
-            fn = p["fill_n"][:, i, slot, :]
-            d = posf[None, None, :] - offr[:, :, None]           # (S, F, n)
+            fa = bz["fa"][:, slot, :] & act[:, None]
+            offr = bz["foff"][:, slot, :]
+            fn = bz["fn"][:, slot, :]
+            d = posb[None, None, :] - offr[:, :, None]
             inw = (d >= 0) & (d < fn[:, :, None])
             dc = jnp.clip(d + 1, 0, _LCG_MAX - 1)
-            seed0 = p["fill_seed"][:, i, slot, :]
+            seed0 = bz["fseed"][:, slot, :]
             seeds = A_J[dc] * seed0[:, :, None] + C_J[dc]
             plus = (seeds & jnp.uint32(0x8000)) != 0
             fold_v = jnp.where(plus, scr[:, None, :] + 1.0 / 256,
                                scr[:, None, :] - 1.0 / 256)
             noise_v = (seeds.astype(jnp.int32) >> 20).astype(jnp.float32)
-            vals = jnp.where(p["fill_fold"][:, i, slot, :][:, :, None],
+            vals = jnp.where(bz["ff"][:, slot, :][:, :, None],
                              fold_v, noise_v)
             vals = jnp.where(inw, vals, 0.0)
-            E = 1e-15 + jnp.sum(vals * vals, axis=2)             # (S, F)
-            g = p["fill_gain"][:, i, slot, :] / jnp.sqrt(E)
+            E = 1e-15 + jnp.sum(vals * vals, axis=2)
+            g = bz["fg"][:, slot, :] / jnp.sqrt(E)
             live = fa[:, :, None] & inw
             contrib = jnp.where(live, vals * g[:, :, None], 0.0)
-            covered = jnp.any(live, axis=1)                      # (S, n)
-            sl = jnp.where(covered, jnp.sum(contrib, axis=1), sl)
-            sl = _apply_combo(sl, p["call_post"][:, i, slot], post_m)
+            covered = jnp.any(live, axis=1)
+            sl = jnp.where(covered, jnp.sum(contrib, axis=1), cur)
+            sl = jnp.einsum(
+                "sn,smn->sm", sl,
+                jnp.take(bz["post_m"], bz["post"][:, slot], axis=0),
+                precision=jax.lax.Precision.HIGHEST)
+            # n_b == 1: the n1 sign path replaces the whole band
+            sl_n1 = jnp.where(bz["n1a"][:, slot][:, None]
+                              & (posb[None, :] == 0),
+                              bz["n1v"][:, slot][:, None], cur)
+            sl = jnp.where(bz["is1"], sl_n1, sl)
             bx.append(sl)
         # norm writes (pre-merge, as in quant_band)
-        nwoff = boff - norm_offset
-        if 0 <= nwoff and nwoff + n_b <= norm_len:
-            scale = float(np.sqrt(n_b)) if n_b > 1 else 1.0
-            for slot in range(channels):
-                nw = (p["call_norm_write"][:, i, slot]
-                      & p["call_active"][:, i, slot])
-                tobuf2 = p["call_norm_buf"][:, i, slot] == 1
-                cur_n = lax.dynamic_slice(norm, (0, nwoff), (S, n_b))
-                cur_n2 = lax.dynamic_slice(norm2, (0, nwoff), (S, n_b))
-                val = scale * bx[slot]
-                norm = lax.dynamic_update_slice(
-                    norm, jnp.where((nw & ~tobuf2)[:, None], val, cur_n),
-                    (0, nwoff))
-                norm2 = lax.dynamic_update_slice(
-                    norm2, jnp.where((nw & tobuf2)[:, None], val, cur_n2),
-                    (0, nwoff))
-        # N == 2 stereo butterfly
-        if channels == 2 and n_b == 2:
-            ta = p["theta2_active"][:, i]
-            sgn = p["theta2_sign"][:, i]
-            cs = p["theta2_cswap"][:, i]
-            mid = p["theta2_mid"][:, i]
-            side = p["theta2_side"][:, i]
+        nwoff = bz["nwoff"]
+        for slot in range(channels):
+            nw = (bz["nwr"][:, slot] & bz["ca"][:, slot])
+            tobuf2 = bz["nbuf"][:, slot] == 1
+            val = bz["scale"] * bx[slot]
+            cur_n = lax.dynamic_slice(norm, (0, nwoff), (S, NBMAX))
+            cur_n2 = lax.dynamic_slice(norm2, (0, nwoff), (S, NBMAX))
+            wmask = valid & bz["nw_ok"]
+            norm = lax.dynamic_update_slice(
+                norm, jnp.where((nw & ~tobuf2)[:, None] & wmask, val, cur_n),
+                (0, nwoff))
+            norm2 = lax.dynamic_update_slice(
+                norm2,
+                jnp.where((nw & tobuf2)[:, None] & wmask, val, cur_n2),
+                (0, nwoff))
+        if channels == 2:
+            # N == 2 stereo butterfly
+            ta = bz["ta"] & bz["is2"]
+            sgn = bz["tsgn"]
+            cs = bz["tcsw"]
+            mid = bz["tmid"]
+            side = bz["tside"]
             x0, x1 = bx
             der0 = jnp.stack([-sgn * x1[:, 1], sgn * x1[:, 0]], axis=1)
             der1 = jnp.stack([-sgn * x0[:, 1], sgn * x0[:, 0]], axis=1)
-            nx = jnp.where(cs[:, None], der0, x0)
-            ny = jnp.where(cs[:, None], x1, der1)
+            nx = jnp.where(cs[:, None], der0, x0[:, :2])
+            ny = jnp.where(cs[:, None], x1[:, :2], der1)
             nx = nx * mid[:, None]
             ny = ny * side[:, None]
             ox = nx - ny
             oy = nx + ny
-            oy = jnp.where(p["theta2_inv"][:, i][:, None], -oy, oy)
-            bx = [jnp.where(ta[:, None], ox, x0),
-                  jnp.where(ta[:, None], oy, x1)]
-        # stereo merge
-        if channels == 2 and n_b > 2:
-            ma = p["merge_active"][:, i]
-            mid = p["merge_mid"][:, i]
+            oy = jnp.where(bz["tinv"][:, None], -oy, oy)
+            ox_f = jnp.concatenate([ox, x0[:, 2:]], axis=1)
+            oy_f = jnp.concatenate([oy, x1[:, 2:]], axis=1)
+            bx = [jnp.where(ta[:, None], ox_f, x0),
+                  jnp.where(ta[:, None], oy_f, x1)]
+            # stereo merge (n_b > 2)
+            ma = bz["ma"] & bz["gt2"]
+            mmid = bz["mmid"]
             x0, x1 = bx
-            xp = jnp.sum(x0 * x1, axis=1) * mid
-            sd = jnp.sum(x1 * x1, axis=1)
-            el = mid * mid + sd - 2 * xp
-            er = mid * mid + sd + 2 * xp
+            x0v = jnp.where(valid, x0, 0.0)
+            x1v = jnp.where(valid, x1, 0.0)
+            xp = jnp.sum(x0v * x1v, axis=1) * mmid
+            sd = jnp.sum(x1v * x1v, axis=1)
+            el = mmid * mmid + sd - 2 * xp
+            er = mmid * mmid + sd + 2 * xp
             degen = (er < 6e-4) | (el < 6e-4)
             lg = 1.0 / jnp.sqrt(jnp.maximum(el, 1e-20))
             rg = 1.0 / jnp.sqrt(jnp.maximum(er, 1e-20))
-            lpart = mid[:, None] * x0
+            lpart = mmid[:, None] * x0
             mx = lg[:, None] * (lpart - x1)
             my = rg[:, None] * (lpart + x1)
             mx = jnp.where(degen[:, None], x0, mx)
             my = jnp.where(degen[:, None], x0, my)
-            inv = p["merge_inv"][:, i]
+            inv = bz["minv"]
             my = jnp.where(inv[:, None], -my, my)
-            x1k = jnp.where(inv[:, None], -x1, x1)
+            x1k = jnp.where(inv[:, None] & bz["gt2"], -x1, x1)
             bx = [jnp.where(ma[:, None], mx, x0),
                   jnp.where(ma[:, None], my, x1k)]
         for slot in range(channels):
-            X = lax.dynamic_update_slice(X, bx[slot],
-                                         (0, slot * frame + boff))
+            cur = lax.dynamic_slice(X, (0, slot * frame + boff), (S, NBMAX))
+            X = lax.dynamic_update_slice(
+                X, jnp.where(valid, bx[slot], cur),
+                (0, slot * frame + boff))
+        return (X, norm, norm2), None
+
+    (X, norm, norm2), _ = lax.scan(band_body, (X, norm, norm2), xs)
 
     # ---- P4: anti-collapse (whole-plane vectorized) -------------------
     # The per-(band, channel) LCG draw counts are known upfront, so every
@@ -566,11 +687,11 @@ PLAN_KEYS = (
 @partial(jax.jit, static_argnames=("channels",))
 def plan_synthesis_step(consts, state, packed, x_direct, band_log_e,
                         transient, silence, pf_pitch, pf_gain, pf_tapset,
-                        channels: int = 2):
+                        channels: int = 2, mats=None):
     """Fused device step: band-plan execution + CELT synthesis (20 ms)."""
     from .synthesis_jax import FrameDesc, synthesis_step
     X = execute_packed(packed, x_direct, channels=channels, frame=960,
-                       lm=3, start=0, end=21)
+                       lm=3, start=0, end=21, mats=mats)
     desc = FrameDesc(x=X.reshape(-1, channels, 960), band_log_e=band_log_e,
                      transient=transient, silence=silence, pf_pitch=pf_pitch,
                      pf_gain=pf_gain, pf_tapset=pf_tapset)
@@ -625,18 +746,21 @@ def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
 
 @partial(jax.jit, static_argnames=("channels", "frame"))
 def plan_synthesis_step_arena(consts, state, a32, a16, a8, x_direct,
-                              channels: int = 2, frame: int = 960):
+                              mats=None, channels: int = 2,
+                              frame: int = 960):
     """Fused device step from packed arenas: unpack + band-plan execution
     + CELT synthesis (frame = 120/240/480/960 samples, LM 0-3). The host
     ships 3 arena transfers + x_direct per step (see
-    host_native.decode_plan_arenas); consts must be make_consts(n=frame)."""
+    host_native.decode_plan_arenas); consts must be make_consts(n=frame),
+    mats should be plan_combo_mats(channels, frame) (runtime arg keeps the
+    compiled executable small)."""
     from .synthesis_jax import FrameDesc, synthesis_step
     lm = {120: 0, 240: 1, 480: 2, 960: 3}[frame]
     p, ble, pf_gain, iflags = unpack_plan_arenas(a32, a16, a8,
                                                  channels=channels,
                                                  frame=frame)
     X = execute_packed(p, x_direct, channels=channels, frame=frame,
-                       lm=lm, start=0, end=21)
+                       lm=lm, start=0, end=21, mats=mats)
     ble_pad = jnp.pad(ble[:, :channels, :], ((0, 0), (0, 0), (0, 1)),
                       constant_values=-28.0)
     desc = FrameDesc(x=X.reshape(-1, channels, frame), band_log_e=ble_pad,

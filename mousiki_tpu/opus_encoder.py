@@ -395,8 +395,16 @@ class OpusEncoder:
             # applied to the SILK rate in encode_frame_native)
             rate = max(6000, rate + compute_surround_masking_rate_offset(
                 self.energy_mask, bw, self.channels))
-        nbytes = max(10, min(max_bytes,
-                             (rate * frame_size) // (8 * self.fs) + 10))
+        target_bytes = (rate * frame_size) // (8 * self.fs)
+        # VBR: the per-frame cap is elastic (reference VBR lets hard frames
+        # exceed the nominal target and converges long-term through the
+        # quantization gains; e.g. libopus ships ~35-byte frames at a
+        # 12 kbps target on tonal input). CBR keeps the tight cap.
+        if self.vbr:
+            nbytes = max(10, min(max_bytes, target_bytes + target_bytes // 2
+                                 + 20))
+        else:
+            nbytes = max(10, min(max_bytes, target_bytes + 10))
         stereo = self.channels == 2 and pcm.shape[1] == 2
         worker = self.silk_stereo if stereo else self.silk
         self._last_silk_worker = worker
@@ -438,14 +446,16 @@ class OpusEncoder:
             enc = attempt(c)
         if enc is None:
             raise ValueError("silk rate control failed")
-        # refine downward while there is unused budget
+        # refine downward while there is unused TARGET budget (aim at the
+        # nominal rate, not the elastic VBR cap)
+        aim_bits = min(budget_bits, target_bytes * 8)
         best_c, last_was_best = c, True
         for _ in range(4):
             bits = enc.tell()
-            if bits >= 0.72 * budget_bits or best_c <= 0.05:
+            if bits >= 0.72 * aim_bits or best_c <= 0.05:
                 break
             c2 = max(0.05, best_c * max(0.5,
-                                        (bits / (0.90 * budget_bits)) ** 1.2))
+                                        (bits / (0.90 * aim_bits)) ** 1.2))
             if abs(c2 - best_c) / best_c < 0.05:
                 break
             e2 = attempt(c2)
@@ -485,6 +495,10 @@ class OpusEncoder:
         # base share, shrinking as the total rate grows
         silk_share = 0.65 if self.bitrate < 40000 * self.channels else 0.55
         silk_bits_target = int(8 * L * silk_share)
+        # elastic per-frame cap: hard frames may exceed the share target
+        # as long as the CELT layer keeps a minimum allocation (reference
+        # VBR behaviour); the refinement below still aims at the share
+        silk_bits_cap = int(8 * L * 0.85)
         stereo = self.channels == 2 and pcm.shape[1] == 2
         worker = self.silk_stereo if stereo else self.silk
         self._last_silk_worker = worker
@@ -511,7 +525,7 @@ class OpusEncoder:
                                        int(self.bitrate * silk_share), c)
             except _BudgetExceeded:
                 return None
-            if e.get_error() or e.tell() > silk_bits_target:
+            if e.get_error() or e.tell() > silk_bits_cap:
                 return None
             return e
 

@@ -113,10 +113,24 @@ class NativeOpusHostBatch:
         S = self.S
         assert len(packets) == S
         offs, lens = self._lenbufs
-        arenas, aux, layout = alloc_plan_arenas(S, self.channels, frame_size)
-        views = plan_views(arenas, aux, layout)
-        ptrs = _plan_ptr_table(views)
-        silk16 = np.zeros((S, 320), np.int16)
+        # double-buffered reused arenas (see celt/host_native.py
+        # decode_plan_arenas for the safety argument); silk16 is fully
+        # overwritten by the native call for every stream, every step
+        if not hasattr(self, "_plan_db"):
+            self._plan_db = {}
+        if frame_size not in self._plan_db:
+            sets = []
+            for _ in range(2):
+                arenas, aux, layout = alloc_plan_arenas(
+                    S, self.channels, frame_size)
+                views = plan_views(arenas, aux, layout)
+                sets.append((arenas, aux, layout, views,
+                             _plan_ptr_table(views),
+                             np.zeros((S, 320), np.int16)))
+            self._plan_db[frame_size] = [0, sets]
+        slot = self._plan_db[frame_size]
+        slot[0] ^= 1
+        arenas, aux, layout, views, ptrs, silk16 = slot[1][slot[0]]
         modes = np.zeros(S, np.int32)
         blob = b"".join(packets)
         pos = 0

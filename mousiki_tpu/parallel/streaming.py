@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -55,3 +57,72 @@ def sharded_synthesis_step(mesh: Mesh, channels: int = 2):
         return pcm, new_state
 
     return step
+
+
+# ----------------------------------------------------------- plan sharding
+def _spec_like(tree, spec):
+    return jax.tree.map(lambda _: spec, tree,
+                        is_leaf=lambda x: isinstance(x, jnp.ndarray))
+
+
+def sharded_plan_step(mesh: Mesh, channels: int = 2, frame: int = 960):
+    """shard_map'd PRODUCTION plan step (the path bench.py measures):
+    plan arenas, x_direct, and stream state sharded over the mesh's
+    "streams" axis; synthesis consts and combo operators replicated.
+
+    Each device unpacks ITS OWN local arena triple (the plane-major arena
+    layout is per-shard: unpack_plan_arenas derives the local S from the
+    local a8 length), so there are no collectives at all in steady state
+    -- pure data parallelism over streams (SURVEY.md §2.9).
+    """
+    from functools import partial
+
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+
+    from ..ops.band_exec_jax import plan_synthesis_step_arena
+    from ..ops.synthesis_jax import SynthesisConsts
+
+    P_s = P("streams")
+    P_r = P()
+
+    def inner(consts, state, a32, a16, a8, xd, mats):
+        return plan_synthesis_step_arena(consts, state, a32, a16, a8, xd,
+                                         mats, channels=channels,
+                                         frame=frame)
+
+    # spec prefixes: whole subtrees take one spec
+    in_specs = (P_r, jax.tree.map(lambda _: P_s, StreamState(
+        *([0] * len(StreamState._fields)))), P_s, P_s, P_s, P_s, P_r)
+    out_specs = (P_s, jax.tree.map(lambda _: P_s, StreamState(
+        *([0] * len(StreamState._fields)))))
+    sm = shard_map(inner, mesh, in_specs, out_specs)
+    return jax.jit(sm)
+
+
+def make_global_sharded(mesh: Mesh, shard_arrays):
+    """Assemble per-device host arrays into one global array sharded on
+    axis 0 over the "streams" axis (one shard per device, no copies
+    beyond the per-device H2D transfers)."""
+    devs = list(mesh.devices.flat)
+    assert len(shard_arrays) == len(devs)
+    sh = NamedSharding(mesh, P("streams"))
+    bufs = [jax.device_put(np.ascontiguousarray(a), d)
+            for a, d in zip(shard_arrays, devs)]
+    global_shape = (sum(a.shape[0] for a in shard_arrays),)         + tuple(shard_arrays[0].shape[1:])
+    return jax.make_array_from_single_device_arrays(global_shape, sh, bufs)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -41,18 +41,37 @@ class CeltStreamPipeline:
         self._native = None
         self._py_hosts = None
         self.use_plan = use_plan
+        self.mesh = mesh
+        self._plan_shards = None
         if use_plan:
-            if use_native is False or mesh is not None:
-                raise ValueError("plan mode is native-host, single-mesh only")
+            if use_native is False:
+                raise ValueError("plan mode requires the native host")
             use_native = True
+            if mesh is not None:
+                n_dev = mesh.devices.size
+                if n_streams % n_dev:
+                    raise ValueError("n_streams must divide the mesh size")
 
         if use_native is not False:
             try:
                 from .celt import host_native
                 if host_native.available():
-                    self._native = host_native.NativeCeltHostBatch(
-                        n_streams, channels=channels,
-                        disable_inv=channels == 1, n_threads=host_threads)
+                    if use_plan and mesh is not None:
+                        # one native batch per device shard: each shard's
+                        # arenas transfer to its own device and the
+                        # shard_map'd step unpacks them locally
+                        n_dev = mesh.devices.size
+                        self._plan_shards = [
+                            host_native.NativeCeltHostBatch(
+                                n_streams // n_dev, channels=channels,
+                                disable_inv=channels == 1,
+                                n_threads=host_threads)
+                            for _ in range(n_dev)]
+                        self._native = self._plan_shards[0]
+                    else:
+                        self._native = host_native.NativeCeltHostBatch(
+                            n_streams, channels=channels,
+                            disable_inv=channels == 1, n_threads=host_threads)
             except Exception:
                 self._native = None
         if self._native is None:
@@ -77,20 +96,46 @@ class CeltStreamPipeline:
             self._step = jax.jit(functools.partial(
                 synthesis_step, channels=channels))
         if use_plan:
-            from .ops.band_exec_jax import plan_synthesis_step_arena
+            from .ops.band_exec_jax import (plan_combo_mats,
+                                            plan_synthesis_step_arena)
             self._plan_step_fn = plan_synthesis_step_arena
-            # per-frame-size caches (LM 0-3): synthesis consts and the
-            # all-zero device x_direct fallback (only shipped when some
-            # stream fell back to the direct decoder)
+            # per-frame-size caches (LM 0-3): synthesis consts, combo
+            # operators (device-resident runtime args), and the all-zero
+            # device x_direct fallback (only shipped when some stream fell
+            # back to the direct decoder)
             self._plan_consts = {960: self.consts}
+            self._plan_mats = {960: plan_combo_mats(channels, 960)}
             self._xd_zeros = {}
             self._gc_tick = 0
+            if mesh is not None:
+                from .parallel.streaming import replicate
+                self._plan_mats = {960: replicate(mesh,
+                                                  self._plan_mats[960])}
+                self._sharded_plan_steps = {}
 
     def _plan_step(self, frame_size, state, *args):
         if frame_size not in self._plan_consts:
+            from .ops.band_exec_jax import plan_combo_mats
             self._plan_consts[frame_size] = make_consts(n=frame_size)
+            self._plan_mats[frame_size] = plan_combo_mats(self.channels,
+                                                          frame_size)
+            if self.mesh is not None:
+                from .parallel.streaming import replicate, replicate_consts
+                self._plan_consts[frame_size] = replicate_consts(
+                    self.mesh, self._plan_consts[frame_size])
+                self._plan_mats[frame_size] = replicate(
+                    self.mesh, self._plan_mats[frame_size])
+        if self.mesh is not None:
+            if frame_size not in self._sharded_plan_steps:
+                from .parallel.streaming import sharded_plan_step
+                self._sharded_plan_steps[frame_size] = sharded_plan_step(
+                    self.mesh, channels=self.channels, frame=frame_size)
+            return self._sharded_plan_steps[frame_size](
+                self._plan_consts[frame_size], state, *args,
+                self._plan_mats[frame_size])
         return self._plan_step_fn(self._plan_consts[frame_size], state,
-                                  *args, channels=self.channels,
+                                  *args, self._plan_mats[frame_size],
+                                  channels=self.channels,
                                   frame=frame_size)
 
     # ------------------------------------------------------------------
@@ -149,9 +194,13 @@ class CeltStreamPipeline:
 
         The whole plan ships as 3 contiguous H2D transfers; x_direct only
         transfers when some stream fell back to the direct decoder
-        (otherwise a cached device zeros array is passed)."""
+        (otherwise a cached device zeros array is passed). With a mesh,
+        each device shard gets its own native batch + arena triple and
+        the global arrays are assembled shard-wise (no reshard)."""
         import jax.numpy as jnp
 
+        if self.mesh is not None:
+            return self._host_decode_plan_sharded(payloads, frame_size)
         arenas, aux, layout = self._native.decode_plan_arenas(payloads,
                                                               frame_size)
         rcs = aux["rcs"]
@@ -178,6 +227,42 @@ class CeltStreamPipeline:
             gc.collect()
         return (jnp.asarray(arenas["a32"]), jnp.asarray(arenas["a16"]),
                 jnp.asarray(arenas["a8"]), xd)
+
+    def _host_decode_plan_sharded(self, payloads: list, frame_size: int):
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel.streaming import make_global_sharded
+
+        n_dev = self.mesh.devices.size
+        S_loc = self.S // n_dev
+        parts = {"a32": [], "a16": [], "a8": [], "xd": []}
+        any_direct = False
+        for d in range(n_dev):
+            sub = payloads[d * S_loc:(d + 1) * S_loc]
+            arenas, aux, layout = self._plan_shards[d].decode_plan_arenas(
+                sub, frame_size)
+            rcs = aux["rcs"]
+            if np.any(rcs < 0):
+                bad = int(np.argmax(rcs < 0))
+                raise ValueError(f"stream {d * S_loc + bad}: native celt "
+                                 f"plan decode failed rc={rcs[bad]}")
+            name, off, shape = layout["direct"]
+            any_direct |= bool(arenas[name][off:off + shape[0]].any())
+            parts["a32"].append(arenas["a32"])
+            parts["a16"].append(arenas["a16"])
+            parts["a8"].append(arenas["a8"])
+            parts["xd"].append(aux["x_direct"].astype(np.float32))
+        if frame_size not in self._xd_zeros:
+            from jax.sharding import NamedSharding, PartitionSpec
+            z = jnp.zeros((self.S, self.channels, frame_size), jnp.float32)
+            self._xd_zeros[frame_size] = jax.device_put(
+                z, NamedSharding(self.mesh, PartitionSpec("streams")))
+        xd = (make_global_sharded(self.mesh, parts["xd"]) if any_direct
+              else self._xd_zeros[frame_size])
+        return (make_global_sharded(self.mesh, parts["a32"]),
+                make_global_sharded(self.mesh, parts["a16"]),
+                make_global_sharded(self.mesh, parts["a8"]), xd)
 
     def step(self, payloads: list, frame_size: int = 960):
         """Decode one frame for every stream.
@@ -284,7 +369,8 @@ class OpusStreamPipeline:
         import jax.numpy as jnp
 
         from .opus_host_native import NativeOpusHostBatch
-        from .ops.band_exec_jax import plan_synthesis_step_arena
+        from .ops.band_exec_jax import (plan_combo_mats,
+                                        plan_synthesis_step_arena)
         from .ops.silk_resampler_jax import (init_up48_state, make_up48_plan,
                                              up48_step)
 
@@ -303,9 +389,9 @@ class OpusStreamPipeline:
         # program runs alone vs 810 ms/step when two alternate).
         @jax.jit
         def step_fn(consts, state, rs_state, silk_prev, a32, a16, a8,
-                    x_direct, silk16):
+                    x_direct, silk16, mats):
             pcm, new_state = plan_synthesis_step_arena(
-                consts, state, a32, a16, a8, x_direct, channels=1)
+                consts, state, a32, a16, a8, x_direct, mats, channels=1)
             # the SILK decode API feeds its resampler through a 1-sample
             # delay (the s_mid stereo-prediction tail; silk/dec_api.py:330
             # resamples samples_out1[1:]) — mirror it for exact alignment
@@ -316,6 +402,7 @@ class OpusStreamPipeline:
             return out, new_state, new_rs, xs[:, -1]
 
         self._step = step_fn
+        self._mats = plan_combo_mats(1, 960)
         self.silk_prev = jnp.zeros((n_streams,), jnp.float32)
         self._xd_zeros = jnp.zeros((n_streams, 1, 960), jnp.float32)
         self._xd_zeros.block_until_ready()
@@ -352,7 +439,7 @@ class OpusStreamPipeline:
         pcm, self.state, self.rs_state, self.silk_prev = self._step(
             self.consts, self.state, self.rs_state, self.silk_prev,
             jnp.asarray(arenas["a32"]), jnp.asarray(arenas["a16"]),
-            jnp.asarray(arenas["a8"]), xd, jnp.asarray(silk16))
+            jnp.asarray(arenas["a8"]), xd, jnp.asarray(silk16), self._mats)
         return pcm
 
     def decode_stream(self, frames_iter, frame_size: int = 960):

@@ -33,6 +33,14 @@ from .structs import (LTP_ORDER, MAX_LPC_ORDER, ChannelDecoderState,
 
 SCALE_Q16 = (65536 * (N_LEVELS_QGAIN - 1)) // (((88 - 2) * 128) // 6)
 QUANT_LEVEL_ADJUST_Q10 = 80
+# Prediction-LPC bandwidth expansion: Levinson with clamped reflections is
+# already minimum-phase; light expansion keeps coarse-rate closed-loop
+# reconstruction stable without capping prediction gain (tuned on the
+# tools/silk_quality_report.py corpus + the 8 kHz tone API tests).
+LPC_BWEXP = float(__import__("os").environ.get("SILK_BWEXP", "0.99"))
+# Exponent coupling the byte-budget retry into the NSQ RD lambda
+# (experimental nsq-shaping path only; see silk/noise_shape.py).
+NSQ_LAMBDA_COUPLING = float(__import__("os").environ.get("SILK_LAMX", "0.7"))
 
 
 class _BudgetExceeded(Exception):
@@ -481,7 +489,13 @@ class SilkEncoder:
         self.fec_enabled = False
         self.lbrr_store = None  # (ix, pulses) of the previous frame's LBRR
         from .lp_filter import LpState
+        from .noise_shape import NsqState, ShapeState
         self.lp = LpState()  # bandwidth-transition low-pass
+        # noise-shaping quality stack (reference noise_shape_analysis_flp /
+        # process_gains_flp / nsq.rs); see silk/noise_shape.py
+        self.shape = ShapeState()
+        self.nsq = NsqState(0)
+        self.use_nsq_shaping = False
         # cross-frame integral rate control: multiplies the quantization-
         # gain scale so active-frame bits track the target (the streaming
         # analogue of libopus's per-frame gain_mult retry loop); included
@@ -495,18 +509,21 @@ class SilkEncoder:
                 copy.deepcopy(self.resampler), copy.deepcopy(self.mirror),
                 None if self.x_hist is None else self.x_hist.copy(),
                 copy.deepcopy(self.lbrr_store), copy.deepcopy(self.lp),
-                self.rate_mult)
+                self.rate_mult, copy.deepcopy(self.shape),
+                copy.deepcopy(self.nsq))
 
     def restore(self, snap):
         import copy
         (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
-         resampler, mirror, xh, lbrr, lp, self.rate_mult) = snap
+         resampler, mirror, xh, lbrr, lp, self.rate_mult, shape, nsq) = snap
         # deep-copy so repeated restores from one snapshot stay independent
         self.resampler = copy.deepcopy(resampler)
         self.mirror = copy.deepcopy(mirror)
         self.x_hist = None if xh is None else xh.copy()
         self.lbrr_store = copy.deepcopy(lbrr)
         self.lp = copy.deepcopy(lp)
+        self.shape = copy.deepcopy(shape)
+        self.nsq = copy.deepcopy(nsq)
 
     def set_fs(self, fs_khz: int, api_fs_hz: int, nb_subfr: int = 4):
         from .resampler import resampler_init
@@ -527,6 +544,9 @@ class SilkEncoder:
             self.x_hist = np.zeros(self.mirror.ltp_mem_length)
             self.seed_ctr = 0
             self.first = True
+            from .noise_shape import NsqState, ShapeState
+            self.shape = ShapeState()
+            self.nsq = NsqState(self.mirror.ltp_mem_length)
 
     @property
     def lpc_order(self):
@@ -556,8 +576,11 @@ class SilkEncoder:
             a_new[:i] = a[:i] - k * a[i - 1::-1][:i]
             a = a_new
             err *= (1 - k * k)
-        # bandwidth expansion for safety
-        a = a * (0.96 ** np.arange(1, d + 1))
+        # Levinson with clamped reflections is already minimum-phase; only
+        # a hair of bandwidth expansion for fixed-point headroom. (The old
+        # 0.96 blanket expansion capped prediction gain at ~8 dB on
+        # strongly resonant input, which starved the closed-loop NSQ.)
+        a = a * (LPC_BWEXP ** np.arange(1, d + 1))
         # LSF via P/Q root method
         poly = np.concatenate([[1.0], -a])
         p = np.concatenate([poly, [0.0]]) + np.concatenate([[0.0], poly[::-1]])
@@ -747,17 +770,58 @@ class SilkEncoder:
             ix.ltp_index = ltp_idx + [0] * (4 - len(ltp_idx))
             ix.ltp_scale_index = 0
         else:
+            pitch_l = [0] * nb_subfr
             rmss = []
             for k in range(nb_subfr):
                 seg = res[len(self.x_hist) + k * subfr_length:
                           len(self.x_hist) + (k + 1) * subfr_length]
                 rmss.append(math.sqrt(float(seg @ seg) / len(seg)) + 1e-3)
 
-        gains_q16 = []
-        for k in range(nb_subfr):
-            g = int(max(65536, min(1 << 30,
-                                   (rmss[k] + 1e-3) * 50412.0 * rate_scale)))
-            gains_q16.append(g)
+        shape_ctl = None
+        if self.use_nsq_shaping:
+            from .noise_shape import (control_snr, noise_shape_analysis,
+                                      process_gains)
+            snr_db = control_snr(self.fs_khz, nb_subfr, target_rate_bps)
+            res0_frame = res0[len(self.x_hist):]
+            e_x = float(x @ x) + 1.0
+            e_res = float(res0_frame @ res0_frame) + 1.0
+            pred_gain = math.sqrt(max(1.0, e_x / e_res))
+            activity = 1.0 if vad_active else 0.2
+            shape_ctl = noise_shape_analysis(
+                xfull, frame_length, nb_subfr, self.fs_khz, snr_db,
+                voiced=voiced, ltp_corr=max(0.0, min(1.0, score)),
+                pred_gain=pred_gain, pitch_l=pitch_l,
+                pitch_res=res0_frame, speech_activity=activity,
+                shape=self.shape)
+            res_nrg = [r * r * subfr_length for r in rmss]
+            if voiced:
+                e_before = float(res[len(self.x_hist):] @
+                                 res[len(self.x_hist):]) + 1.0
+                e_after = sum(res_nrg) + 1.0
+                lt_gain_db = 3.0 * math.log2(max(1.0, e_before / e_after))
+            else:
+                lt_gain_db = 0.0
+            process_gains(shape_ctl, nb_subfr, subfr_length, snr_db,
+                          voiced=voiced, lt_pred_cod_gain=lt_gain_db,
+                          res_nrg=res_nrg, speech_activity=activity)
+            ix.quant_offset_type = shape_ctl.quant_offset_type
+            # budget coupling: the byte-budget retry (coarsen) and the
+            # cross-frame integral control (rate_mult) scale both the
+            # quantization gains and the RD lambda -- the lambda>2 dead
+            # zone in the NSQ is what actually makes bits fall when the
+            # rate search escalates (gains alone saturate: closed-loop
+            # noise feedback keeps pulse activity up at coarse steps)
+            eff = coarsen * self.rate_mult
+            shape_ctl.lambda_ *= max(1.0, eff) ** NSQ_LAMBDA_COUPLING
+            gains_q16 = [int(max(65536, min(
+                1 << 30, g * 65536.0 * eff)))
+                for g in shape_ctl.gains[:nb_subfr]]
+        else:
+            gains_q16 = []
+            for k in range(nb_subfr):
+                g = int(max(65536, min(
+                    1 << 30, (rmss[k] + 1e-3) * 50412.0 * rate_scale)))
+                gains_q16.append(g)
         cond = cond_coding == 2
         gains_idx, _gains_dq, _ = gains_quant(
             gains_q16, st.last_gain_index, cond, nb_subfr)
@@ -792,18 +856,32 @@ class SilkEncoder:
         ctrl.ltp_scale_q14 = 0
         decode_parameters(st, ctrl, cond_coding)
 
-        pulses = [0] * frame_length
         res_frame = res[len(self.x_hist):]
-        # Open-loop excitation targets by default: on speech the damped
-        # closed-loop feedback destabilizes the quantizer (opus_compare
-        # err4 6-13x worse at 12-32 kbps, QUALITY_SILK.md experiment);
-        # open loop scores at parity with libopus in SILK's natural
-        # 12-16 kbps range.
-        gamma = self.fb_gamma
-        if gamma is None:
-            gamma = 0.0
-        xq = encode_core(st, ctrl, x, pulses, mute=coarsen >= 500,
-                         res=res_frame, fb_gamma=gamma)
+        if self.use_nsq_shaping and shape_ctl is not None and coarsen < 500:
+            # Noise-shaping quantizer (reference nsq.rs) followed by the
+            # exact mirror decode of the chosen pulses: the NSQ picks the
+            # pulses, decode_core advances the embedded decoder state with
+            # the decoder's own arithmetic (zero drift by construction).
+            from .noise_shape import nsq_shaped
+            pulses = nsq_shaped(
+                x, self.nsq, shape_ctl, signal_type=ix.signal_type,
+                seed=ix.seed, nb_subfr=nb_subfr, frame_length=frame_length,
+                ltp_mem_length=st.ltp_mem_length, lpc_order=d,
+                pred_coef_q12=ctrl.pred_coef_q12,
+                ltp_coef_q14=ctrl.ltp_coef_q14,
+                gains_q16=ctrl.gains_q16, pitch_l=ctrl.pitch_l,
+                ltp_scale_q14=ctrl.ltp_scale_q14,
+                nlsf_interp_flag=ix.nlsf_interp_coef_q2 < 4)
+            xq = decode_core(st, ctrl, pulses)
+        else:
+            pulses = [0] * frame_length
+            # Open-loop excitation targets: the legacy path (LBRR, muted
+            # budget-overflow retries, use_nsq_shaping=False experiments).
+            gamma = self.fb_gamma
+            if gamma is None:
+                gamma = 0.0
+            xq = encode_core(st, ctrl, x, pulses, mute=coarsen >= 500,
+                             res=res_frame, fb_gamma=gamma)
 
         # decoder postamble (decode_frame parity) keeps every aux state in
         # lockstep: PLC energies, CNG buffers, out_buf, lag feedback
