@@ -4,13 +4,12 @@ Float formulation of the fixed-point IIR_FIR resampler (reference
 src/silk/resampler_private_{up2_hq,iir_fir}.rs [HOT]; bit-exact host twin
 in mousiki_tpu/silk/resampler.py):
 
-  * up2_HQ: 2x upsampling through two 3-section allpass chains — a
-    per-sample IIR run as one lax.scan with an (S, 6) carry over all
-    streams at once.
-  * fractional FIR: the 2/3-rate 8-tap interpolation uses *static* source
-    indices and fractional-phase rows for a fixed frame length (the host's
-    batch/index arithmetic is simulated once at trace time), so it becomes
-    a single gather + weight contraction.
+The whole step (up2_HQ allpass chains, fractional FIR, state update) is
+linear in (input frame, IIR state, FIR tail), so it is compiled down to a
+SINGLE matmul against a probed (L+14, M+14) operator — see Up48Plan.wmat.
+The operator is built once per (frame length, rate) by running the exact
+sequential filter on basis vectors; at runtime there are no scans and no
+gathers, just one MXU contraction.
 
 State (S, 6+8+delay) mirrors the host ResamplerState (s_iir, s_fir tail,
 delay_buf); PCM parity vs the fixed-point host is ~1e-4 relative.
@@ -48,23 +47,61 @@ _FRAC = np.asarray(T.SILK_RESAMPLER_FRAC_FIR_12, np.float64) / 32768.0
 
 
 class Up48Plan(NamedTuple):
-    base: jnp.ndarray      # (M,) int32 gather bases into [fir(8) | up(2L)]
-    weights: jnp.ndarray   # (M, 8) float32 FIR weights
-    gmat: jnp.ndarray      # (8 + 2L, M) dense FIR operator: the fractional
-                           # interpolation as ONE matmul on the MXU instead
-                           # of an M x 8 gather (which lowers poorly on TPU)
+    wmat: jnp.ndarray      # (L+14, M+14) fused affine operator: the WHOLE
+                           # step (up2_HQ allpass chains + fractional FIR +
+                           # state update) as ONE matmul on the MXU. The
+                           # filter is linear in (x, s_iir, s_fir), so its
+                           # operator is built once by probing the exact
+                           # sequential filter on basis vectors; runtime is
+                           # [x | s_iir | s_fir] @ wmat -> [out | s_iir' |
+                           # s_fir']. Replaces the log-depth scans whose
+                           # generated program was 13 MB / 27 ms per step.
     n_out: int
     in_khz: int = 16       # internal rate (8/12/16 kHz -> 48 kHz)
     delay: int = 7         # host input_delay for this rate pair
 
 
+def _allpass_np(u, s0, A, B, C, D):
+    """Sequential reference of one allpass section (float64, batched)."""
+    out = np.empty_like(u)
+    t = s0.copy()
+    for n in range(u.shape[1]):
+        out[:, n] = C * t + D * u[:, n]
+        t = A * t + B * u[:, n]
+    return out, t
+
+
+def _up2_np(x, s_iir):
+    """x: (P, L) -> (P, 2L) via the two 3-section allpass chains (see
+    _up2_scan section algebra in resampler.py _up2_hq; this is the exact sequential form used
+    only at plan-build time to probe the linear operator)."""
+    new_s = [None] * 6
+    outs = []
+    for chain, coefs in enumerate((_C0, _C1)):
+        u = x
+        for sec in range(2):
+            c = coefs[sec]
+            u, last = _allpass_np(u, s_iir[:, chain * 3 + sec],
+                                  -c, 1.0 + c, 1.0 - c, c)
+            new_s[chain * 3 + sec] = last
+        c2 = coefs[2]
+        u, last = _allpass_np(u, s_iir[:, chain * 3 + 2],
+                              -(1.0 + c2), 2.0 + c2, -c2, 1.0 + c2)
+        new_s[chain * 3 + 2] = last
+        outs.append(u)
+    up = np.stack(outs, axis=2).reshape(x.shape[0], -1)
+    return up, np.stack(new_s, axis=1)
+
+
 def make_up48_plan(in_len: int, in_khz: int = 16) -> Up48Plan:
-    """Simulate the host batch/index arithmetic for a fixed frame length
-    at internal rate in_khz (8/12/16 kHz -> 48 kHz, host FUNC_IIR_FIR).
+    """Build the fused affine operator for a fixed frame length at internal
+    rate in_khz (8/12/16 kHz -> 48 kHz, host FUNC_IIR_FIR).
 
     The host processes [delay_buf(in_khz) | input(in_len - delay)] as
     segments of at most 10 ms, resetting the Q16 phase accumulator per
-    batch; source indices/phases are therefore static per frame length."""
+    batch; source indices/phases are therefore static per frame length.
+    The fractional-FIR gather matrix G is composed with the (linear) up2_HQ
+    IIR chains by probing the sequential filter on L+14 basis vectors."""
     inv_ratio, delay = _RATE_PARAMS[in_khz]
     batch = in_khz * 10  # RESAMPLER_MAX_BATCH_SIZE_MS * fs_in_khz
     segments = [min(in_khz, in_len)]
@@ -86,12 +123,23 @@ def make_up48_plan(in_len: int, in_khz: int = 16) -> Up48Plan:
             index_q16 += inv_ratio
         up_off += 2 * n
     n_up = _FIR_ORDER + 2 * in_len
-    G = np.zeros((n_up, len(bases)), np.float32)
+    M = len(bases)
+    G = np.zeros((n_up, M), np.float64)
     for m, (b, w) in enumerate(zip(bases, weights)):
         G[b:b + _FIR_ORDER, m] = w
-    return Up48Plan(jnp.asarray(bases, jnp.int32),
-                    jnp.asarray(np.stack(weights), jnp.float32),
-                    jnp.asarray(G), len(bases), in_khz, delay)
+    # probe the linear map (x, s_iir, s_fir) -> (out, s_iir', s_fir')
+    L, P = in_len, in_len + 14
+    X = np.zeros((P, L))
+    X[:L] = np.eye(L)
+    S_iir = np.zeros((P, 6))
+    S_iir[L:L + 6] = np.eye(6)
+    S_fir = np.zeros((P, _FIR_ORDER))
+    S_fir[L + 6:] = np.eye(_FIR_ORDER)
+    up, new_iir = _up2_np(X, S_iir)
+    prefixed = np.concatenate([S_fir, up], axis=1)
+    out = prefixed @ G
+    W = np.concatenate([out, new_iir, prefixed[:, -_FIR_ORDER:]], axis=1)
+    return Up48Plan(jnp.asarray(W.astype(np.float32)), M, in_khz, delay)
 
 
 class Up48State(NamedTuple):
@@ -106,62 +154,11 @@ def init_up48_state(n_streams: int) -> Up48State:
                      jnp.zeros((n_streams, _IN_KHZ), jnp.float32))
 
 
-def _allpass_scan(u, s_init, A, B, C, D):
-    """First-order allpass section as a parallel affine scan.
-
-    t_n = A t_{n-1} + B u_n with t_{-1} = s_init; out_n = C s_n + D u_n
-    where s_n is the pre-update state. Log-depth instead of a per-sample
-    lax.scan (which is latency-bound on TPU at ~hundreds of steps).
-    """
-    from .band_exec_jax import _affine_scan
-
-    Av = jnp.full_like(u, A)
-    Av = Av.at[:, 0].set(0.0)
-    Bv = B * u
-    Bv = Bv.at[:, 0].add(A * s_init)
-    t = _affine_scan(Av, Bv, 1)
-    s_pre = jnp.concatenate([s_init[:, None], t[:, :-1]], axis=1)
-    return C * s_pre + D * u, t[:, -1]
-
-
-def _up2_scan(x, s_iir):
-    """x: (S, L) -> (S, 2L) via the two 3-section allpass chains.
-
-    Section algebra (see the sequential host resampler.py _up2_hq):
-      sections 1-2 (coef c):  s' = -c s + (1+c) u,  out = (1-c) s + c u
-      section 3 (coef c2):    s' = -(1+c2) s + (2+c2) u,
-                              out = -c2 s + (1+c2) u
-    """
-    new_s = [None] * 6
-    outs = []
-    for chain, coefs in enumerate((_C0, _C1)):
-        u = x
-        for sec in range(2):
-            c = coefs[sec]
-            u, last = _allpass_scan(u, s_iir[:, chain * 3 + sec],
-                                    -c, 1.0 + c, 1.0 - c, c)
-            new_s[chain * 3 + sec] = last
-        c2 = coefs[2]
-        u, last = _allpass_scan(u, s_iir[:, chain * 3 + 2],
-                                -(1.0 + c2), 2.0 + c2, -c2, 1.0 + c2)
-        new_s[chain * 3 + 2] = last
-        outs.append(u)
-    up = jnp.stack(outs, axis=2).reshape(x.shape[0], -1)  # interleave
-    return up, jnp.stack(new_s, axis=1)
-
-
-def _apply(x_delayed, state_iir, state_fir, gmat):
-    up, new_iir = _up2_scan(x_delayed, state_iir)
-    prefixed = jnp.concatenate([state_fir, up], axis=1)
-    out = jnp.einsum("sj,jm->sm", prefixed, gmat,
-                     precision=jax.lax.Precision.HIGHEST)
-    return out, new_iir, prefixed[:, -_FIR_ORDER:]
-
-
 def up48_step(x, state: Up48State, plan: Up48Plan):
     """x: (S, L) float input at plan.in_khz; returns the 48 kHz output
     (S, 48L/in_khz) and the new state.
 
+    One matmul against the probed affine operator (see Up48Plan.wmat).
     Mirrors silk_resampler's delay handling: the first fs_in_khz samples
     come from [delay_buf | head of x]."""
     S, L = x.shape
@@ -171,8 +168,13 @@ def up48_step(x, state: Up48State, plan: Up48Plan):
             [state.delay[:, :d], x[:, : L - d]], axis=1)
     else:
         x_delayed = x
-    out, new_iir, new_fir = _apply(x_delayed, state.s_iir, state.s_fir,
-                                   plan.gmat)
+    inp = jnp.concatenate([x_delayed, state.s_iir, state.s_fir], axis=1)
+    res = jnp.einsum("sj,jm->sm", inp, plan.wmat,
+                     precision=jax.lax.Precision.HIGHEST)
+    M = plan.n_out
+    out = res[:, :M]
+    new_iir = res[:, M:M + 6]
+    new_fir = res[:, M + 6:]
     pad = state.delay.shape[1] - d
     new_delay = jnp.concatenate(
         [x[:, L - d:] if d > 0 else jnp.zeros((S, 0), x.dtype),

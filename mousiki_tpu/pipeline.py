@@ -323,13 +323,20 @@ class SilkStreamPipeline:
             raise RuntimeError("native silk host library unavailable")
         if fs_khz not in (8, 12, 16):
             raise ValueError("SILK internal rate must be 8/12/16 kHz")
+        import jax
+
         self.S = n_streams
         self.fs_khz = fs_khz
         self.frame_ms = frame_ms
         self.hosts = [silk_native.NativeSilkHost() for _ in range(n_streams)]
-        self._plan = make_up48_plan(fs_khz * frame_ms, fs_khz)
+        plan = make_up48_plan(fs_khz * frame_ms, fs_khz)
+        # operator as runtime arg, not closure constant (see
+        # OpusStreamPipeline: embedded constants re-upload per dispatch)
+        self._up_w = jax.device_put(plan.wmat)
+        meta = plan._replace(wmat=None)
         self._rs_state = init_up48_state(n_streams)
-        self._up48_step = up48_step
+        self._up48_step = jax.jit(
+            lambda x, st, w: up48_step(x, st, meta._replace(wmat=w)))
 
     def step(self, payloads: list):
         """payloads: S SILK payload byte strings -> (S, 48*frame_ms) f32."""
@@ -340,7 +347,7 @@ class SilkStreamPipeline:
         for s, pl in enumerate(payloads):
             x[s] = self.hosts[s].decode(pl, self.fs_khz, self.frame_ms)
         out, self._rs_state = self._up48_step(jnp.asarray(x), self._rs_state,
-                                              self._plan)
+                                              self._up_w)
         return out / 32768.0
 
 
@@ -381,15 +388,25 @@ class OpusStreamPipeline:
         self.state = init_state(n_streams, 1)
         self.rs_state = init_up48_state(n_streams)
         plan = make_up48_plan(320)
+        # the resampler operator must be a runtime ARGUMENT, not a closure
+        # capture: on a tunneled device an executable's embedded array
+        # constants are re-uploaded on every dispatch (measured 26 ms/step
+        # for this 1.3 MB operator as a constant vs 0.05 ms as an arg)
+        self._up_w = jax.device_put(plan.wmat)
+        plan_meta = plan._replace(wmat=None)
 
-        # ONE fused program per step: steady-state decode must dispatch a
-        # single executable — on a tunneled device, alternating between
-        # two compiled programs forces an executable reload per switch
-        # (~0.8 s for the ~35 MB plan executable; measured 0.1 ms when one
-        # program runs alone vs 810 ms/step when two alternate).
+        # ONE fused program per step: steady-state decode dispatches a
+        # single executable, with every multi-MB operand (arenas, combo
+        # mats, resampler operator) passed as runtime args. Two tunnel
+        # rules, both measured: (1) embedded array constants are
+        # re-uploaded per dispatch (the old scan-based resampler closure
+        # captured a 1.3 MB operator -> 27 ms/step; as an arg 0.08 ms);
+        # (2) any device->host readback permanently degrades dispatch to
+        # executable-reupload mode (~1 s/step) — consumers should read
+        # results only in processes that don't own a serving loop.
         @jax.jit
         def step_fn(consts, state, rs_state, silk_prev, a32, a16, a8,
-                    x_direct, silk16, mats):
+                    x_direct, silk16, mats, up_w):
             pcm, new_state = plan_synthesis_step_arena(
                 consts, state, a32, a16, a8, x_direct, mats, channels=1)
             # the SILK decode API feeds its resampler through a 1-sample
@@ -397,7 +414,7 @@ class OpusStreamPipeline:
             # resamples samples_out1[1:]) — mirror it for exact alignment
             xs = silk16.astype(jnp.float32)
             x = jnp.concatenate([silk_prev[:, None], xs[:, :-1]], axis=1)
-            up, new_rs = up48_step(x, rs_state, plan)
+            up, new_rs = up48_step(x, rs_state, plan_meta._replace(wmat=up_w))
             out = pcm + up[:, :, None] * (1.0 / 32768.0)
             return out, new_state, new_rs, xs[:, -1]
 
@@ -439,7 +456,8 @@ class OpusStreamPipeline:
         pcm, self.state, self.rs_state, self.silk_prev = self._step(
             self.consts, self.state, self.rs_state, self.silk_prev,
             jnp.asarray(arenas["a32"]), jnp.asarray(arenas["a16"]),
-            jnp.asarray(arenas["a8"]), xd, jnp.asarray(silk16), self._mats)
+            jnp.asarray(arenas["a8"]), xd, jnp.asarray(silk16), self._mats,
+            self._up_w)
         return pcm
 
     def decode_stream(self, frames_iter, frame_size: int = 960):
