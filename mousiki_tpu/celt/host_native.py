@@ -88,8 +88,8 @@ _FILL = 4
 _PLANE_DTYPES = {
     "direct": np.uint8, "pvq_active": np.uint8, "pvq_n": np.uint8,
     "pvq_k": np.uint8, "pvq_b": np.uint8, "pvq_spread": np.uint8,
-    "pvq_gain": np.float32, "pvq_idx": np.uint32,
-    "map": np.int16, "call_active": np.uint8, "call_has_lb": np.uint8,
+    "pvq_gain": np.float32, "pvq_idx": np.uint32, "pvq_dst": np.int16,
+    "call_active": np.uint8, "call_has_lb": np.uint8,
     "call_lb_src": np.int16, "call_lb_buf": np.uint8,
     "call_blend_upto": np.int16, "call_pre": np.uint8,
     "call_post": np.uint8, "call_norm_write": np.uint8,
@@ -107,7 +107,7 @@ _PLANE_DTYPES = {
     "call_dup": np.int16,
 }
 
-# Native pointer-table order (59 entries; see celt_host_decode_plan).
+# Native pointer-table order (61 entries; see celt_host_decode_plan).
 _PTR_ORDER = (["direct"]
               + [("pvq_active", t) for t in range(3)]
               + [("pvq_n", t) for t in range(3)]
@@ -116,7 +116,8 @@ _PTR_ORDER = (["direct"]
               + [("pvq_spread", t) for t in range(3)]
               + [("pvq_gain", t) for t in range(3)]
               + [("pvq_idx", t) for t in range(3)]
-              + ["map", "call_active", "call_has_lb", "call_lb_src",
+              + [("pvq_dst", t) for t in range(3)]
+              + ["call_active", "call_has_lb", "call_lb_src",
                  "call_lb_buf", "call_blend_upto", "call_pre", "call_post",
                  "call_norm_write", "call_norm_buf", "fill_active",
                  "fill_fold", "fill_off", "fill_n", "fill_gain", "fill_seed",
@@ -130,7 +131,7 @@ _PTR_ORDER = (["direct"]
 def _plane_shapes(S: int, channels: int, frame: int) -> dict:
     c2, b1, f4 = (S, _NB, 2), (S, _NB), (S, _NB, 2, _FILL)
     shapes = {
-        "direct": (S,), "map": (S, channels * frame),
+        "direct": (S,),
         "call_active": c2, "call_has_lb": c2, "call_lb_src": c2,
         "call_lb_buf": c2, "call_blend_upto": c2, "call_pre": c2,
         "call_post": c2, "call_norm_write": c2, "call_norm_buf": c2,
@@ -146,7 +147,7 @@ def _plane_shapes(S: int, channels: int, frame: int) -> dict:
     }
     for t, (_, slots) in enumerate(_TIERS):
         for k in ("pvq_active", "pvq_n", "pvq_k", "pvq_b", "pvq_spread",
-                  "pvq_gain", "pvq_idx"):
+                  "pvq_gain", "pvq_idx", "pvq_dst"):
             shapes[(k, t)] = (S, slots)
     return shapes
 
@@ -390,7 +391,7 @@ class NativeCeltHostBatch:
         separate native outputs {x_direct, band_log_e, pf_gain, rcs}.
 
         Arenas are double-buffered and REUSED across calls (fresh
-        alloc + zero + 59-view/pointer-table rebuild cost ~5 us/frame of
+        alloc + zero + 61-view/pointer-table rebuild cost ~5 us/frame of
         pure glue at S=256): the native decoder re-memsets every flag
         plane and the device executor masks all value planes by those
         flags, so stale values in inactive slots are never read. Safe for

@@ -4,7 +4,8 @@ band-reconstruction executor (ops/band_exec_jax.py).
 Layout (S streams, all plans share static config C/N/LM/start/end):
   - PVQ leaves in three size tiers; each leaf = (dst, n, k, b, spread, gain,
     idx). The CWRS walk and rotation run on device, outputs land in a flat
-    "pool"; a per-coefficient map plane gathers pool values into the X plane.
+    "pool"; the executor rebuilds the pool->X gather map on device from the
+    per-slot dst offsets (difference-array cumsum over disjoint spans).
   - quant_band calls as (band, slot) entries carrying lowband source,
     transform combo ids, norm-write flags, and an intensity-blend boundary.
   - fold/noise leaves as per-call fill slots (window into the call's
@@ -81,7 +82,7 @@ def pack_plans(plans, channels: int, frame: int):
         "pvq_spread": [np.zeros((S, TIERS[t][1]), np.int32) for t in range(3)],
         "pvq_gain": [np.ones((S, TIERS[t][1]), np.float32) for t in range(3)],
         "pvq_idx": [np.zeros((S, TIERS[t][1]), np.uint32) for t in range(3)],
-        "map": np.zeros((S, channels * frame), np.int32),  # 0 -> zero cell
+        "pvq_dst": [np.zeros((S, TIERS[t][1]), np.int32) for t in range(3)],
         # calls (band, slot)
         "call_active": np.zeros((S, nb, 2), np.bool_),
         "call_has_lb": np.zeros((S, nb, 2), np.bool_),
@@ -227,9 +228,7 @@ def _pack_one(out, s, plan, channels, frame, mode, offs):
                     out["pvq_spread"][t][s, j] = lf.spread
                     out["pvq_gain"][t][s, j] = lf.gain
                     out["pvq_idx"][t][s, j] = lf.idx & 0xFFFFFFFF
-                    base = offs[t] + j * TIERS[t][0]
-                    out["map"][s, lf.dst:lf.dst + lf.n] = (
-                        base + np.arange(lf.n, dtype=np.int32))
+                    out["pvq_dst"][t][s, j] = lf.dst
                 elif lf.kind in (FOLD, NOISE):
                     if fslot >= FILL_SLOTS:
                         raise PackError("fill slots full")

@@ -423,7 +423,30 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
                              p["pvq_spread"][t].reshape(-1), nmax)
         parts.append(vals.reshape(S, slots * nmax))
     pool = jnp.concatenate(parts, axis=1)
-    X = jnp.take_along_axis(pool, p["map"], axis=1)  # (S, C*frame)
+
+    # Build the pool->X gather map on device from per-slot leaf offsets
+    # (pvq_dst): the host used to ship a (S, C*frame) int16 map plane —
+    # ~1 MB/step at S=256, 40% of the a16 arena. Spans are disjoint, so a
+    # difference-array cumsum reconstructs map[c] = base + (c - dst) inside
+    # each slot's [dst, dst+n) span and 0 (the pool zero cell) elsewhere,
+    # from just 2 scattered points per slot.
+    Cf = channels * frame
+    rows = jnp.arange(S, dtype=jnp.int32)[:, None]
+    d1 = jnp.zeros((S, Cf + 1), jnp.int32)
+    d2 = jnp.zeros((S, Cf + 1), jnp.int32)
+    for t, (nmax, slots) in enumerate(TIERS):
+        base_t = (offs[t] + np.arange(slots, dtype=np.int32) * nmax)
+        act = p["pvq_active"][t].astype(jnp.int32)
+        dst = p["pvq_dst"][t]
+        lo = jnp.where(act > 0, dst, Cf)
+        hi = jnp.where(act > 0, dst + p["pvq_n"][t], Cf)
+        v = jnp.where(act > 0, jnp.asarray(base_t)[None, :] - dst, 0)
+        d1 = d1.at[rows, lo].add(act).at[rows, hi].add(-act)
+        d2 = d2.at[rows, lo].add(v).at[rows, hi].add(-v)
+    ind = jnp.cumsum(d1[:, :Cf], axis=1)
+    cs2 = jnp.cumsum(d2[:, :Cf], axis=1)
+    map_dev = ind * jnp.arange(Cf, dtype=jnp.int32)[None, :] + cs2
+    X = jnp.take_along_axis(pool, map_dev, axis=1)  # (S, C*frame)
 
     # ---- P3: band assembly -------------------------------------------
     # Sequential over bands (fold lowbands read previously decoded bands),
@@ -675,7 +698,7 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
 # decode_plan buffers also carry x_direct/band_log_e/iflags/... outputs).
 PLAN_KEYS = (
     "direct", "pvq_active", "pvq_n", "pvq_k", "pvq_b", "pvq_spread",
-    "pvq_gain", "pvq_idx", "map", "call_active", "call_has_lb",
+    "pvq_gain", "pvq_idx", "pvq_dst", "call_active", "call_has_lb",
     "call_lb_src", "call_lb_buf", "call_blend_upto", "call_pre", "call_post",
     "call_norm_write", "call_norm_buf", "fill_active", "fill_fold",
     "fill_off", "fill_n", "fill_gain", "fill_seed", "merge_active",

@@ -28,7 +28,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
 }
 
 // Array layout + dtypes mirror mousiki_tpu/celt/host_native.py
-// (_PTR_ORDER / _PLANE_DTYPES, 59 pointers; see the layout comment above
+// (_PTR_ORDER / _PLANE_DTYPES, 61 pointers; see the layout comment above
 // celt_host_decode_plan in celt_host.cpp).
 static constexpr int kNB = 21, kFill = 4;
 static constexpr int kTier[3] = {224, 48, 16};
@@ -40,7 +40,7 @@ struct PlanArrays {
   std::vector<std::vector<float>> f32;
   std::vector<std::vector<uint32_t>> u32;
   std::vector<std::vector<double>> f64;
-  void* ptrs[59];
+  void* ptrs[61];
 };
 
 static void build_arrays(PlanArrays& a, int S, int C, int frame) {
@@ -59,43 +59,43 @@ static void build_arrays(PlanArrays& a, int S, int C, int frame) {
   for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 13-15 pvq_spread
   for (int t = 0; t < 3; t++) a.ptrs[k++] = f32p((size_t)S * kTier[t]);  // 16-18 pvq_gain
   for (int t = 0; t < 3; t++) a.ptrs[k++] = u32p((size_t)S * kTier[t]);  // 19-21 pvq_idx
-  a.ptrs[k++] = i16p((size_t)S * C * frame);                     // 22 map
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 23 call_active
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 24 call_has_lb
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 25 call_lb_src
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 26 call_lb_buf
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 27 call_blend_upto
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 28 call_pre
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 29 call_post
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 30 call_norm_write
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 31 call_norm_buf
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);                // 32 fill_active
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);                // 33 fill_fold
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * kFill);               // 34 fill_off
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * kFill);               // 35 fill_n
-  a.ptrs[k++] = f32p((size_t)S * kNB * 2 * kFill, 1.f);          // 36 fill_gain
-  a.ptrs[k++] = u32p((size_t)S * kNB * 2 * kFill);               // 37 fill_seed
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 38 merge_active
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 39 merge_mid
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 40 merge_inv
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 41 theta2_active
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 42 theta2_cswap
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 43 theta2_sign
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 44 theta2_mid
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 45 theta2_side
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 46 theta2_inv
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 47 n1_active
-  a.ptrs[k++] = f32p((size_t)S * kNB * 2);                       // 48 n1_val
-  a.ptrs[k++] = u8p(S);                                          // 49 ac_on
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 50 ac_masks
-  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 51 ac_r
-  a.ptrs[k++] = u32p(S);                                         // 52 ac_seed
-  a.ptrs[k++] = f32p((size_t)S * C * frame);                     // 53 x_direct
-  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                       // 54 band_log_e
-  a.ptrs[k++] = i32p((size_t)S * 4);                             // 55 iflags
-  a.ptrs[k++] = f64p(S);                                         // 56 pf_gain
-  a.ptrs[k++] = i32p(S);                                         // 57 rcs
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * 3);                   // 58 call_dup
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = i16p((size_t)S * kTier[t]);  // 22-24 pvq_dst
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 25 call_active
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 26 call_has_lb
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 27 call_lb_src
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 28 call_lb_buf
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 29 call_blend_upto
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 30 call_pre
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 31 call_post
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 32 call_norm_write
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 33 call_norm_buf
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);                // 34 fill_active
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);                // 35 fill_fold
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * kFill);               // 36 fill_off
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * kFill);               // 37 fill_n
+  a.ptrs[k++] = f32p((size_t)S * kNB * 2 * kFill, 1.f);          // 38 fill_gain
+  a.ptrs[k++] = u32p((size_t)S * kNB * 2 * kFill);               // 39 fill_seed
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 40 merge_active
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 41 merge_mid
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 42 merge_inv
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 43 theta2_active
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 44 theta2_cswap
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 45 theta2_sign
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 46 theta2_mid
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 47 theta2_side
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 48 theta2_inv
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 49 n1_active
+  a.ptrs[k++] = f32p((size_t)S * kNB * 2);                       // 50 n1_val
+  a.ptrs[k++] = u8p(S);                                          // 51 ac_on
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 52 ac_masks
+  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 53 ac_r
+  a.ptrs[k++] = u32p(S);                                         // 54 ac_seed
+  a.ptrs[k++] = f32p((size_t)S * C * frame);                     // 55 x_direct
+  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                       // 56 band_log_e
+  a.ptrs[k++] = i32p((size_t)S * 4);                             // 57 iflags
+  a.ptrs[k++] = f64p(S);                                         // 58 pf_gain
+  a.ptrs[k++] = i32p(S);                                         // 59 rcs
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * 3);                   // 60 call_dup
 }
 
 int main(int argc, char** argv) {

@@ -1705,7 +1705,9 @@ struct PlanOut {
   uint8_t* pvq_spread[3];
   float* pvq_gain[3];
   uint32_t* pvq_idx[3];
-  int16_t* map;             // (C*frame,)
+  int16_t* pvq_dst[3];      // X-plane offset of each slot's leaf (the
+                            // device rebuilds the gather map from these
+                            // with a difference-array cumsum)
   uint8_t* call_active;     // (21, 2)
   uint8_t* call_has_lb;
   int16_t* call_lb_src;
@@ -1770,6 +1772,26 @@ void cwrs_iy(uint32_t idx, int* iy, int n, int k) {
   for (; j < n - 1; j++) {
     if (k == 0) break;
     int m = n - j;
+#if defined(__AVX512F__)
+    if (k <= 15) {
+      // Same branch-free vector walk as decode_pulses: one aligned 64B
+      // load of U(m, 0..15) + compare against idx + clz for the new k.
+      const uint32_t* row = g_ut + (size_t)m * UT_STRIDE;
+      uint32_t p = row[k + 1];
+      uint32_t smask = (uint32_t) - (int)(idx >= p);
+      idx -= p & smask;
+      __m512i r = _mm512_load_si512((const void*)row);
+      __mmask16 le =
+          _mm512_cmple_epu32_mask(r, _mm512_set1_epi32((int)idx));
+      uint32_t bits = (uint32_t)le & ((2u << k) - 1);
+      int k_new = 31 - __builtin_clz(bits);
+      idx -= row[k_new];
+      uint32_t q = (uint32_t)(k - k_new);
+      k = k_new;
+      iy[j] = (int)((q ^ smask) - smask);
+      continue;
+    }
+#endif
     uint32_t p = pvq_u_hot(m, k + 1);
     uint32_t smask = (uint32_t) - (int)(idx >= p);
     idx -= p & smask;
@@ -1811,10 +1833,7 @@ uint32_t pq_alg_unquant(PlanCtx* ctx, int dst, int N, int K, int B,
   o->pvq_spread[t][j] = ctx->spread;
   o->pvq_gain[t][j] = (float)gain;
   o->pvq_idx[t][j] = idx;
-  int base = kPool0;
-  for (int tt = 0; tt < t; tt++) base += kTierN[tt] * kTierSlots[tt];
-  base += j * kTierN[t];
-  for (int q = 0; q < N; q++) o->map[dst + q] = base + q;
+  o->pvq_dst[t][j] = (int16_t)dst;
   return cm;
 }
 
@@ -2453,24 +2472,25 @@ uint32_t celt_host_rng(void* p) { return ((CeltHost*)p)->rng; }
 
 // Plan-mode decode: symbols only; band signal math is recorded as a packed
 // plan for the device executor (mousiki_tpu/ops/band_exec_jax.py). `arrs`
-// is the packed-array pointer table for ALL S streams — 59 entries, in this
+// is the packed-array pointer table for ALL S streams — 61 entries, in this
 // fixed order with these dtypes (must match the PlanOut views below and
 // mousiki_tpu/celt/host_native.py _PTR_ORDER/_PLANE_DTYPES):
 //   0 direct u8(S)  1-3 pvq_active u8(S,slots_t)  4-6 pvq_n u8
 //   7-9 pvq_k u8  10-12 pvq_b u8  13-15 pvq_spread u8  16-18 pvq_gain f32
-//   19-21 pvq_idx u32  22 map i16(S,C*frame)  23 call_active u8(S,21,2)
-//   24 call_has_lb u8  25 call_lb_src i16  26 call_lb_buf u8
-//   27 call_blend_upto i16  28 call_pre u8  29 call_post u8
-//   30 call_norm_write u8  31 call_norm_buf u8  32 fill_active u8(S,21,2,4)
-//   33 fill_fold u8  34 fill_off i16  35 fill_n i16  36 fill_gain f32
-//   37 fill_seed u32  38 merge_active u8(S,21)  39 merge_mid f32
-//   40 merge_inv u8  41 theta2_active u8  42 theta2_cswap u8
-//   43 theta2_sign f32  44 theta2_mid f32  45 theta2_side f32
-//   46 theta2_inv u8  47 n1_active u8(S,21,2)  48 n1_val f32
-//   49 ac_on u8(S)  50 ac_masks u8(S,21,2)  51 ac_r f32(S,2,21)
-//   52 ac_seed u32(S)  53 x_direct f32(S,C,frame)  54 band_log_e f64(S,2,21)
-//   55 iflags i32(S,4)  56 pf_gain f64(S)  57 rcs i32(S)
-//   58 call_dup i16(S,21,2,3)
+//   19-21 pvq_idx u32  22-24 pvq_dst i16(S,slots_t)
+//   25 call_active u8(S,21,2)
+//   26 call_has_lb u8  27 call_lb_src i16  28 call_lb_buf u8
+//   29 call_blend_upto i16  30 call_pre u8  31 call_post u8
+//   32 call_norm_write u8  33 call_norm_buf u8  34 fill_active u8(S,21,2,4)
+//   35 fill_fold u8  36 fill_off i16  37 fill_n i16  38 fill_gain f32
+//   39 fill_seed u32  40 merge_active u8(S,21)  41 merge_mid f32
+//   42 merge_inv u8  43 theta2_active u8  44 theta2_cswap u8
+//   45 theta2_sign f32  46 theta2_mid f32  47 theta2_side f32
+//   48 theta2_inv u8  49 n1_active u8(S,21,2)  50 n1_val f32
+//   51 ac_on u8(S)  52 ac_masks u8(S,21,2)  53 ac_r f32(S,2,21)
+//   54 ac_seed u32(S)  55 x_direct f32(S,C,frame)  56 band_log_e f64(S,2,21)
+//   57 iflags i32(S,4)  58 pf_gain f64(S)  59 rcs i32(S)
+//   60 call_dup i16(S,21,2,3)
 int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
                                  int frame_size, int C, int start, int end,
                                  int disable_inv, void** arrs, int S, int s,
@@ -2564,54 +2584,53 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
       o.pvq_spread[t] = (uint8_t*)arrs[13 + t] + so;
       o.pvq_gain[t] = (float*)arrs[16 + t] + so;
       o.pvq_idx[t] = (uint32_t*)arrs[19 + t] + so;
+      o.pvq_dst[t] = (int16_t*)arrs[22 + t] + so;
     }
-    o.map = (int16_t*)arrs[22] + cs * C * frame_size;
     size_t c2 = cs * NB * 2;
-    o.call_active = (uint8_t*)arrs[23] + c2;
-    o.call_has_lb = (uint8_t*)arrs[24] + c2;
-    o.call_lb_src = (int16_t*)arrs[25] + c2;
-    o.call_lb_buf = (uint8_t*)arrs[26] + c2;
-    o.call_blend_upto = (int16_t*)arrs[27] + c2;
-    o.call_pre = (uint8_t*)arrs[28] + c2;
-    o.call_post = (uint8_t*)arrs[29] + c2;
-    o.call_norm_write = (uint8_t*)arrs[30] + c2;
-    o.call_norm_buf = (uint8_t*)arrs[31] + c2;
+    o.call_active = (uint8_t*)arrs[25] + c2;
+    o.call_has_lb = (uint8_t*)arrs[26] + c2;
+    o.call_lb_src = (int16_t*)arrs[27] + c2;
+    o.call_lb_buf = (uint8_t*)arrs[28] + c2;
+    o.call_blend_upto = (int16_t*)arrs[29] + c2;
+    o.call_pre = (uint8_t*)arrs[30] + c2;
+    o.call_post = (uint8_t*)arrs[31] + c2;
+    o.call_norm_write = (uint8_t*)arrs[32] + c2;
+    o.call_norm_buf = (uint8_t*)arrs[33] + c2;
     size_t f4 = cs * NB * 2 * kFillSlots;
-    o.fill_active = (uint8_t*)arrs[32] + f4;
-    o.fill_fold = (uint8_t*)arrs[33] + f4;
-    o.fill_off = (int16_t*)arrs[34] + f4;
-    o.fill_n = (int16_t*)arrs[35] + f4;
-    o.fill_gain = (float*)arrs[36] + f4;
-    o.fill_seed = (uint32_t*)arrs[37] + f4;
+    o.fill_active = (uint8_t*)arrs[34] + f4;
+    o.fill_fold = (uint8_t*)arrs[35] + f4;
+    o.fill_off = (int16_t*)arrs[36] + f4;
+    o.fill_n = (int16_t*)arrs[37] + f4;
+    o.fill_gain = (float*)arrs[38] + f4;
+    o.fill_seed = (uint32_t*)arrs[39] + f4;
     size_t b1 = cs * NB;
-    o.merge_active = (uint8_t*)arrs[38] + b1;
-    o.merge_mid = (float*)arrs[39] + b1;
-    o.merge_inv = (uint8_t*)arrs[40] + b1;
-    o.theta2_active = (uint8_t*)arrs[41] + b1;
-    o.theta2_cswap = (uint8_t*)arrs[42] + b1;
-    o.theta2_sign = (float*)arrs[43] + b1;
-    o.theta2_mid = (float*)arrs[44] + b1;
-    o.theta2_side = (float*)arrs[45] + b1;
-    o.theta2_inv = (uint8_t*)arrs[46] + b1;
-    o.n1_active = (uint8_t*)arrs[47] + c2;
-    o.n1_val = (float*)arrs[48] + c2;
-    o.ac_on = (uint8_t*)arrs[49] + cs;
-    o.ac_masks = (uint8_t*)arrs[50] + c2;
-    o.ac_r = (float*)arrs[51] + cs * 2 * NB;
-    o.ac_seed = (uint32_t*)arrs[52] + cs;
-    o.call_dup = (int16_t*)arrs[58] + c2 * 3;
+    o.merge_active = (uint8_t*)arrs[40] + b1;
+    o.merge_mid = (float*)arrs[41] + b1;
+    o.merge_inv = (uint8_t*)arrs[42] + b1;
+    o.theta2_active = (uint8_t*)arrs[43] + b1;
+    o.theta2_cswap = (uint8_t*)arrs[44] + b1;
+    o.theta2_sign = (float*)arrs[45] + b1;
+    o.theta2_mid = (float*)arrs[46] + b1;
+    o.theta2_side = (float*)arrs[47] + b1;
+    o.theta2_inv = (uint8_t*)arrs[48] + b1;
+    o.n1_active = (uint8_t*)arrs[49] + c2;
+    o.n1_val = (float*)arrs[50] + c2;
+    o.ac_on = (uint8_t*)arrs[51] + cs;
+    o.ac_masks = (uint8_t*)arrs[52] + c2;
+    o.ac_r = (float*)arrs[53] + cs * 2 * NB;
+    o.ac_seed = (uint32_t*)arrs[54] + cs;
+    o.call_dup = (int16_t*)arrs[60] + c2 * 3;
   }
-  float* x_direct = (float*)arrs[53] + (size_t)s * C * frame_size;
-  double* band_log_e = (double*)arrs[54] + (size_t)s * 2 * NB;
-  int32_t* iflags = (int32_t*)arrs[55] + (size_t)s * 4;
-  double* pf_gain = (double*)arrs[56] + s;
+  float* x_direct = (float*)arrs[55] + (size_t)s * C * frame_size;
+  double* band_log_e = (double*)arrs[56] + (size_t)s * 2 * NB;
+  int32_t* iflags = (int32_t*)arrs[57] + (size_t)s * 4;
+  double* pf_gain = (double*)arrs[58] + s;
 
-  // zero the active flags + map (other fields are written when flagged)
+  // zero the active flags (other fields are written when flagged)
   {
     PROF_SCOPE(MEMSET);
     memset(o.direct, 0, 1);
     for (int t = 0; t < 3; t++) memset(o.pvq_active[t], 0, kTierSlots[t]);
-    memset(o.map, 0, (size_t)C * frame_size * sizeof(int16_t));
     memset(o.call_active, 0, NB * 2);
     memset(o.call_has_lb, 0, NB * 2);
     memset(o.call_norm_write, 0, NB * 2);
@@ -2927,7 +2946,7 @@ void celt_host_decode_plan_batch(void** states, const uint8_t* blob,
                                  int S, int frame_size, int C, int start,
                                  int end, int disable_inv, void** arrs,
                                  int n_threads) {
-  int32_t* rcs = (int32_t*)arrs[57];
+  int32_t* rcs = (int32_t*)arrs[59];
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = 1;

@@ -85,7 +85,7 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
   return 0;
 }
 
-// Batched variant: arrs is the 58-pointer CELT plan table (rcs at [57]);
+// Batched variant: arrs is the 61-pointer CELT plan table (rcs at [59]);
 // silk16_all is (S, 320) int16; modes is (S,) int32.
 void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
                                  const uint8_t* blob, const int32_t* offs,
@@ -93,7 +93,7 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
                                  int disable_inv, void** arrs,
                                  int16_t* silk16_all, int32_t* modes,
                                  int n_threads) {
-  int32_t* rcs = (int32_t*)arrs[57];
+  int32_t* rcs = (int32_t*)arrs[59];
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = 1;

@@ -71,7 +71,7 @@ def _mask_inactive(key, arr, bufs):
 
 
 KEYS = ["direct", "pvq_active", "pvq_n", "pvq_k", "pvq_b", "pvq_spread",
-        "pvq_gain", "pvq_idx", "map", "call_active", "call_has_lb",
+        "pvq_gain", "pvq_idx", "pvq_dst", "call_active", "call_has_lb",
         "call_lb_src", "call_lb_buf", "call_blend_upto", "call_pre",
         "call_post", "call_norm_write", "call_norm_buf", "fill_active",
         "fill_fold", "fill_off", "fill_n", "fill_gain", "fill_seed",
