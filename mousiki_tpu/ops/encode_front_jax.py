@@ -1,0 +1,396 @@
+"""Batched device front half of the CELT encoder (SURVEY §2.9.8).
+
+One jitted step over S encoder streams computes everything between raw
+PCM and the symbol layer on the TPU: preemphasis, tone detection,
+prefilter pitch search + quantized-gain decision, prefilter application
+with cross-frame blending, transient analysis, forward MDCT (long and
+short, selected per stream), all as batched matmuls/scans. The host
+symbol encoder (celt/encoder.py `encode_with_ec(precomputed=...)`)
+consumes the returned tensors and writes the bitstream.
+
+Reference behavior: celt_encoder.rs run_prefilter (:3200),
+transient_analysis (:2592), tone detection (:6985), clt_mdct_forward
+(mdct.rs:292). The per-stream host encoder remains the semantics oracle;
+tests lock this front end against it within float tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..celt.decoder import (_COMB_GAINS, COMBFILTER_MAXPERIOD,
+                            COMBFILTER_MINPERIOD)
+from ..celt.encoder import _TRANSIENT_INV_TABLE
+from ..celt.modes import opus_custom_mode
+from .mdct import mdct_matrix
+
+OVERLAP = 120
+PREEMPH = 0.85
+
+
+def make_front_consts(frame: int = 960):
+    """Static matrices/tables for the front step (host numpy -> device)."""
+    mode = opus_custom_mode(48000, 960)
+    w = np.asarray(mode.window, np.float32)
+    consts = {
+        "window": jnp.asarray(w),
+        "window2": jnp.asarray(w * w),
+        "inv_table": jnp.asarray(np.asarray(_TRANSIENT_INV_TABLE,
+                                            np.float32)),
+        "comb_gains": jnp.asarray(np.asarray(_COMB_GAINS, np.float32)),
+    }
+    for nb in {frame, 120}:
+        consts[f"F{nb}"] = jnp.asarray(mdct_matrix(nb).astype(np.float32))
+        consts[f"fold{nb}"] = _fold_operator(nb, w)
+    return consts
+
+
+def _fold_operator(n2: int, window: np.ndarray):
+    """The TDAC fold (ops/mdct.mdct_fold) as gather indices + two gain
+    vectors: out = g1 * x[i1] + g2 * x[i2]."""
+    overlap = len(window)
+    n4 = n2 // 2
+    quarter = (overlap + 3) >> 2
+    half = overlap >> 1
+    i1 = np.zeros(n2, np.int32)
+    i2 = np.zeros(n2, np.int32)
+    g1 = np.zeros(n2, np.float32)
+    g2 = np.zeros(n2, np.float32)
+    yp, xp1, xp2, wp1, wp2 = 0, half, half + n2 - 1, half, half - 1
+    for _ in range(quarter):
+        # out[yp] = x[xp1+n2]*w2 + x[xp2]*w1 ; out[yp+1] = x[xp1]*w1 - x[xp2-n2]*w2
+        i1[yp], g1[yp] = xp1 + n2, window[wp2]
+        i2[yp], g2[yp] = xp2, window[wp1]
+        i1[yp + 1], g1[yp + 1] = xp1, window[wp1]
+        i2[yp + 1], g2[yp + 1] = xp2 - n2, -window[wp2]
+        yp += 2
+        xp1 += 2
+        xp2 -= 2
+        wp1 += 2
+        wp2 -= 2
+    for _ in range(quarter, n4 - quarter):
+        i1[yp], g1[yp] = xp2, 1.0
+        i2[yp], g2[yp] = 0, 0.0
+        i1[yp + 1], g1[yp + 1] = xp1, 1.0
+        i2[yp + 1], g2[yp + 1] = 0, 0.0
+        yp += 2
+        xp1 += 2
+        xp2 -= 2
+    wp1, wp2 = 0, overlap - 1
+    for _ in range(n4 - quarter, n4):
+        i1[yp], g1[yp] = xp1 - n2, -window[wp1]
+        i2[yp], g2[yp] = xp2, window[wp2]
+        i1[yp + 1], g1[yp + 1] = xp1, window[wp2]
+        i2[yp + 1], g2[yp + 1] = xp2 + n2, window[wp1]
+        yp += 2
+        xp1 += 2
+        xp2 -= 2
+        wp1 += 2
+        wp2 -= 2
+    return (jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(g1),
+            jnp.asarray(g2))
+
+
+def init_front_state(S: int, channels: int, frame: int = 960):
+    """Device-resident cross-frame encoder state."""
+    return {
+        "preemph_mem": jnp.zeros((S, channels), jnp.float32),
+        "in_mem": jnp.zeros((S, channels, OVERLAP), jnp.float32),
+        "pf_mem": jnp.zeros((S, channels, COMBFILTER_MAXPERIOD),
+                            jnp.float32),
+        "pf_period": jnp.full((S,), COMBFILTER_MINPERIOD, jnp.int32),
+        "pf_gain": jnp.zeros((S,), jnp.float32),
+        "pf_tapset": jnp.zeros((S,), jnp.int32),
+    }
+
+
+def _linrec(x, coef, axis=-1, reverse=False):
+    """First-order linear recurrence y[i] = x[i] + coef*y[i-1] via
+    associative scan (device-friendly for the 2k-sample smoothers)."""
+    if reverse:
+        x = jnp.flip(x, axis)
+    a = jnp.full_like(x, coef)
+
+    def comb(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, br + ar * bl
+
+    _, y = jax.lax.associative_scan(comb, (a, x), axis=axis)
+    if reverse:
+        y = jnp.flip(y, axis)
+    return y
+
+
+def _tone_lpc(x, delay, n):
+    lim = n - 2 * delay
+    ar = jnp.arange(x.shape[-1])
+    m0 = (ar < lim).astype(x.dtype)
+    x0 = x * m0
+    xd = jnp.roll(x, -delay, axis=-1) * m0
+    x2d = jnp.roll(x, -2 * delay, axis=-1) * m0
+    r00 = jnp.sum(x0 * x0, -1)
+    r01 = jnp.sum(x0 * xd, -1)
+    r02 = jnp.sum(x0 * x2d, -1)
+    t2 = jnp.where((ar >= n - 2 * delay) & (ar < n), x, 0.0)
+    t1 = jnp.where((ar >= n - delay) & (ar < n), x, 0.0)
+    h0 = jnp.where(ar < delay, x, 0.0)
+    h1 = jnp.where((ar >= delay) & (ar < 2 * delay), x, 0.0)
+    r11 = r00 + jnp.sum(t2 * t2, -1) - jnp.sum(h0 * h0, -1)
+    r22 = r11 + jnp.sum(t1 * t1, -1) - jnp.sum(h1 * h1, -1)
+    # r12 += t2[:delay] @ t1 - h0 @ h1 : align via rolls
+    t2h = jnp.roll(t2, -(n - 2 * delay), -1) * (ar < delay)
+    t1h = jnp.roll(t1, -(n - delay), -1) * (ar < delay)
+    h1r = jnp.roll(h1, -delay, -1) * (ar < delay)
+    r12 = r01 + jnp.sum(t2h * t1h, -1) - jnp.sum(h0 * h1r, -1)
+    r00t, r01t = r00 + r22, r01 + r12
+    r11t, r02t, r12t = 2.0 * r11, 2.0 * r02, r12 + r01
+    den = r00t * r11t - r01t * r01t
+    ok = (den > 0.0) & (den >= 0.001 * r00t * r11t)
+    num1 = r02t * r11t - r01t * r12t
+    a1 = jnp.clip(num1 / jnp.where(den == 0, 1.0, den), -1.0, 1.0)
+    num0 = r00t * r12t - r02t * r01t
+    a0 = jnp.clip(num0 / jnp.where(den == 0, 1.0, den),
+                  -1.999999, 1.999999)
+    return ok, a0, a1
+
+
+@partial(jax.jit, static_argnames=("channels", "frame"))
+def front_step(consts, state, pcm, nbytes, tapset, lsb_depth=24,
+               channels: int = 2, frame: int = 960):
+    """One batched front step.
+
+    pcm: (S, frame, channels) float32 in [-1, 1]; nbytes (S,) int32 per-
+    frame byte budgets; tapset (S,) int32 (host spread analysis feedback).
+    Returns (outputs dict, new_state). All analysis decisions mirror
+    celt/encoder.py encode_with_ec's pre-symbol half.
+    """
+    S = pcm.shape[0]
+    C = channels
+    N = frame
+    ov = OVERLAP
+    x = jnp.transpose(pcm, (0, 2, 1)) * 32768.0      # (S, C, N)
+
+    # ---- preemphasis ----
+    prev = jnp.concatenate([state["preemph_mem"][..., None] / PREEMPH,
+                            x[..., :-1]], axis=-1)
+    pre = x - PREEMPH * prev
+    preemph_mem = PREEMPH * x[..., -1]
+    inb = jnp.concatenate([state["in_mem"], pre], axis=-1)  # (S,C,N+ov)
+
+    # ---- silence ----
+    silence = jnp.max(jnp.abs(pcm.reshape(S, -1)), axis=-1) \
+        <= 1.0 / (1 << lsb_depth)
+
+    # ---- tone detection ----
+    mono_inb = inb.sum(axis=1) if C == 2 else inb[:, 0]
+    nt = mono_inb.shape[-1]
+    tone_freq = jnp.full((S,), -1.0, jnp.float32)
+    toneish = jnp.zeros((S,), jnp.float32)
+    chosen = jnp.zeros((S,), jnp.bool_)
+    for delay in (1, 2, 4, 8, 16, 32):
+        ok, a0, a1 = _tone_lpc(mono_inb, delay, nt)
+        # while-loop semantics: keep doubling while res is None or
+        # (a0 > 1 and a1 < 0); the first delay that breaks wins. The host
+        # loop can exit at delay 32 with a non-None res regardless of the
+        # (a0, a1) continue condition.
+        stop = ok & (~((a0 > 1.0) & (a1 < 0.0)) | (delay == 32))
+        take = stop & ~chosen
+        complex_roots = a0 * a0 + 3.999999 * a1 < 0.0
+        tf = jnp.arccos(jnp.clip(0.5 * a0, -1.0, 1.0)) / delay
+        tone_freq = jnp.where(take & complex_roots, tf, tone_freq)
+        toneish = jnp.where(take & complex_roots, -a1, toneish)
+        chosen = chosen | take
+
+    # ---- prefilter pitch search (2x downsampled xcorr) ----
+    hist = state["pf_mem"].mean(axis=1)               # (S, 1024) original
+    cur = pre.mean(axis=1)                            # (S, N)
+    mono = jnp.concatenate([hist, cur], axis=-1)      # (S, 1024+N)
+    lp = 0.5 * (mono[:, 0::2] + mono[:, 1::2])        # (S, (1024+N)/2)
+    nlp = lp.shape[-1]
+    half = N // 2
+    fr = lp[:, -half:]
+    e_f = jnp.sum(fr * fr, -1) + 1e-9
+    lo = COMBFILTER_MINPERIOD // 2 + 1
+    hi = min(COMBFILTER_MAXPERIOD // 2 - 1, nlp - half - 1)
+    # c[lag] = fr . lp[nlp-half-lag : nlp-lag]  — grouped correlation
+    # (lax conv computes correlation, no kernel flip):
+    # out[j] = fr . lp[j : j+half]  => lag = nlp - half - j
+    out = jax.lax.conv_general_dilated(
+        lp[None, :, :], fr[:, None, :], (1,), "VALID",
+        feature_group_count=S)[0]                     # (S, nlp-half+1)
+    e2 = jnp.cumsum(lp * lp, axis=-1)
+    zero = jnp.zeros((S, 1), e2.dtype)
+    e2p = jnp.concatenate([zero, e2], axis=-1)
+    lags = jnp.arange(lo, hi)
+    j = nlp - half - lags                             # (nlags,)
+    c_l = out[:, j]                                   # (S, nlags)
+    e_l = e2p[:, j + half] - e2p[:, j] + 1e-9
+    score = jnp.where(c_l > 0, c_l * jax.lax.rsqrt(e_f[:, None] * e_l),
+                      0.0)
+    best_i = jnp.argmax(score, axis=-1)
+    best_s = jnp.take_along_axis(score, best_i[:, None], -1)[:, 0]
+    best_l = lags[best_i]
+    # sub-multiple preference (host breaks after the first matching div)
+    taken = jnp.zeros((S,), jnp.bool_)
+    for div in (2, 3):
+        cand = best_l // div
+        ci = jnp.clip(cand - lo, 0, len(lags) - 1)
+        s_c = jnp.take_along_axis(score, ci[:, None], -1)[:, 0]
+        take = (~taken) & (cand >= lo) & (s_c > 0.85 * best_s)
+        best_l = jnp.where(take, cand, best_l)
+        best_s = jnp.where(take, jnp.maximum(best_s, s_c), best_s)
+        taken = taken | take
+    # full-rate refinement +/-2 around 2*best_l
+    nf = mono.shape[-1]
+    e_fr_full = jnp.sum(mono[:, -N:] ** 2, -1) + 1e-9
+    p0 = jnp.maximum(COMBFILTER_MINPERIOD, 2 * best_l - 2)
+    cand_p = p0[:, None] + jnp.arange(5)[None, :]     # (S, 5)
+    cand_p = jnp.minimum(cand_p, COMBFILTER_MAXPERIOD - 3)
+    idx = (nf - N - cand_p)[:, :, None] + jnp.arange(N)[None, None, :]
+    segs = jnp.take_along_axis(mono[:, None, :],
+                               idx.reshape(S, 1, -1), -1).reshape(S, 5, N)
+    cc = jnp.einsum("sn,skn->sk", mono[:, -N:], segs)
+    ee = jnp.sum(segs * segs, -1) + 1e-9
+    fs = jnp.where(cc > 0, cc * jax.lax.rsqrt(e_fr_full[:, None] * ee), 0.0)
+    ki = jnp.argmax(fs, axis=-1)
+    best_fs = jnp.take_along_axis(fs, ki[:, None], -1)[:, 0]
+    pitch_index = jnp.take_along_axis(cand_p, ki[:, None], -1)[:, 0]
+    gain1 = jnp.minimum(1.0, 0.7 * best_fs)
+
+    # ---- prefilter decision (encode_with_ec's gating, on device) ----
+    total_bits = nbytes * 8
+    enabled = (~silence) & (total_bits >= 17) & (nbytes > 12)
+    # pure-tone rescue (run_prefilter:3344)
+    tf_r = tone_freq
+    for _ in range(6):  # halve until < 0.39 (tone_freq <= pi)
+        tf_r = jnp.where(tf_r >= 0.39, tf_r * 0.5, tf_r)
+    rescue = (toneish > 0.99) & (gain1 < 0.4)
+    pi_tone = jnp.where(
+        tf_r > 0.006148,
+        jnp.minimum(COMBFILTER_MAXPERIOD - 2,
+                    jnp.floor(0.5 + 2.0 * np.pi / tf_r).astype(jnp.int32)),
+        COMBFILTER_MINPERIOD)
+    pitch_index = jnp.where(rescue, pi_tone, pitch_index)
+    gain1 = jnp.where(rescue, 0.75, gain1)
+    qg = jnp.clip(jnp.floor(0.5 + gain1 * 32.0 / 3.0).astype(jnp.int32) - 1,
+                  0, 7)
+    gain_q = 0.09375 * (qg + 1).astype(jnp.float32)
+    pf_threshold = jnp.where(nbytes > 25, 0.2, 0.4)
+    pf_on = enabled & (gain_q > pf_threshold) \
+        & (pitch_index > COMBFILTER_MINPERIOD)
+    t1 = jnp.where(pf_on, pitch_index, COMBFILTER_MINPERIOD)
+    g1 = jnp.where(pf_on, gain_q, 0.0)
+
+    # ---- prefilter application with cross-frame blend ----
+    ref = jnp.concatenate([state["pf_mem"], pre], axis=-1)  # (S,C,1024+N)
+    pos = COMBFILTER_MAXPERIOD
+
+    def comb(t, tg):
+        # (S,C,N) taps at per-stream lag t: gather windows
+        base = (pos - t)[:, None, None] + jnp.arange(N)[None, None, :]
+        stack = []
+        for off in (-2, -1, 0, 1, 2):
+            iz = jnp.clip(base + off, 0, ref.shape[-1] - 1)
+            stack.append(jnp.take_along_axis(
+                ref, jnp.broadcast_to(iz, (S, C, N)), -1))
+        m2, m1, z0, pp1, pp2 = stack
+        return (tg[:, 0, None, None] * z0
+                + tg[:, 1, None, None] * (pp1 + m1)
+                + tg[:, 2, None, None] * (pp2 + m2))
+
+    tg0 = consts["comb_gains"][state["pf_tapset"]]
+    tg1 = consts["comb_gains"][tapset]
+    t0v = jnp.maximum(state["pf_period"], COMBFILTER_MINPERIOD)
+    p0v = state["pf_gain"][:, None, None] * comb(t0v, tg0)
+    p1v = g1[:, None, None] * comb(jnp.maximum(t1, COMBFILTER_MINPERIOD),
+                                   tg1)
+    f = jnp.concatenate([consts["window2"],
+                         jnp.ones(N - ov, jnp.float32)])[None, None, :]
+    same = ((state["pf_gain"] == g1) & (state["pf_period"] == t1)
+            & (state["pf_tapset"] == tapset))
+    f = jnp.where(same[:, None, None], 1.0, f)
+    pre_f = pre - (1.0 - f) * p0v - f * p1v
+    apply = (~silence)[:, None, None]
+    pre_f = jnp.where(apply, pre_f, pre)
+    inb_f = jnp.concatenate([state["in_mem"], pre_f], axis=-1)
+
+    # ---- transient analysis ----
+    # 2nd-order HP filter: mem0' = mem0 - x + 0.5 mem1 ; tmp = mem0 + x ;
+    # mem1' = x - mem0. Expressed as a 2-state linear scan.
+    def hp_scan(carry, xi):
+        mem0, mem1 = carry
+        tmp = mem0 + xi
+        n0 = mem0 - xi + 0.5 * mem1
+        n1 = xi - mem0
+        return (n0, n1), tmp
+
+    xt = jnp.moveaxis(inb_f, -1, 0)                   # (L, S, C)
+    (_, _), tmp = jax.lax.scan(
+        hp_scan, (jnp.zeros((S, C)), jnp.zeros((S, C))), xt)
+    tmp = jnp.moveaxis(tmp, 0, -1)                    # (S, C, L)
+    L = tmp.shape[-1]
+    len2 = L // 2
+    tmp = tmp * (jnp.arange(L) >= 12)
+    x2 = tmp[..., 0: 2 * len2: 2] ** 2 + tmp[..., 1: 2 * len2: 2] ** 2
+    mean_e = x2.sum(-1)
+    fwd = 0.0625 * _linrec(x2, 0.9375)
+    bwd = 0.125 * _linrec(fwd, 0.875, reverse=True)
+    max_e = bwd.max(-1)
+    frame_e = jnp.sqrt(jnp.maximum(0.0, mean_e * max_e * 0.5 * len2))
+    norm = len2 / (frame_e + 1e-15)
+    ii = jnp.arange(12, max(12, len2 - 5), 4)
+    pz = jnp.floor(64.0 * norm[..., None] * (bwd[..., ii] + 1e-15))
+    pz = jnp.clip(pz, 0, 127).astype(jnp.int32)
+    unmask = consts["inv_table"][pz].sum(-1)
+    value = jnp.floor(64.0 * unmask * 4.0 / (6.0 * (len2 - 17)))
+    mask_metric = value.max(-1) if C == 2 else value[:, 0]
+    is_transient = mask_metric > 200
+    low_tone = (toneish > 0.98) & (tone_freq >= 0) & (tone_freq < 0.026)
+    is_transient = is_transient & ~low_tone & ~silence
+    tf_max = jnp.clip(jnp.sqrt(27.0 * jnp.maximum(mask_metric, 0.0))
+                      - 42.0, 0.0, 163.0)
+    tf_estimate = jnp.sqrt(jnp.maximum(0.0, 0.0069 * tf_max - 0.139))
+
+    # ---- forward MDCTs: long and per-short-block, select by transient --
+    i1, i2, gg1, gg2 = consts[f"fold{N}"]
+    foldL = inb_f[..., i1] * gg1 + inb_f[..., i2] * gg2
+    freq_long = foldL @ consts[f"F{N}"].T
+
+    NB = 120
+    i1s, i2s, g1s, g2s = consts["fold120"]
+    B = N // NB
+    segs = jnp.stack([inb_f[..., b * NB: b * NB + NB + ov]
+                      for b in range(B)], axis=2)     # (S,C,B,NB+ov)
+    folds = segs[..., i1s] * g1s + segs[..., i2s] * g2s
+    short = folds @ consts["F120"].T                  # (S,C,B,NB)
+    # interleave: freq[b + B*j] = short[..., b, j]
+    freq_short = jnp.moveaxis(short, 2, 3).reshape(S, C, N)
+
+    freq = jnp.where(is_transient[:, None, None], freq_short, freq_long)
+
+    new_state = {
+        "preemph_mem": preemph_mem,
+        "in_mem": pre_f[..., N - ov:],
+        "pf_mem": ref[..., N: N + COMBFILTER_MAXPERIOD],
+        "pf_period": t1,
+        "pf_gain": g1,
+        "pf_tapset": jnp.where(pf_on, tapset, 0),
+    }
+    outputs = {
+        "freq": freq,
+        "silence": silence,
+        "tone_freq": tone_freq,
+        "toneishness": toneish,
+        "pf_on": pf_on,
+        "pitch_index": pitch_index,
+        "qg": qg,
+        "gain1": g1,
+        "is_transient": is_transient,
+        "tf_estimate": tf_estimate,
+    }
+    return outputs, new_state

@@ -42,6 +42,8 @@ class SilkFrameParams(NamedTuple):
     gains: jnp.ndarray        # (S, nb_subfr) linear gains (gains_q16 / 2^16)
     voiced: jnp.ndarray       # (S,) bool
     ltp_scale: jnp.ndarray    # (S,) float (ltp_scale_q14 / 2^14)
+    interp: jnp.ndarray = None  # (S,) bool: NLSF-interpolated halves
+                                # (decode_core k == 2 LTP rewhitening)
 
 
 class SilkStreamState(NamedTuple):
@@ -78,38 +80,26 @@ def silk_synthesis_step(params: SilkFrameParams, state: SilkStreamState,
                             axis=1)
     e = params.exc * g
 
-    # rewhiten the output history with the current LPC; the first-subframe
-    # LTP state is additionally scaled by ltp_scale (decode_core k == 0)
-    a0 = params.a[:, 0, :]
-    white = _lpc_analysis_batched(state.out_hist, a0) \
-        * params.ltp_scale[:, None]
-    r = jnp.concatenate([white, e], axis=1)               # (S, H + L)
-
-    n_chunks = L // CHUNK
     tap_off = 2 - jnp.arange(LTP_ORDER)                   # B0 at lag-2's +2 .. B4 at -2
-    s_idx = jnp.arange(S)
 
-    def ltp_chunk(ci, r):
-        n0 = H + ci * CHUNK
-        n = n0 + jnp.arange(CHUNK)
-        sub = jnp.minimum((ci * CHUNK) // subfr_len, nb_subfr - 1)
-        lag = params.pitch_l[:, sub]                      # (S,)
-        bsub = params.b[:, sub, :]                        # (S, 5)
-        idx = (n[None, :, None] - lag[:, None, None]
-               + tap_off[None, None, :])                  # (S, CHUNK, 5)
-        idx = jnp.clip(idx, 0, H + L - 1)
-        past = jnp.take_along_axis(r, idx.reshape(S, -1),
-                                   axis=1).reshape(S, CHUNK, LTP_ORDER)
-        pred = (past * bsub[:, None, :]).sum(-1)
-        cur = jax.lax.dynamic_slice_in_dim(r, n0, CHUNK, axis=1)
-        val = cur + jnp.where(params.voiced[:, None], pred, 0.0)
-        return jax.lax.dynamic_update_slice_in_dim(r, val, n0, axis=1)
+    def ltp_chunks(r, c_lo, c_hi, hist_len):
+        def ltp_chunk(ci, r):
+            n0 = hist_len + (ci - c_lo) * CHUNK
+            n = n0 + jnp.arange(CHUNK)
+            sub = jnp.minimum((ci * CHUNK) // subfr_len, nb_subfr - 1)
+            lag = params.pitch_l[:, sub]                  # (S,)
+            bsub = params.b[:, sub, :]                    # (S, 5)
+            idx = (n[None, :, None] - lag[:, None, None]
+                   + tap_off[None, None, :])              # (S, CHUNK, 5)
+            idx = jnp.clip(idx, 0, r.shape[1] - 1)
+            past = jnp.take_along_axis(r, idx.reshape(S, -1),
+                                       axis=1).reshape(S, CHUNK, LTP_ORDER)
+            pred = (past * bsub[:, None, :]).sum(-1)
+            cur = jax.lax.dynamic_slice_in_dim(r, n0, CHUNK, axis=1)
+            val = cur + jnp.where(params.voiced[:, None], pred, 0.0)
+            return jax.lax.dynamic_update_slice_in_dim(r, val, n0, axis=1)
 
-    r = jax.lax.fori_loop(0, n_chunks, ltp_chunk, r)
-    r_frame = r[:, H:]
-
-    # LPC IIR via scan, per-half-frame coefficients
-    half = (L // 2 // subfr_len) * subfr_len
+        return jax.lax.fori_loop(c_lo, c_hi, ltp_chunk, r)
 
     def lpc_scan(a, x, hist):
         def step(carry, xn):
@@ -119,9 +109,31 @@ def silk_synthesis_step(params: SilkFrameParams, state: SilkStreamState,
         carry, ys = jax.lax.scan(step, hist, x.T)
         return ys.T, carry
 
-    y1, h1 = lpc_scan(params.a[:, 0, :], r_frame[:, :half], state.lpc_hist)
-    y2, h2 = lpc_scan(params.a[:, 1, :], r_frame[:, half:], h1)
-    out = jnp.concatenate([y1, y2], axis=1)
+    half = (L // 2 // subfr_len) * subfr_len
+    a0 = params.a[:, 0, :]
+    a1 = params.a[:, 1, :]
 
+    # -- first half: rewhiten history with half-0 LPC, scaled by ltp_scale
+    # (decode_core k == 0 rewhitening) --
+    white = _lpc_analysis_batched(state.out_hist, a0) \
+        * params.ltp_scale[:, None]
+    r1 = jnp.concatenate([white, e[:, :half]], axis=1)    # (S, H + half)
+    r1 = ltp_chunks(r1, 0, half // CHUNK, H)
+    y1, h1 = lpc_scan(a0, r1[:, H:], state.lpc_hist)
+
+    # -- second half: NLSF-interpolated frames rewhiten [history | y1]
+    # with the half-1 LPC (decode_core k == 2, no ltp_scale); otherwise
+    # the LTP residual recurrence simply continues --
+    interp = params.interp
+    if interp is None:
+        interp = jnp.zeros((S,), bool)
+    rew = _lpc_analysis_batched(
+        jnp.concatenate([state.out_hist, y1], axis=1), a1)
+    r2_init = jnp.where(interp[:, None], rew, r1)
+    r2 = jnp.concatenate([r2_init, e[:, half:]], axis=1)  # (S, H + L)
+    r2 = ltp_chunks(r2, half // CHUNK, L // CHUNK, H + half)
+    y2, h2 = lpc_scan(a1, r2[:, H + half:], h1)
+
+    out = jnp.concatenate([y1, y2], axis=1)
     new_hist = jnp.concatenate([state.out_hist, out], axis=1)[:, -H:]
     return out, SilkStreamState(new_hist, h2)

@@ -421,6 +421,14 @@ class OpusEncoder:
         snap = worker.snapshot()
         budget_bits = nbytes * 8
         base = getattr(worker, "coarsen_state", 1.0)
+        if getattr(worker, "use_nsq_shaping", False):
+            # the shaping path's gains already track the rate via
+            # control_snr; coarsen is only a per-frame trim. An unclamped
+            # carry-over lets silence refine it to ~0.05, and the next
+            # speech onset then exhausts the escalation ladder into the
+            # 1e4 mute slam -- decoded as a loud offset*gain noise burst
+            # that LTP drags across the following frames.
+            base = min(max(base, 0.5), 2.0)
 
         def attempt(c):
             worker.restore(snap)
@@ -439,10 +447,17 @@ class OpusEncoder:
 
         c = max(0.05, base)
         enc = attempt(c)
+        if enc is None and c < 1.0:
+            # jump straight to the nominal scale before climbing the
+            # ladder: a sub-1 starting point otherwise eats most steps
+            # and the search slams into the 1e4 mute (decoded as a loud
+            # offset*gain noise burst on speech onsets)
+            c = 1.0
+            enc = attempt(c)
         for step in range(10):
             if enc is not None:
                 break
-            c = 1e4 if (step >= 6 or c > 200) else c * 1.6
+            c = 1e4 if (step >= 7 or c > 200) else c * 1.6
             enc = attempt(c)
         if enc is None:
             raise ValueError("silk rate control failed")
@@ -510,6 +525,8 @@ class OpusEncoder:
 
         snap = worker.snapshot()
         base = getattr(worker, "coarsen_state", 1.0)
+        if getattr(worker, "use_nsq_shaping", False):
+            base = min(max(base, 0.5), 2.0)  # see _encode_silk
 
         def attempt(c):
             worker.restore(snap)
@@ -531,10 +548,17 @@ class OpusEncoder:
 
         c = max(0.05, base)
         enc = attempt(c)
+        if enc is None and c < 1.0:
+            # jump straight to the nominal scale before climbing the
+            # ladder: a sub-1 starting point otherwise eats most steps
+            # and the search slams into the 1e4 mute (decoded as a loud
+            # offset*gain noise burst on speech onsets)
+            c = 1.0
+            enc = attempt(c)
         for step in range(10):
             if enc is not None:
                 break
-            c = 1e4 if (step >= 6 or c > 200) else c * 1.6
+            c = 1e4 if (step >= 7 or c > 200) else c * 1.6
             enc = attempt(c)
         if enc is None:
             raise ValueError("hybrid silk rate control failed")

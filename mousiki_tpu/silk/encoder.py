@@ -495,7 +495,20 @@ class SilkEncoder:
         # process_gains_flp / nsq.rs); see silk/noise_shape.py
         self.shape = ShapeState()
         self.nsq = NsqState(0)
-        self.use_nsq_shaping = False
+        # Reference analysis chain + noise-shaping NSQ (enc_analysis.py +
+        # noise_shape.py): default ON -- beats libopus on the speech
+        # corpus at every rate (QUALITY_SILK.md). SILK_NSQ_SHAPING=0
+        # selects the legacy open-loop mirror-state quantizer.
+        self.use_nsq_shaping = bool(int(
+            __import__("os").environ.get("SILK_NSQ_SHAPING", "1")))
+        # reference analysis-chain state (enc_analysis.py): previous pitch
+        # lag + LTP correlation (pitch-search biases), quantized NLSF of
+        # the previous frame (interpolation), LTP gain budget
+        self.prev_lag = 0
+        self.prev_ltp_corr = 0.0
+        self.prev_nlsf_q15 = None
+        self.sum_log_gain_q7 = 0
+        self.prev_voiced = False
         # cross-frame integral rate control: multiplies the quantization-
         # gain scale so active-frame bits track the target (the streaming
         # analogue of libopus's per-frame gain_mult retry loop); included
@@ -510,12 +523,20 @@ class SilkEncoder:
                 None if self.x_hist is None else self.x_hist.copy(),
                 copy.deepcopy(self.lbrr_store), copy.deepcopy(self.lp),
                 self.rate_mult, copy.deepcopy(self.shape),
-                copy.deepcopy(self.nsq))
+                copy.deepcopy(self.nsq),
+                (self.prev_lag, self.prev_ltp_corr,
+                 None if self.prev_nlsf_q15 is None
+                 else list(self.prev_nlsf_q15),
+                 self.sum_log_gain_q7, self.prev_voiced))
 
     def restore(self, snap):
         import copy
         (self.fs_khz, self.api_fs_hz, self.seed_ctr, self.first,
-         resampler, mirror, xh, lbrr, lp, self.rate_mult, shape, nsq) = snap
+         resampler, mirror, xh, lbrr, lp, self.rate_mult, shape, nsq,
+         ref_state) = snap
+        (self.prev_lag, self.prev_ltp_corr, pn, self.sum_log_gain_q7,
+         self.prev_voiced) = ref_state
+        self.prev_nlsf_q15 = None if pn is None else list(pn)
         # deep-copy so repeated restores from one snapshot stay independent
         self.resampler = copy.deepcopy(resampler)
         self.mirror = copy.deepcopy(mirror)
@@ -547,6 +568,11 @@ class SilkEncoder:
             from .noise_shape import NsqState, ShapeState
             self.shape = ShapeState()
             self.nsq = NsqState(self.mirror.ltp_mem_length)
+            self.prev_lag = 0
+            self.prev_ltp_corr = 0.0
+            self.prev_nlsf_q15 = None
+            self.sum_log_gain_q7 = 0
+            self.prev_voiced = False
 
     @property
     def lpc_order(self):
@@ -734,77 +760,149 @@ class SilkEncoder:
         subfr_length = frame_length // nb_subfr
         x = np.asarray(x16, np.float64)
         xfull = np.concatenate([self.x_hist, x])
-
-        nlsf_q15 = self._lpc_analysis(x)
-
-        # open-loop pitch on the unquantized-whitened signal
-        res0 = self._whiten(xfull, nlsf2a(nlsf_q15, d))
-        energy = float(x @ x) / max(1, len(x))
-        lag, score = self._pitch_search(res0, frame_length)
-        voiced = bool(vad_active and score > 0.45 and energy > 10.0)
-        signal_type = TYPE_VOICED if voiced else TYPE_UNVOICED
-
-        nlsf_idx, coded_nlsf = nlsf_encode(nlsf_q15, self.psnlsf_cb,
-                                           signal_type)
-        a_q12 = nlsf2a(coded_nlsf, d)
-        res = self._whiten(xfull, a_q12)
+        H = len(self.x_hist)
 
         ix = SideInfoIndices()
-        ix.signal_type = signal_type
-        ix.quant_offset_type = 0
-        ix.nlsf_indices = nlsf_idx
-        ix.nlsf_interp_coef_q2 = 4
         ix.seed = self.seed_ctr & 3
         self.seed_ctr += 1
-
         tell0 = enc.tell()
         rate_scale = (max(0.15, 24000.0 / max(8000, target_rate_bps))
                       * coarsen * self.rate_mult)
-        if voiced:
-            ix.lag_index, ix.contour_index = self._choose_contour(
-                res, frame_length, nb_subfr, lag)
-            pitch_l = decode_pitch(ix.lag_index, ix.contour_index,
-                                   self.fs_khz, nb_subfr)
-            ix.per_index, ltp_idx, rmss = self._fit_ltp(
-                res, frame_length, nb_subfr, pitch_l)
-            ix.ltp_index = ltp_idx + [0] * (4 - len(ltp_idx))
-            ix.ltp_scale_index = 0
-        else:
-            pitch_l = [0] * nb_subfr
-            rmss = []
-            for k in range(nb_subfr):
-                seg = res[len(self.x_hist) + k * subfr_length:
-                          len(self.x_hist) + (k + 1) * subfr_length]
-                rmss.append(math.sqrt(float(seg @ seg) / len(seg)) + 1e-3)
-
         shape_ctl = None
+        rmss = []
+
         if self.use_nsq_shaping:
+            # Reference analysis chain (enc_analysis.py): 3-stage pitch
+            # search on the schur-whitened residual, RD LTP codebook
+            # selection, burg LPC on the LTP-whitened gain-scaled input
+            # with NLSF interpolation, residual-energy gain floor
+            # (encode_frame_flp.rs / find_pred_coefs_flp.rs order).
+            from . import enc_analysis as EA
             from .noise_shape import (control_snr, noise_shape_analysis,
                                       process_gains)
+            activity = 1.0 if vad_active else 0.1
+            (res_pitch, voiced, pitch_l, lag_ix, cont_ix, ltp_corr,
+             pred_gain_pitch) = EA.find_pitch_lags(
+                xfull, frame_length, self.fs_khz, nb_subfr,
+                prev_lag=self.prev_lag,
+                prev_signal_type_voiced=self.prev_voiced,
+                ltp_corr_prev=self.prev_ltp_corr,
+                speech_activity=activity, active=vad_active,
+                first_frame=self.first)
+            signal_type = TYPE_VOICED if voiced else TYPE_UNVOICED
+
             snr_db = control_snr(self.fs_khz, nb_subfr, target_rate_bps)
-            res0_frame = res0[len(self.x_hist):]
-            e_x = float(x @ x) + 1.0
-            e_res = float(res0_frame @ res0_frame) + 1.0
-            pred_gain = math.sqrt(max(1.0, e_x / e_res))
-            activity = 1.0 if vad_active else 0.2
             shape_ctl = noise_shape_analysis(
                 xfull, frame_length, nb_subfr, self.fs_khz, snr_db,
-                voiced=voiced, ltp_corr=max(0.0, min(1.0, score)),
-                pred_gain=pred_gain, pitch_l=pitch_l,
-                pitch_res=res0_frame, speech_activity=activity,
-                shape=self.shape)
-            res_nrg = [r * r * subfr_length for r in rmss]
+                voiced=voiced, ltp_corr=ltp_corr,
+                pred_gain=math.sqrt(max(1.0, pred_gain_pitch)),
+                pitch_l=pitch_l, pitch_res=res_pitch[H:],
+                speech_activity=activity, shape=self.shape)
+
+            inv_gains = 1.0 / np.maximum(shape_ctl.gains[:nb_subfr], 1e-9)
             if voiced:
-                e_before = float(res[len(self.x_hist):] @
-                                 res[len(self.x_hist):]) + 1.0
-                e_after = sum(res_nrg) + 1.0
-                lt_gain_db = 3.0 * math.log2(max(1.0, e_before / e_after))
+                XX, xX = EA.find_ltp(res_pitch, H, pitch_l, subfr_length,
+                                     nb_subfr)
+                (b_ltp, ltp_idx, per_ix, self.sum_log_gain_q7,
+                 lt_gain_db) = EA.quant_ltp_gains(
+                    XX, xX, subfr_length, nb_subfr, self.sum_log_gain_q7)
+                x_pre = EA.ltp_analysis_filter(
+                    xfull, H - d, b_ltp, pitch_l, inv_gains, subfr_length,
+                    nb_subfr, d)
             else:
                 lt_gain_db = 0.0
+                self.sum_log_gain_q7 = 0
+                ltp_idx, per_ix = [0] * nb_subfr, 0
+                x_pre = EA.scale_chunks(xfull, H - d, inv_gains,
+                                        subfr_length, nb_subfr, d)
+
+            first_lpc = self.first or self.prev_nlsf_q15 is None
+            if first_lpc:
+                min_inv_gain = 1e-2
+            else:
+                min_inv_gain = (2.0 ** (lt_gain_db / 3.0) / 1e4) \
+                    / (0.25 + 0.75 * shape_ctl.coding_quality)
+            prev_nlsf = self.prev_nlsf_q15 or [0] * d
+            nlsf_q15, interp_q2, _ = EA.find_lpc(
+                x_pre, nb_subfr, subfr_length, d, min_inv_gain, prev_nlsf,
+                use_interp=nb_subfr == 4, first_frame=first_lpc,
+                delta_min_q15=self.psnlsf_cb.delta_min_q15)
+            nlsf_idx, coded_nlsf = nlsf_encode(nlsf_q15, self.psnlsf_cb,
+                                               signal_type)
+            a_h1 = np.asarray(nlsf2a(coded_nlsf, d), np.float64) / 4096.0
+            if interp_q2 < 4 and not first_lpc:
+                nlsf_h0 = [int(p + ((interp_q2 * (c - p)) >> 2))
+                           for p, c in zip(prev_nlsf, coded_nlsf)]
+                a_h0 = np.asarray(nlsf2a(nlsf_h0, d), np.float64) / 4096.0
+            else:
+                interp_q2 = 4
+                a_h0 = a_h1
+            res_nrg = EA.residual_energy(x_pre, [a_h0, a_h1],
+                                         shape_ctl.gains, subfr_length,
+                                         nb_subfr, d)
             process_gains(shape_ctl, nb_subfr, subfr_length, snr_db,
                           voiced=voiced, lt_pred_cod_gain=lt_gain_db,
                           res_nrg=res_nrg, speech_activity=activity)
+
+            a_q12 = nlsf2a(coded_nlsf, d)
+            res = self._whiten(xfull, a_q12)
+            ix.signal_type = signal_type
             ix.quant_offset_type = shape_ctl.quant_offset_type
+            ix.nlsf_indices = nlsf_idx
+            ix.nlsf_interp_coef_q2 = interp_q2
+            if voiced:
+                ix.lag_index = lag_ix
+                ix.contour_index = cont_ix
+                ix.per_index = per_ix
+                ix.ltp_index = list(ltp_idx) + [0] * (4 - len(ltp_idx))
+                ix.ltp_scale_index = 0
+                # the decoder clamps pitch via decode_pitch; keep analysis
+                # state consistent with what was coded
+                pitch_l = decode_pitch(ix.lag_index, ix.contour_index,
+                                       self.fs_khz, nb_subfr)
+            self.prev_nlsf_q15 = list(coded_nlsf)
+            self.prev_lag = int(pitch_l[-1]) if voiced else 0
+            self.prev_ltp_corr = float(ltp_corr)
+            self.prev_voiced = voiced
+        else:
+            nlsf_q15 = self._lpc_analysis(x)
+
+            # open-loop pitch on the unquantized-whitened signal
+            res0 = self._whiten(xfull, nlsf2a(nlsf_q15, d))
+            energy = float(x @ x) / max(1, len(x))
+            lag, score = self._pitch_search(res0, frame_length)
+            voiced = bool(vad_active and score > 0.45 and energy > 10.0)
+            signal_type = TYPE_VOICED if voiced else TYPE_UNVOICED
+
+            nlsf_idx, coded_nlsf = nlsf_encode(nlsf_q15, self.psnlsf_cb,
+                                               signal_type)
+            a_q12 = nlsf2a(coded_nlsf, d)
+            res = self._whiten(xfull, a_q12)
+
+            ix.signal_type = signal_type
+            ix.quant_offset_type = 0
+            ix.nlsf_indices = nlsf_idx
+            ix.nlsf_interp_coef_q2 = 4
+
+            if voiced:
+                ix.lag_index, ix.contour_index = self._choose_contour(
+                    res, frame_length, nb_subfr, lag)
+                pitch_l = decode_pitch(ix.lag_index, ix.contour_index,
+                                       self.fs_khz, nb_subfr)
+                ix.per_index, ltp_idx, rmss = self._fit_ltp(
+                    res, frame_length, nb_subfr, pitch_l)
+                ix.ltp_index = ltp_idx + [0] * (4 - len(ltp_idx))
+                ix.ltp_scale_index = 0
+            else:
+                pitch_l = [0] * nb_subfr
+                rmss = []
+                for k in range(nb_subfr):
+                    seg = res[H + k * subfr_length:
+                              H + (k + 1) * subfr_length]
+                    rmss.append(math.sqrt(float(seg @ seg) / len(seg))
+                                + 1e-3)
+
+        if self.use_nsq_shaping:
             # budget coupling: the byte-budget retry (coarsen) and the
             # cross-frame integral control (rate_mult) scale both the
             # quantization gains and the RD lambda -- the lambda>2 dead
@@ -813,9 +911,15 @@ class SilkEncoder:
             # noise feedback keeps pulse activity up at coarse steps)
             eff = coarsen * self.rate_mult
             shape_ctl.lambda_ *= max(1.0, eff) ** NSQ_LAMBDA_COUPLING
-            gains_q16 = [int(max(65536, min(
-                1 << 30, g * 65536.0 * eff)))
-                for g in shape_ctl.gains[:nb_subfr]]
+            if coarsen >= 500:
+                # mute retry: zero pulses are coded, so the gains must be
+                # minimal too -- scaled-up gains would otherwise decode as
+                # a loud offset*gain noise burst
+                gains_q16 = [65536] * nb_subfr
+            else:
+                gains_q16 = [int(max(65536, min(
+                    1 << 30, g * 65536.0 * eff)))
+                    for g in shape_ctl.gains[:nb_subfr]]
         else:
             gains_q16 = []
             for k in range(nb_subfr):
@@ -899,13 +1003,24 @@ class SilkEncoder:
         encode_pulses(enc, ix.signal_type, ix.quant_offset_type, pulses,
                       frame_length)
         # integral rate control update (coarser gain = fewer bits, so the
-        # multiplier follows spent/budget)
+        # multiplier follows spent/budget). On the reference-analysis path
+        # control_snr already sets the operating point, so the multiplier
+        # only trims the residual bias: tight bounds + slow gain + an
+        # active-frame gate (spent above a fraction of budget), because an
+        # aggressive multiplier chases silence gaps and pumps the gains
+        # 10x+ across speech onsets (measured err16 regression at 24/32k).
         if coarsen < 500 and vad_active:
             spent = enc.tell() - tell0
             budget = target_rate_bps * frame_length / (self.fs_khz * 1000.0)
             ratio = spent / max(1.0, budget)
-            self.rate_mult = min(6.0, max(0.1,
-                                          self.rate_mult * ratio ** 0.35))
+            if self.use_nsq_shaping:
+                if spent > 0.3 * budget:
+                    self.rate_mult = min(2.0, max(0.6,
+                                                  self.rate_mult
+                                                  * ratio ** 0.1))
+            else:
+                self.rate_mult = min(6.0, max(0.1,
+                                              self.rate_mult * ratio ** 0.35))
         self.x_hist = xfull[-st.ltp_mem_length:]
         self.first = False
 

@@ -113,20 +113,19 @@ def _autocorr(x: np.ndarray, order: int) -> np.ndarray:
 
 
 def _schur(c: np.ndarray, order: int):
-    """Schur recursion: reflection coefficients + residual energy."""
-    c = c.astype(np.float64).copy()
-    C = np.stack([c[: order + 1], c[: order + 1]])
+    """Schur recursion: reflection coefficients + residual energy
+    (silk_schur_flp semantics: rc denominator is the updated backward
+    error c[0][1], which is also the returned residual)."""
+    c = np.asarray(c, np.float64)
+    C = np.stack([c[: order + 1].copy(), c[: order + 1].copy()])
     rc = np.zeros(order)
     for k in range(order):
-        denom = C[0, 0]
-        rck = -C[0, k + 1] / denom if denom > 1e-9 else 0.0
-        rck = min(0.999, max(-0.999, rck))
+        rck = -C[0, k + 1] / max(C[1, 0], 1e-9)
         rc[k] = rck
-        for n in range(order - k):
-            ctmp1 = C[0, n + k + 1]
-            ctmp2 = C[1, n]
-            C[0, n + k + 1] = ctmp1 + ctmp2 * rck
-            C[1, n] = ctmp2 + ctmp1 * rck
+        c1 = C[0, k + 1: order + 1].copy()
+        c2 = C[1, : order - k].copy()
+        C[0, k + 1: order + 1] = c1 + c2 * rck
+        C[1, : order - k] = c2 + c1 * rck
     return rc, float(C[1, 0])
 
 
@@ -263,6 +262,16 @@ def noise_shape_analysis(xfull: np.ndarray, frame_length: int, nb_subfr: int,
     gain_mult = 2.0 ** (-0.16 * snr_adj)
     gain_add = 2.0 ** (0.16 * MIN_QGAIN_DB)
     ctl.gains[:] = ctl.gains * gain_mult + gain_add
+    # Zero-lookahead safety: on sharp onsets the windowed schur residual
+    # can report near-perfect predictability (synthetic/deterministic
+    # attacks especially), quoting a quantization gain far below what the
+    # closed-loop NSQ can realize from a silent decoder state -- the loop
+    # then chases its own feedback and bits explode. Anchor each
+    # subframe's gain to its actual input energy at the target SNR.
+    for k in range(nb_subfr):
+        seg = xfull[H + k * sub: H + (k + 1) * sub]
+        rms = math.sqrt(float(seg @ seg) / max(1, len(seg)))
+        ctl.gains[k] = max(ctl.gains[k], 0.7 * rms * gain_mult)
 
     lf_strength = LOW_FREQ_SHAPING * (
         1.0 + LOW_QUALITY_LOW_FREQ_SHAPING_DECR * (input_quality - 1.0))

@@ -45,6 +45,7 @@ def _capture_frames(bitrate, n_frames=12):
             gains=np.asarray(ctrl.gains_q16, float) / 65536.0,
             voiced=st.indices.signal_type == 2,
             ltp_scale=(ctrl.ltp_scale_q14 or 16384) / 16384.0,
+            interp=st.indices.nlsf_interp_coef_q2 < 4,
             nb_subfr=st.nb_subfr,
             subfr=st.subfr_length,
             xq=np.asarray(xq, float),
@@ -80,6 +81,7 @@ def test_silk_device_synthesis_matches_host(bitrate):
             gains=jnp.asarray(np.tile(fr["gains"], (S, 1)), jnp.float32),
             voiced=jnp.full((S,), bool(fr["voiced"])),
             ltp_scale=jnp.full((S,), fr["ltp_scale"], jnp.float32),
+            interp=jnp.full((S,), bool(fr["interp"])),
         )
         out, state = silk_synthesis_step(params, state,
                                          nb_subfr=fr["nb_subfr"],

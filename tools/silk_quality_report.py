@@ -129,26 +129,28 @@ def run(report_path=None):
                     "on a 6 s LPC-style speech corpus; both encoders "
                     "VOIP/SILK, decoded by libopus, scored against the "
                     "original. Generated by tools/silk_quality_report.py.\n\n"
-                    "Findings (round 3): at SILK's natural operating "
-                    "range (8-16 kbps) the open-loop quantizer is near "
-                    "parity with libopus. The >= 24 kbps forced-WB gap "
-                    "improved from ~3.7x to ~2.7-3.0x err4 (1.388/1.154 "
-                    "at 24/32 kbps) by making the per-frame VBR byte cap "
-                    "elastic (reference VBR lets hard frames exceed the "
-                    "nominal target; the old hard cap muted voiced "
-                    "frames) -- and actual rates now match libopus. "
-                    "Experiments recorded: (a) a reference-topology "
-                    "noise-shaping NSQ (silk/noise_shape.py, enable via "
-                    "SilkEncoder.use_nsq_shaping) is implemented and "
-                    "stable on tones, but scores ~3x worse err4 on "
-                    "speech because the closed loop amplifies the "
-                    "prediction error of our Levinson/greedy analysis "
-                    "stack; matching libopus here requires burg LPC + "
-                    "the 3-stage pitch analysis, not just the quantizer "
-                    "(b) fb_gamma drift-damping at 0.4/0.8 scored worse "
-                    "than pure open loop at 24/32 kbps. Production mode "
-                    "selection uses hybrid above ~20 kbps for speech, so "
-                    "the remaining corner is rarely exercised.\n\n")
+                    "Findings (round 3): the full reference analysis "
+                    "chain is now the default encoder path "
+                    "(silk/enc_analysis.py: burg LPC with NLSF "
+                    "interpolation search, 3-stage pitch analysis at "
+                    "4/8/native kHz, RD LTP codebook selection, "
+                    "residual-energy gain floors) feeding the "
+                    "noise-shaping NSQ (silk/noise_shape.py). It beats "
+                    "libopus on err4/err16/pitch at every tested rate at "
+                    "matched actual bitrates (16k and up; at 8-12 kbps "
+                    "targets our actual rate runs ~1-2 kbps above "
+                    "libopus's undershoot). Three fixes unlocked this: "
+                    "a schur recursion bug (rc denominator used the "
+                    "stale forward row instead of the updated backward "
+                    "error, corrupting shaping gains and whitening), an "
+                    "onset guard anchoring subframe gains to input "
+                    "energy (zero-lookahead windows can quote "
+                    "unrealizable prediction gains on attacks), and a "
+                    "byte-budget search that jumps to the nominal gain "
+                    "scale instead of exhausting the retry ladder into "
+                    "a gains-scaled mute (which decoded as a loud "
+                    "offset*gain noise burst). SILK_NSQ_SHAPING=0 "
+                    "selects the legacy open-loop quantizer.\n\n")
             f.write("| rate | ours err4 | ours err16 | ours pitch | "
                     "actual kbps | libopus err4 | libopus err16 | "
                     "libopus pitch | actual kbps |\n|---|---|---|---|---|"
