@@ -191,6 +191,24 @@ def bench_mixed(S, n_steps=60):
     return statistics.median(rates)
 
 
+def bench_encode(S=16, n_steps=12):
+    """CeltEncodePipeline: device front (preemph/pitch/transient/MDCT) +
+    host symbol encode. Runs AFTER the decode phases: its per-step D2H
+    readbacks switch the tunneled session to executable-reupload mode."""
+    from mousiki_tpu.pipeline import CeltEncodePipeline
+    from mousiki_tpu.testing import oracle
+    sig = oracle.make_test_signal(960 * (n_steps + 2), 2, seed=7)
+    pipe = CeltEncodePipeline(S, channels=2, bitrate=128000)
+    pcm0 = np.stack([sig[:960]] * S)
+    pipe.step(pcm0)  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        pcm = np.stack([sig[(i + s % 2) * 960:(i + s % 2 + 1) * 960]
+                        for s in range(S)])
+        pipe.step(pcm)
+    return S * n_steps * 0.02 / (time.perf_counter() - t0)
+
+
 def bench_device_only(S):
     """Fallback metric when no oracle/native lib: device synthesis only."""
     import jax.numpy as jnp
@@ -250,6 +268,10 @@ def main():
         # (5.8x) was exactly this — the gate ran before bench_mixed.
         e2e_x, host_us, device_x = bench_e2e(payloads, S)
         mixed_x = bench_mixed(S)
+        try:
+            encode_x = bench_encode()
+        except Exception:
+            encode_x = None
         gate = quality_gate(S, payloads, full_pkts)
         result.update({
             "value": round(e2e_x, 1),
@@ -258,6 +280,7 @@ def main():
             "device_only_x": round(device_x, 1),
             "mixed_silk_celt_hybrid_e2e_x": (round(mixed_x, 1)
                                              if mixed_x else None),
+            "encode_e2e_x_s16": (round(encode_x, 1) if encode_x else None),
             "quality_gate": "pass" if gate.pop("pass") else "FAIL",
             "quality": gate,
         })

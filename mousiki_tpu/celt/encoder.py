@@ -119,11 +119,20 @@ class CeltEncoder:
     # ------------------------------------------------------------------
     def encode_with_ec(self, pcm: np.ndarray, frame_size: int,
                        nb_compressed_bytes: int,
-                       enc: RangeEncoder | None = None) -> bytes | None:
+                       enc: RangeEncoder | None = None,
+                       precomputed: dict | None = None) -> bytes | None:
         """Encode one frame; pcm is float (frame_size, CC) in [-1, 1].
 
         Returns the compressed bytes when it owns the encoder, else None
         (hybrid mode: caller's RangeEncoder carries the stream).
+
+        precomputed: per-stream outputs of the batched device front end
+        (ops/encode_front_jax.front_step) — preemphasis, tone/pitch
+        analyses, prefilter decision+application, transient analysis and
+        the forward MDCT all already done on the TPU; this call then only
+        runs the symbol layer. Keys: silence, tone_freq, toneishness,
+        pf_on, pitch_index, qg, gain1, is_transient, tf_estimate,
+        freq (C, N). The device owns in_mem/prefilter_mem state.
         """
         mode = self.mode
         C = self.stream_channels
@@ -186,24 +195,28 @@ class CeltEncoder:
         eff_end = min(self.end, mode.effective_ebands)
 
         # --- preemphasis into the analysis buffer ---
-        inb = np.empty((CC, N + overlap), np.float64)
-        inb[:, :overlap] = self.in_mem
-        coef0 = mode.preemph[0]
-        for c in range(min(CC, pcm.shape[1]) if pcm.ndim > 1 else 1):
-            x = pcm[:, c] * 32768.0
-            m = self.preemph_mem[c]
-            out = np.empty(N)
-            # y[n] = x[n] - coef0*x[n-1] with carried memory
-            out[0] = x[0] - m
-            out[1:] = x[1:] - coef0 * x[:-1]
-            self.preemph_mem[c] = coef0 * x[-1]
-            inb[c, overlap:] = out
-        if CC == 2 and (pcm.ndim == 1 or pcm.shape[1] == 1):
-            inb[1] = inb[0]
-        self.in_mem = inb[:, N: N + overlap].copy()
+        if precomputed is None:
+            inb = np.empty((CC, N + overlap), np.float64)
+            inb[:, :overlap] = self.in_mem
+            coef0 = mode.preemph[0]
+            for c in range(min(CC, pcm.shape[1]) if pcm.ndim > 1 else 1):
+                x = pcm[:, c] * 32768.0
+                m = self.preemph_mem[c]
+                out = np.empty(N)
+                # y[n] = x[n] - coef0*x[n-1] with carried memory
+                out[0] = x[0] - m
+                out[1:] = x[1:] - coef0 * x[:-1]
+                self.preemph_mem[c] = coef0 * x[-1]
+                inb[c, overlap:] = out
+            if CC == 2 and (pcm.ndim == 1 or pcm.shape[1] == 1):
+                inb[1] = inb[0]
+            self.in_mem = inb[:, N: N + overlap].copy()
 
         # --- silence detection ---
-        silence = bool(np.abs(pcm).max() <= 1.0 / (1 << self.lsb_depth))
+        if precomputed is None:
+            silence = bool(np.abs(pcm).max() <= 1.0 / (1 << self.lsb_depth))
+        else:
+            silence = bool(precomputed["silence"])
         if tell == 1:
             enc.enc_bit_logp(1 if silence else 0, 15)
         else:
@@ -213,7 +226,11 @@ class CeltEncoder:
             enc.nbits_total += total_bits - enc.tell()
 
         # --- tone detection (feeds prefilter/transient/dynalloc) ---
-        tone_freq, toneishness = self._tone_detect(inb, CC)
+        if precomputed is None:
+            tone_freq, toneishness = self._tone_detect(inb, CC)
+        else:
+            tone_freq = float(precomputed["tone_freq"])
+            toneishness = float(precomputed["toneishness"])
 
         # --- prefilter (pitch prediction, inverse of the decoder's
         # postfilter; reference run_prefilter celt_encoder.rs:3200) ---
@@ -225,7 +242,13 @@ class CeltEncoder:
         enabled = (self.start == 0 and not silence
                    and enc.tell() + 16 <= total_bits
                    and self.complexity >= 5 and nb_compressed_bytes > 12)
-        if enabled:
+        if precomputed is not None:
+            pf_on = int(precomputed["pf_on"]) if enabled else 0
+            if pf_on:
+                pitch_index = int(precomputed["pitch_index"])
+                qg = int(precomputed["qg"])
+                gain1 = 0.09375 * (qg + 1)
+        elif enabled:
             pitch_index, gain1 = self._prefilter_pitch(inb, N, CC)
             if toneishness > 0.99 and gain1 < 0.4:
                 # pure tone but the pitch search failed (octave error /
@@ -258,8 +281,9 @@ class CeltEncoder:
             else:
                 gain1 = 0.0
         # apply (or coast) the prefilter with overlap blending from the
-        # previous frame's parameters, even when pf_on = 0
-        if self.start == 0 and not silence:
+        # previous frame's parameters, even when pf_on = 0 (device-applied
+        # in precomputed mode)
+        if precomputed is None and self.start == 0 and not silence:
             self._apply_prefilter(inb, N, CC,
                                   pitch_index if pf_on else COMBFILTER_MINPERIOD,
                                   gain1 if pf_on else 0.0, prefilter_tapset)
@@ -285,16 +309,23 @@ class CeltEncoder:
         is_transient = 0
         tf_estimate = 0.0
         if LM > 0 and enc.tell() + 3 <= total_bits and not silence:
-            transient, tf_estimate, _tf_chan = self._transient_analysis(
-                inb, N, CC)
-            if toneishness > 0.98 and tone_freq < 0.026:
-                transient = False  # strong low tone: never flag transient
+            if precomputed is not None:
+                transient = bool(precomputed["is_transient"])
+                tf_estimate = float(precomputed["tf_estimate"])
+            else:
+                transient, tf_estimate, _tf_chan = self._transient_analysis(
+                    inb, N, CC)
+                if toneishness > 0.98 and tone_freq < 0.026:
+                    transient = False  # strong low tone: never transient
             is_transient = 1 if transient else 0
             enc.enc_bit_logp(is_transient, 3)
         short_blocks = M if is_transient else 0
 
         # --- MDCT + energies ---
-        freq = self._compute_mdcts(inb, short_blocks, LM, CC)
+        if precomputed is not None:
+            freq = np.asarray(precomputed["freq"], np.float64)[:CC]
+        else:
+            freq = self._compute_mdcts(inb, short_blocks, LM, CC)
         if CC == 2 and C == 1:
             freq = (freq[:1] + freq[1:]) * 0.5
         band_e = compute_band_energies(mode, freq, eff_end, M, C)

@@ -467,3 +467,57 @@ class OpusStreamPipeline:
             pcm = self.step(packets, frame_size)
             pcm.block_until_ready()
             yield pcm
+
+
+class CeltEncodePipeline:
+    """Batched CELT encode: the device front half (preemphasis, tone
+    detection, prefilter pitch search + application, transient analysis,
+    forward MDCT — ops/encode_front_jax.py, SURVEY §2.9.8) feeding S host
+    symbol encoders (coarse/fine energy, allocation, PVQ search, range
+    coding). Packets are standard CELT-only Opus frames, decodable by any
+    conformant decoder. CBR per-frame byte budgets (v1 scope).
+    """
+
+    def __init__(self, n_streams: int, channels: int = 2,
+                 bitrate: int = 128000, frame_size: int = 960):
+        import jax.numpy as jnp
+
+        from .celt.encoder import CeltEncoder
+        from .ops.encode_front_jax import (front_step, init_front_state,
+                                           make_front_consts)
+        self.S = n_streams
+        self.channels = channels
+        self.frame = frame_size
+        self.nbytes = max(12, int(bitrate * frame_size / (8 * 48000)))
+        self._consts = make_front_consts(frame_size)
+        self._state = init_front_state(n_streams, channels, frame_size)
+        self._front = front_step
+        self._jnp = jnp
+        self.encs = [CeltEncoder(channels=channels,
+                                 stream_channels=channels)
+                     for _ in range(n_streams)]
+
+    def front(self, pcm):
+        """Device half only (jitted): returns the analysis tensors."""
+        jnp = self._jnp
+        tapset = np.asarray([e.tapset_decision for e in self.encs],
+                            np.int32)
+        nby = np.full(self.S, self.nbytes, np.int32)
+        out, self._state = self._front(
+            self._consts, self._state, jnp.asarray(pcm, jnp.float32),
+            jnp.asarray(nby), jnp.asarray(tapset),
+            channels=self.channels, frame=self.frame)
+        return out
+
+    def step(self, pcm) -> list:
+        """pcm: (S, frame, channels) float in [-1, 1] -> S packets."""
+        import jax
+        out = self.front(pcm)
+        host = jax.device_get(out)  # one batched readback
+        pkts = []
+        for s in range(self.S):
+            pre = {k: host[k][s] for k in host}
+            pkts.append(self.encs[s].encode_with_ec(
+                np.asarray(pcm[s], np.float64), self.frame, self.nbytes,
+                precomputed=pre))
+        return pkts
