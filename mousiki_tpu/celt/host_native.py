@@ -178,18 +178,34 @@ def plan_arena_layout(S: int, channels: int, frame: int):
     return layout, sizes
 
 
+def arena_word_layout(S: int, channels: int, frame: int):
+    """Word offsets of the three arenas inside ONE int32 backing buffer
+    (a32 | a16 | a8, each padded to whole words). Returns
+    (n32, w16_off, n16, w8_off, n8, total_words)."""
+    _, sizes = plan_arena_layout(S, channels, frame)
+    n32 = sizes["a32"]
+    w16 = (sizes["a16"] + 1) // 2
+    w8 = (sizes["a8"] + 3) // 4
+    return n32, n32, sizes["a16"], n32 + w16, sizes["a8"], n32 + w16 + w8
+
+
 def alloc_plan_arenas(S: int, channels: int, frame: int):
     """Zeroed plan arenas + the separate native output arrays.
 
-    np.zeros gets lazily-mapped zero pages, so allocation is cheap; the
-    native decoder only writes flagged slots and the device executor
-    masks by those flags (zero defaults are correct for every plane,
-    including call_blend_upto where 0 and -1 both mean "no blend").
+    All three arenas are views of ONE int32 backing buffer (returned as
+    arenas["backing"]) so the whole plan ships to the device as a single
+    H2D transfer. np.zeros gets lazily-mapped zero pages, so allocation
+    is cheap; the native decoder only writes flagged slots and the device
+    executor masks by those flags (zero defaults are correct for every
+    plane, including call_blend_upto where 0 and -1 both mean "no blend").
     """
     layout, sizes = plan_arena_layout(S, channels, frame)
-    arenas = {"a8": np.zeros(sizes["a8"], np.uint8),
-              "a16": np.zeros(sizes["a16"], np.int16),
-              "a32": np.zeros(sizes["a32"], np.int32)}
+    n32, o16, n16, o8, n8, total = arena_word_layout(S, channels, frame)
+    backing = np.zeros(total, np.int32)
+    arenas = {"backing": backing,
+              "a32": backing[:n32],
+              "a16": backing[o16: o16 + (n16 + 1) // 2].view(np.int16)[:n16],
+              "a8": backing[o8: o8 + (n8 + 3) // 4].view(np.uint8)[:n8]}
     aux = {"x_direct": np.zeros((S, channels, frame), np.float32),
            "band_log_e": np.zeros((S, 2, _NB), np.float64),
            "pf_gain": np.zeros(S, np.float64),

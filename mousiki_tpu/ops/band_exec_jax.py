@@ -791,3 +791,24 @@ def plan_synthesis_step_arena(consts, state, a32, a16, a8, x_direct,
                      pf_pitch=iflags[:, 2], pf_gain=pf_gain,
                      pf_tapset=iflags[:, 3])
     return synthesis_step(consts, state, desc, channels=channels, n=frame)
+
+
+@partial(jax.jit, static_argnames=("channels", "frame", "n_streams"))
+def plan_synthesis_step_backing(consts, state, backing, x_direct, mats=None,
+                                channels: int = 2, frame: int = 960,
+                                n_streams: int = None):
+    """plan_synthesis_step_arena over ONE int32 backing buffer holding all
+    three arenas (host_native.alloc_plan_arenas packs a32|a16|a8 into a
+    single H2D transfer; slicing + bitcasts are free for XLA)."""
+    from ..celt.host_native import arena_word_layout
+    S = n_streams
+    n32, o16, n16, o8, n8, _total = arena_word_layout(S, channels, frame)
+    a32 = lax.slice(backing, (0,), (n32,))
+    a16 = lax.bitcast_convert_type(
+        lax.slice(backing, (o16,), (o16 + (n16 + 1) // 2,)),
+        jnp.int16).reshape(-1)[:n16]
+    a8 = lax.bitcast_convert_type(
+        lax.slice(backing, (o8,), (o8 + (n8 + 3) // 4,)),
+        jnp.uint8).reshape(-1)[:n8]
+    return plan_synthesis_step_arena(consts, state, a32, a16, a8, x_direct,
+                                     mats, channels=channels, frame=frame)

@@ -97,8 +97,8 @@ class CeltStreamPipeline:
                 synthesis_step, channels=channels))
         if use_plan:
             from .ops.band_exec_jax import (plan_combo_mats,
-                                            plan_synthesis_step_arena)
-            self._plan_step_fn = plan_synthesis_step_arena
+                                            plan_synthesis_step_backing)
+            self._plan_step_fn = plan_synthesis_step_backing
             # per-frame-size caches (LM 0-3): synthesis consts, combo
             # operators (device-resident runtime args), and the all-zero
             # device x_direct fallback (only shipped when some stream fell
@@ -136,7 +136,7 @@ class CeltStreamPipeline:
         return self._plan_step_fn(self._plan_consts[frame_size], state,
                                   *args, self._plan_mats[frame_size],
                                   channels=self.channels,
-                                  frame=frame_size)
+                                  frame=frame_size, n_streams=self.S)
 
     # ------------------------------------------------------------------
     def _host_decode(self, payloads: list, frame_size: int) -> FrameDesc:
@@ -225,8 +225,9 @@ class CeltStreamPipeline:
             self._gc_tick = 0
             import gc
             gc.collect()
-        return (jnp.asarray(arenas["a32"]), jnp.asarray(arenas["a16"]),
-                jnp.asarray(arenas["a8"]), xd)
+        # one H2D transfer: the three arenas share an int32 backing buffer
+        # (each fixed transfer through the device tunnel costs ~0.1 ms)
+        return (jnp.asarray(arenas["backing"]), xd)
 
     def _host_decode_plan_sharded(self, payloads: list, frame_size: int):
         import jax
@@ -405,10 +406,12 @@ class OpusStreamPipeline:
         # executable-reupload mode (~1 s/step) — consumers should read
         # results only in processes that don't own a serving loop.
         @jax.jit
-        def step_fn(consts, state, rs_state, silk_prev, a32, a16, a8,
+        def step_fn(consts, state, rs_state, silk_prev, backing,
                     x_direct, silk16, mats, up_w):
-            pcm, new_state = plan_synthesis_step_arena(
-                consts, state, a32, a16, a8, x_direct, mats, channels=1)
+            from .ops.band_exec_jax import plan_synthesis_step_backing
+            pcm, new_state = plan_synthesis_step_backing(
+                consts, state, backing, x_direct, mats, channels=1,
+                n_streams=n_streams)
             # the SILK decode API feeds its resampler through a 1-sample
             # delay (the s_mid stereo-prediction tail; silk/dec_api.py:330
             # resamples samples_out1[1:]) — mirror it for exact alignment
@@ -455,9 +458,8 @@ class OpusStreamPipeline:
             gc.collect()
         pcm, self.state, self.rs_state, self.silk_prev = self._step(
             self.consts, self.state, self.rs_state, self.silk_prev,
-            jnp.asarray(arenas["a32"]), jnp.asarray(arenas["a16"]),
-            jnp.asarray(arenas["a8"]), xd, jnp.asarray(silk16), self._mats,
-            self._up_w)
+            jnp.asarray(arenas["backing"]), xd, jnp.asarray(silk16),
+            self._mats, self._up_w)
         return pcm
 
     def decode_stream(self, frames_iter, frame_size: int = 960):
