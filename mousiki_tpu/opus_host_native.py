@@ -62,7 +62,7 @@ def _load():
     vp = C.POINTER(C.c_void_p)
     lib.opus_host_decode_plan_batch.argtypes = [
         vp, vp, C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int, vp, sp, ip,
-        C.c_int]
+        ip, C.c_int]
     _lib = lib
     return lib
 
@@ -80,8 +80,8 @@ class NativeOpusHostBatch:
         lib = _load()
         if lib is None:
             raise RuntimeError("native opus host library unavailable")
-        if channels != 1:
-            raise NotImplementedError("unified pipeline is mono (v1)")
+        if channels not in (1, 2):
+            raise ValueError("channels must be 1 or 2")
         self._lib = lib
         self.S = n_streams
         self.channels = channels
@@ -104,12 +104,16 @@ class NativeOpusHostBatch:
             self._celt = self._silk = None
 
     def decode(self, packets: list, frame_size: int = 960):
-        """packets: S whole Opus packets (mono, 20 ms, code 0).
+        """packets: S whole Opus packets (20 ms, code 0).
 
-        Returns (arenas, aux, layout, silk16, modes): the CELT plan
-        arenas (zero rows for SILK-only streams), (S, 320) int16 16 kHz
-        SILK pcm (zero for CELT-only), and per-stream mode tags
-        (0 CELT / 1 SILK / 2 hybrid). rcs rides in aux."""
+        Returns (arenas, aux, layout, silk16, modes, silk_fs): the CELT
+        plan arenas (zero rows for SILK-only streams), (S, 320) int16
+        SILK pcm at each stream's internal rate (fs*20 valid samples,
+        zero for CELT-only), per-stream mode tags (0 CELT / 1 SILK /
+        2 hybrid) and SILK internal rates in kHz. Stereo pipelines
+        (channels=2) accept stereo CELT packets; SILK/hybrid packets are
+        mono-coded and the caller duplicates their output. rcs rides in
+        aux."""
         S = self.S
         assert len(packets) == S
         offs, lens = self._lenbufs
@@ -132,6 +136,7 @@ class NativeOpusHostBatch:
         slot[0] ^= 1
         arenas, aux, layout, views, ptrs, silk16 = slot[1][slot[0]]
         modes = np.zeros(S, np.int32)
+        silk_fs = np.full(S, 16, np.int32)
         blob = b"".join(packets)
         pos = 0
         for i, p in enumerate(packets):
@@ -142,9 +147,10 @@ class NativeOpusHostBatch:
         sp = C.POINTER(C.c_int16)
         self._lib.opus_host_decode_plan_batch(
             self._celt, self._silk, blob, offs.ctypes.data_as(ip),
-            lens.ctypes.data_as(ip), S, self.channels, 1, ptrs,
+            lens.ctypes.data_as(ip), S, self.channels,
+            1 if self.channels == 1 else 0, ptrs,
             silk16.ctypes.data_as(sp), modes.ctypes.data_as(ip),
-            self.n_threads)
+            silk_fs.ctypes.data_as(ip), self.n_threads)
         views["ble32"][:] = aux["band_log_e"]
         views["pf32"][:] = aux["pf_gain"]
-        return arenas, aux, layout, silk16, modes
+        return arenas, aux, layout, silk16, modes, silk_fs

@@ -365,66 +365,87 @@ class OpusStreamPipeline:
     and sums the two paths — per-stream mode needs no explicit masks
     because inactive components carry all-zero inputs.
 
-    v1 scope: mono, 20 ms, one frame per packet, WB SILK internal rate,
-    streams keep a consistent mode (no per-stream mode switching with
-    transition smoothing — use OpusDecoder for those).
+    v1 scope: 20 ms, one frame per packet, streams keep a consistent mode
+    (no per-stream mode switching with transition smoothing — use
+    OpusDecoder for those). Mono pipelines take NB/MB/WB SILK, hybrid and
+    mono CELT; stereo pipelines take stereo CELT plus mono SILK
+    (duplicated to both channels after up-resampling).
     """
 
-    def __init__(self, n_streams: int, host_threads: int = 0):
-        import functools
-
+    def __init__(self, n_streams: int, host_threads: int = 0,
+                 channels: int = 1):
         import jax
         import jax.numpy as jnp
 
         from .opus_host_native import NativeOpusHostBatch
-        from .ops.band_exec_jax import (plan_combo_mats,
-                                        plan_synthesis_step_arena)
+        from .ops.band_exec_jax import plan_combo_mats
         from .ops.silk_resampler_jax import (init_up48_state, make_up48_plan,
                                              up48_step)
 
         self.S = n_streams
-        self.channels = 1
-        self._native = NativeOpusHostBatch(n_streams, 1, host_threads)
+        self.channels = channels
+        self._native = NativeOpusHostBatch(n_streams, channels, host_threads)
         self.consts = make_consts()
-        self.state = init_state(n_streams, 1)
-        self.rs_state = init_up48_state(n_streams)
-        plan = make_up48_plan(320)
-        # the resampler operator must be a runtime ARGUMENT, not a closure
-        # capture: on a tunneled device an executable's embedded array
+        self.state = init_state(n_streams, channels)
+        # one up-resampler plan per SILK internal rate; a stream's rate
+        # selects its output (and which state advances) by mask
+        self._rates = (8, 12, 16)
+        self.rs_states = {r: init_up48_state(n_streams) for r in self._rates}
+        plans = {r: make_up48_plan(20 * r, r) for r in self._rates}
+        # the resampler operators must be runtime ARGUMENTS, not closure
+        # captures: on a tunneled device an executable's embedded array
         # constants are re-uploaded on every dispatch (measured 26 ms/step
-        # for this 1.3 MB operator as a constant vs 0.05 ms as an arg)
-        self._up_w = jax.device_put(plan.wmat)
-        plan_meta = plan._replace(wmat=None)
+        # for a 1.3 MB operator as a constant vs 0.05 ms as an arg)
+        self._up_ws = {r: jax.device_put(plans[r].wmat) for r in self._rates}
+        plan_metas = {r: plans[r]._replace(wmat=None) for r in self._rates}
 
         # ONE fused program per step: steady-state decode dispatches a
         # single executable, with every multi-MB operand (arenas, combo
-        # mats, resampler operator) passed as runtime args. Two tunnel
+        # mats, resampler operators) passed as runtime args. Two tunnel
         # rules, both measured: (1) embedded array constants are
-        # re-uploaded per dispatch (the old scan-based resampler closure
-        # captured a 1.3 MB operator -> 27 ms/step; as an arg 0.08 ms);
-        # (2) any device->host readback permanently degrades dispatch to
-        # executable-reupload mode (~1 s/step) — consumers should read
-        # results only in processes that don't own a serving loop.
+        # re-uploaded per dispatch; (2) any device->host readback
+        # permanently degrades dispatch to executable-reupload mode
+        # (~1 s/step) — consumers should read results only in processes
+        # that don't own a serving loop.
         @jax.jit
-        def step_fn(consts, state, rs_state, silk_prev, backing,
-                    x_direct, silk16, mats, up_w):
+        def step_fn(consts, state, rs_states, prev_fs, silk_prev, backing,
+                    x_direct, silk16, silk_fs, mats, up_ws):
             from .ops.band_exec_jax import plan_synthesis_step_backing
             pcm, new_state = plan_synthesis_step_backing(
-                consts, state, backing, x_direct, mats, channels=1,
+                consts, state, backing, x_direct, mats, channels=channels,
                 n_streams=n_streams)
             # the SILK decode API feeds its resampler through a 1-sample
             # delay (the s_mid stereo-prediction tail; silk/dec_api.py:330
             # resamples samples_out1[1:]) — mirror it for exact alignment
             xs = silk16.astype(jnp.float32)
-            x = jnp.concatenate([silk_prev[:, None], xs[:, :-1]], axis=1)
-            up, new_rs = up48_step(x, rs_state, plan_meta._replace(wmat=up_w))
+            up = jnp.zeros((xs.shape[0], 960), jnp.float32)
+            new_rs = {}
+            new_prev = jnp.zeros_like(silk_prev)
+            for r in (8, 12, 16):
+                L = 20 * r
+                on = silk_fs == r
+                switched = on & (prev_fs != r)
+                st_r = jax.tree.map(
+                    lambda z: jnp.where(switched.reshape(
+                        (-1,) + (1,) * (z.ndim - 1)), 0.0, z), rs_states[r])
+                x = jnp.concatenate([silk_prev[:, None], xs[:, : L - 1]],
+                                    axis=1)
+                up_r, rs_r = up48_step(x, st_r,
+                                       plan_metas[r]._replace(wmat=up_ws[r]))
+                up = jnp.where(on[:, None], up_r, up)
+                new_rs[r] = jax.tree.map(
+                    lambda a, b: jnp.where(on.reshape(
+                        (-1,) + (1,) * (a.ndim - 1)), a, b), rs_r,
+                    rs_states[r])
+                new_prev = jnp.where(on, xs[:, L - 1], new_prev)
             out = pcm + up[:, :, None] * (1.0 / 32768.0)
-            return out, new_state, new_rs, xs[:, -1]
+            return out, new_state, new_rs, new_prev
 
         self._step = step_fn
-        self._mats = plan_combo_mats(1, 960)
+        self._mats = plan_combo_mats(channels, 960)
         self.silk_prev = jnp.zeros((n_streams,), jnp.float32)
-        self._xd_zeros = jnp.zeros((n_streams, 1, 960), jnp.float32)
+        self.prev_fs = jnp.full((n_streams,), 16, jnp.int32)
+        self._xd_zeros = jnp.zeros((n_streams, channels, 960), jnp.float32)
         self._xd_zeros.block_until_ready()
         self._gc_tick = 0
         self.last_modes = None
@@ -441,7 +462,7 @@ class OpusStreamPipeline:
             # any other frame size would corrupt the arena layout
             raise ValueError("OpusStreamPipeline supports 20 ms (960-sample) "
                              f"frames only, got {frame_size}")
-        arenas, aux, layout, silk16, modes = self._native.decode(
+        arenas, aux, layout, silk16, modes, silk_fs = self._native.decode(
             packets, frame_size)
         rcs = aux["rcs"]
         if np.any(rcs < 0):
@@ -456,10 +477,12 @@ class OpusStreamPipeline:
         if self._gc_tick >= 128:
             self._gc_tick = 0
             gc.collect()
-        pcm, self.state, self.rs_state, self.silk_prev = self._step(
-            self.consts, self.state, self.rs_state, self.silk_prev,
-            jnp.asarray(arenas["backing"]), xd, jnp.asarray(silk16),
-            self._mats, self._up_w)
+        fs_dev = jnp.asarray(silk_fs)
+        pcm, self.state, self.rs_states, self.silk_prev = self._step(
+            self.consts, self.state, self.rs_states, self.prev_fs,
+            self.silk_prev, jnp.asarray(arenas["backing"]), xd,
+            jnp.asarray(silk16), fs_dev, self._mats, self._up_ws)
+        self.prev_fs = fs_dev
         return pcm
 
     def decode_stream(self, frames_iter, frame_size: int = 960):

@@ -34,31 +34,41 @@ int silk_host_decode_ec(void* p, const uint8_t* data, int len, int fs_khz,
 
 extern "C" {
 
-// Decode one 20 ms mono Opus packet for stream s.
-//   modes[s]: 0 = CELT, 1 = SILK, 2 = hybrid
-//   silk16:   320 int16 at 16 kHz (zeroed for CELT-only frames)
+// Decode one 20 ms Opus packet for stream s.
+//   modes[s]:  0 = CELT, 1 = SILK, 2 = hybrid
+//   silk16:    320 int16 at the SILK internal rate (fs*20 valid samples,
+//              tail zeroed; zeroed entirely for CELT-only frames)
+//   fs_out[s]: SILK internal rate in kHz (8/12/16; 16 for CELT/hybrid)
 // Returns 0 / negative error (-10 multiframe, -11 non-20ms,
-// -12 non-WB SILK, decoder errors pass through).
+// -14 channel-count mismatch vs the pipeline layout, decoder errors
+// pass through). C is the pipeline's channel count: stereo pipelines
+// accept stereo CELT packets only (SILK/hybrid packets are mono-coded;
+// a stereo pipeline duplicates their up-resampled output).
 int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
                           int len, int C, int disable_inv, void** arrs,
-                          int S, int s, int16_t* silk16, int32_t* mode_out) {
+                          int S, int s, int16_t* silk16, int32_t* mode_out,
+                          int32_t* fs_out) {
   if (!pkt || len < 1) return -1;
   int toc = pkt[0];
   int config = toc >> 3;
+  int stereo_pkt = (toc >> 2) & 1;
   int code = toc & 3;
   if (code != 0) return -10;  // single-frame packets only on this path
   const uint8_t* pay = pkt + 1;
   int plen = len - 1;
   memset(silk16, 0, 320 * sizeof(int16_t));
+  *fs_out = 16;
 
   if (config >= 16) {  // CELT-only: configs 16..31
     static const int kEnds[4] = {13, 17, 19, 21};
     if ((config & 3) != 3) return -11;  // 20 ms only
+    if (stereo_pkt != (C == 2)) return -14;
     int end = kEnds[(config - 16) >> 2];
     *mode_out = 0;
     return celt_host_decode_plan(celt_st, pay, plen, 960, C, 0, end,
                                  disable_inv, arrs, S, s);
   }
+  if (stereo_pkt) return -14;  // stereo SILK/hybrid: per-stream fallback
   if (config >= 12) {  // hybrid: 12/13 SWB, 14/15 FB (odd = 20 ms)
     if ((config & 1) != 1) return -11;
     int end = config < 14 ? 19 : 21;
@@ -72,16 +82,19 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
     int elen = celt_host_hybrid_redundancy(ec, pay, plen, red);
     if (elen <= 0) return -13;
     *mode_out = 2;
+    // the hybrid CELT half is coded mono or stereo per the TOC; this
+    // path reaches here only for mono packets (C==1 layout)
+    if (C != 1) return -14;
     return celt_host_decode_plan_resume(celt_st, pay, elen, 960, C, 17, end,
                                         disable_inv, arrs, S, s, ec);
   }
   // SILK-only: configs 0..11 (NB/MB/WB x 10/20/40/60 ms)
   if ((config & 3) != 1) return -11;  // 20 ms only
   int fs = config < 4 ? 8 : (config < 8 ? 12 : 16);
-  if (fs != 16) return -12;  // device up-resampler is 16k->48k (WB)
   int n = silk_host_decode_ec(silk_st, pay, plen, fs, 20, silk16, nullptr);
   if (n < 0) return n;
   *mode_out = 1;
+  *fs_out = fs;
   return 0;
 }
 
@@ -92,7 +105,7 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
                                  const int32_t* lens, int S, int C,
                                  int disable_inv, void** arrs,
                                  int16_t* silk16_all, int32_t* modes,
-                                 int n_threads) {
+                                 int32_t* silk_fs, int n_threads) {
   int32_t* rcs = (int32_t*)arrs[59];
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
@@ -107,7 +120,7 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
       rcs[s] = opus_host_decode_plan(celt_states[s], silk_states[s],
                                      blob + offs[s], lens[s], C, disable_inv,
                                      arrs, S, s, silk16_all + (size_t)s * 320,
-                                     modes + s);
+                                     modes + s, silk_fs + s);
     }
   };
   if (n_threads == 1) {

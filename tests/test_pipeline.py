@@ -234,6 +234,84 @@ def test_opus_mixed_mode_pipeline():
     assert modes_seen == {0, 1, 2}, modes_seen
 
 
+def test_opus_mixed_pipeline_nb_mb_silk():
+    """Unified pipeline with NB/MB/WB SILK internal rates in one batch:
+    the per-rate masked device up-resamplers must match OpusDecoder."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 8
+    sig = oracle.make_test_signal(960 * (F + 1), 1, seed=11)
+    pcm16 = oracle.float_to_i16(sig)
+
+    def enc_stream(bitrate, bw):
+        enc = oracle.RefEncoder(48000, 1, oracle.APP_VOIP)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+        return [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(F)]
+
+    streams = [enc_stream(8000, 1101),    # SILK NB (8 kHz)
+               enc_stream(12000, 1102),   # SILK MB (12 kHz)
+               enc_stream(16000, 1103),   # SILK WB (16 kHz)
+               enc_stream(8000, 1101)]
+    S = len(streams)
+    pipe = OpusStreamPipeline(S)
+    refs = [OpusDecoder(48000, 1) for _ in range(S)]
+    for f in range(F):
+        packets = [streams[s][f] for s in range(S)]
+        got = np.asarray(pipe.step(packets, 960))
+        for s in range(S):
+            want = refs[s].decode(packets[s], 960)
+            err = np.abs(got[s] - want).max()
+            assert err < 2e-4, (f, s, err)
+
+
+def test_opus_mixed_pipeline_stereo_celt():
+    """Stereo unified pipeline: stereo CELT packets batch with mono SILK
+    streams (duplicated to both channels), matching OpusDecoder."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 8
+    sig2 = oracle.make_test_signal(960 * (F + 1), 2, seed=12)
+    pcm16_2 = oracle.float_to_i16(sig2)
+    sig1 = oracle.make_test_signal(960 * (F + 1), 1, seed=13)
+    pcm16_1 = oracle.float_to_i16(sig1)
+
+    def celt_stereo(bitrate):
+        enc = oracle.RefEncoder(48000, 2, oracle.APP_RESTRICTED_LOWDELAY)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        return [enc.encode(pcm16_2[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(F)]
+
+    def silk_mono(bitrate, bw):
+        enc = oracle.RefEncoder(48000, 1, oracle.APP_VOIP)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+        return [enc.encode(pcm16_1[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(F)]
+
+    streams = [celt_stereo(128000), celt_stereo(64000),
+               silk_mono(16000, 1103), silk_mono(8000, 1101)]
+    S = len(streams)
+    pipe = OpusStreamPipeline(S, channels=2)
+    refs = [OpusDecoder(48000, 2) for _ in range(S)]
+    for f in range(F):
+        packets = [streams[s][f] for s in range(S)]
+        got = np.asarray(pipe.step(packets, 960))
+        for s in range(S):
+            want = refs[s].decode(packets[s], 960)
+            err = np.abs(got[s] - want).max()
+            assert err < 2e-4, (f, s, err)
+
+
 @needs_oracle
 @pytest.mark.parametrize("frame", [120, 240, 480])
 def test_plan_pipeline_all_lm(frame):
