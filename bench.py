@@ -59,15 +59,25 @@ def downmix_16k(pcm48):
     return filt[::3].astype(np.float32)
 
 
-def quality_gate(S, payloads, full_pkts):
-    """Decode via the plan pipeline, compare vs libopus float decode.
+def load_corpus():
+    """Committed music-like corpus (testdata/corpus.wav, 48 kHz stereo
+    16-bit; see tools/gen_bench_corpus.py). Returns float32 (N, 2) or
+    None."""
+    import wave
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "testdata", "corpus.wav")
+    if not os.path.exists(path):
+        return None
+    with wave.open(path, "rb") as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+    x = np.frombuffer(raw, "<i2").reshape(-1, 2)
+    return x.astype(np.float32) / 32768.0
 
-    Uses the same S as the perf run so the jitted step is already
-    compiled (fresh pipeline = fresh stream state)."""
+
+def _gate_one(S, payloads, full_pkts):
     from mousiki_tpu.pipeline import CeltStreamPipeline
     from mousiki_tpu.testing import oracle
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "tools"))
     from opus_compare import compare
 
     pipe = CeltStreamPipeline(S, channels=2, use_plan=True)
@@ -81,9 +91,39 @@ def quality_gate(S, payloads, full_pkts):
     ref = np.concatenate([dec.decode_float(p, 960) for p in full_pkts],
                          axis=0)
     r = compare(32768.0 * downmix_16k(ref), 32768.0 * downmix_16k(ours))
-    return {"pass": bool(r["ok"]), "err4": round(float(r["err4"]), 4),
-            "err16": round(float(r["err16"]), 4),
-            "pitch": round(float(r["pitch"]), 4)}
+    return r
+
+
+def quality_gate(S, payloads, full_pkts):
+    """Decode via the plan pipeline, compare vs libopus float decode —
+    on the synthetic perf signal AND on the committed music corpus
+    (testdata/corpus.wav: percussive transients, polyphony, stereo
+    noise beds). Uses the same S as the perf run so the jitted step is
+    already compiled (fresh pipeline = fresh stream state)."""
+    from mousiki_tpu.bitstream.packet import parse_packet
+    from mousiki_tpu.testing import oracle
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+
+    r = _gate_one(S, payloads, full_pkts)
+    out = {"pass": bool(r["ok"]), "err4": round(float(r["err4"]), 4),
+           "err16": round(float(r["err16"]), 4),
+           "pitch": round(float(r["pitch"]), 4)}
+
+    corpus = load_corpus()
+    if corpus is not None:
+        enc = oracle.RefEncoder(48000, 2, oracle.APP_RESTRICTED_LOWDELAY)
+        enc.ctl_set(oracle.SET_BITRATE, 128000)
+        pcm16 = oracle.float_to_i16(corpus)
+        nf = len(corpus) // 960
+        pkts = [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(nf)]
+        pays = [parse_packet(p).frames[0] for p in pkts]
+        rc = _gate_one(S, pays, pkts)
+        out["corpus_err4"] = round(float(rc["err4"]), 4)
+        out["corpus_err16"] = round(float(rc["err16"]), 4)
+        out["pass"] = out["pass"] and bool(rc["ok"])
+    return out
 
 
 def bench_e2e(payloads, S, n_steps=128):

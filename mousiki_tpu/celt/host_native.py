@@ -437,11 +437,11 @@ class NativeCeltHostBatch:
         slot = self._plan_db[frame_size]
         slot[0] ^= 1
         arenas, aux, layout, views, ptrs = slot[1][slot[0]]
-        blob = b"".join(payloads)
+        blob = b"".join(p for p in payloads if p is not None)
         pos = 0
         for i, p in enumerate(payloads):
             offs[i] = pos
-            lens[i] = len(p)
+            lens[i] = 0 if p is None else len(p)  # None = lost frame
             pos += lens[i]
         ip = C.POINTER(C.c_int32)
         self._lib.celt_host_decode_plan_batch(

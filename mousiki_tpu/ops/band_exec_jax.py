@@ -812,3 +812,64 @@ def plan_synthesis_step_backing(consts, state, backing, x_direct, mats=None,
         jnp.uint8).reshape(-1)[:n8]
     return plan_synthesis_step_arena(consts, state, a32, a16, a8, x_direct,
                                      mats, channels=channels, frame=frame)
+
+
+@partial(jax.jit, static_argnames=("channels", "frame", "n_streams"))
+def plan_synthesis_step_plc(consts, plc_consts, state, plc_state, backing,
+                            x_direct, lost, mats=None, channels: int = 2,
+                            frame: int = 960, n_streams: int = None):
+    """plan_synthesis_step_backing + per-stream packet-loss concealment.
+
+    lost: (S,) bool. Lost streams ignore their (stale) plan rows and take
+    the device PLC re-entry spectrum (ops/plc_jax.py: pitch-extrapolated
+    excitation through the LPC envelope, forward-MDCT'd); their postfilter
+    params coast at the current state values. The PLC compute sits under a
+    lax.cond so loss-free steps skip it without switching executables
+    (program alternation costs ~0.8 s on the tunneled device).
+    """
+    from ..celt.host_native import arena_word_layout
+    from .plc_jax import PlcState, celt_plc_freq
+    from .synthesis_jax import COMB_MIN, FrameDesc, synthesis_step
+
+    S = n_streams
+    lm = {120: 0, 240: 1, 480: 2, 960: 3}[frame]
+    n32, o16, n16, o8, n8, _t = arena_word_layout(S, channels, frame)
+    a32 = lax.slice(backing, (0,), (n32,))
+    a16 = lax.bitcast_convert_type(
+        lax.slice(backing, (o16,), (o16 + (n16 + 1) // 2,)),
+        jnp.int16).reshape(-1)[:n16]
+    a8 = lax.bitcast_convert_type(
+        lax.slice(backing, (o8,), (o8 + (n8 + 3) // 4,)),
+        jnp.uint8).reshape(-1)[:n8]
+    p, ble, pf_gain, iflags = unpack_plan_arenas(a32, a16, a8,
+                                                 channels=channels,
+                                                 frame=frame)
+    X = execute_packed(p, x_direct, channels=channels, frame=frame,
+                       lm=lm, start=0, end=21, mats=mats)
+
+    def do_plc(_):
+        return celt_plc_freq(plc_consts, state, plc_state, lost,
+                             channels=channels, frame=frame)
+
+    def no_plc(_):
+        new_plc = PlcState(
+            loss_count=jnp.where(lost, plc_state.loss_count + 1,
+                                 jnp.zeros_like(plc_state.loss_count)),
+            plc_pitch=plc_state.plc_pitch, lpc=plc_state.lpc)
+        return jnp.zeros((S, channels, frame), jnp.float32), new_plc
+
+    freq_plc, new_plc = lax.cond(jnp.any(lost), do_plc, no_plc, None)
+
+    ble_pad = jnp.pad(ble[:, :channels, :], ((0, 0), (0, 0), (0, 1)),
+                      constant_values=-28.0)
+    desc = FrameDesc(
+        x=X.reshape(-1, channels, frame), band_log_e=ble_pad,
+        transient=jnp.where(lost, False, iflags[:, 0] != 0),
+        silence=jnp.where(lost, False, iflags[:, 1] != 0),
+        pf_pitch=jnp.where(lost, jnp.maximum(state.pf_period, COMB_MIN),
+                           iflags[:, 2]),
+        pf_gain=jnp.where(lost, state.pf_gain, pf_gain),
+        pf_tapset=jnp.where(lost, state.pf_tapset, iflags[:, 3]))
+    pcm, new_state = synthesis_step(consts, state, desc, channels=channels,
+                                    n=frame, lost=lost, freq_plc=freq_plc)
+    return pcm, new_state, new_plc

@@ -275,11 +275,20 @@ def deemphasis(x, mem, coef=0.85):
 
 @partial(jax.jit, static_argnames=("channels", "n"))
 def synthesis_step(consts: SynthesisConsts, state: StreamState,
-                   desc: FrameDesc, channels: int = 2, n: int = N960):
+                   desc: FrameDesc, channels: int = 2, n: int = N960,
+                   lost=None, freq_plc=None):
     """One frame (n = 120/240/480/960 samples, LM 0-3) for all streams;
-    returns (pcm (S, n, C), new state). consts must be make_consts(n=n)."""
+    returns (pcm (S, n, C), new state). consts must be make_consts(n=n).
+
+    lost/freq_plc: per-stream packet-loss masking (ops/plc_jax.py): lost
+    streams take the PLC re-entry spectrum (already full-scale) instead
+    of their denormalised decoded bands; callers must also set the lost
+    streams' desc.pf_* to the state's current postfilter params and
+    transient/silence to False so the comb blend stays constant."""
     N = n
     freq = denormalise(consts, desc.x, desc.band_log_e, desc.silence)
+    if lost is not None:
+        freq = jnp.where(lost[:, None, None], freq_plc, freq)
     raw = imdct_blocks(consts, freq, desc.transient)
 
     # shift decode_mem left by N; previous raw tail lands at DECODE-N

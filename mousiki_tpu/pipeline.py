@@ -97,8 +97,15 @@ class CeltStreamPipeline:
                 synthesis_step, channels=channels))
         if use_plan:
             from .ops.band_exec_jax import (plan_combo_mats,
-                                            plan_synthesis_step_backing)
-            self._plan_step_fn = plan_synthesis_step_backing
+                                            plan_synthesis_step_plc)
+            from .ops.plc_jax import init_plc_state, make_plc_consts
+            self._plan_step_fn = plan_synthesis_step_plc
+            self.plc_state = init_plc_state(n_streams, channels)
+            mode = __import__(
+                "mousiki_tpu.celt.modes", fromlist=["opus_custom_mode"]
+            ).opus_custom_mode(48000, 960)
+            self._plc_consts = {960: make_plc_consts(960, mode.window)}
+            self._lost_none = np.zeros(n_streams, bool)
             # per-frame-size caches (LM 0-3): synthesis consts, combo
             # operators (device-resident runtime args), and the all-zero
             # device x_direct fallback (only shipped when some stream fell
@@ -133,10 +140,18 @@ class CeltStreamPipeline:
             return self._sharded_plan_steps[frame_size](
                 self._plan_consts[frame_size], state, *args,
                 self._plan_mats[frame_size])
-        return self._plan_step_fn(self._plan_consts[frame_size], state,
-                                  *args, self._plan_mats[frame_size],
-                                  channels=self.channels,
-                                  frame=frame_size, n_streams=self.S)
+        if frame_size not in self._plc_consts:
+            from .celt.modes import opus_custom_mode
+            from .ops.plc_jax import make_plc_consts
+            self._plc_consts[frame_size] = make_plc_consts(
+                frame_size, opus_custom_mode(48000, 960).window)
+        backing, xd, lost = args
+        pcm, new_state, self.plc_state = self._plan_step_fn(
+            self._plan_consts[frame_size], self._plc_consts[frame_size],
+            state, self.plc_state, backing, xd, lost,
+            self._plan_mats[frame_size], channels=self.channels,
+            frame=frame_size, n_streams=self.S)
+        return pcm, new_state
 
     # ------------------------------------------------------------------
     def _host_decode(self, payloads: list, frame_size: int) -> FrameDesc:
@@ -208,6 +223,7 @@ class CeltStreamPipeline:
             bad = int(np.argmax(rcs < 0))
             raise ValueError(
                 f"stream {bad}: native celt plan decode failed rc={rcs[bad]}")
+        lost = np.fromiter((p is None for p in payloads), bool, len(payloads))
         name, off, shape = layout["direct"]
         any_direct = bool(arenas[name][off:off + shape[0]].any())
         if frame_size not in self._xd_zeros:
@@ -227,7 +243,7 @@ class CeltStreamPipeline:
             gc.collect()
         # one H2D transfer: the three arenas share an int32 backing buffer
         # (each fixed transfer through the device tunnel costs ~0.1 ms)
-        return (jnp.asarray(arenas["backing"]), xd)
+        return (jnp.asarray(arenas["backing"]), xd, jnp.asarray(lost))
 
     def _host_decode_plan_sharded(self, payloads: list, frame_size: int):
         import jax

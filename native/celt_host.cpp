@@ -2262,6 +2262,11 @@ void* celt_host_create() {
 void celt_host_destroy(void* p) { delete (CeltHost*)p; }
 void celt_host_reset(void* p) { celt_host_reset_impl((CeltHost*)p); }
 
+// Mark one lost frame for this stream (batched PLC runs on device; the
+// host only tracks loss_count for the background-energy bookkeeping of
+// the next real frame — python decoder parity: _decode_lost).
+void celt_host_note_loss(void* p) { ((CeltHost*)p)->loss_count++; }
+
 // Import energy state (e.g. to sync with a Python-side decoder).
 void celt_host_set_state(void* p, const double* old_ebands,
                          const double* old_log_e, const double* old_log_e2,
@@ -2957,6 +2962,11 @@ void celt_host_decode_plan_batch(void** states, const uint8_t* blob,
     for (;;) {
       int s = next.fetch_add(1);
       if (s >= S) break;
+      if (lens[s] == 0) {  // lost frame: device PLC conceals it
+        celt_host_note_loss(states[s]);
+        rcs[s] = 1;
+        continue;
+      }
       rcs[s] = celt_host_decode_plan(states[s], blob + offs[s], lens[s],
                                      frame_size, C, start, end, disable_inv,
                                      arrs, S, s);

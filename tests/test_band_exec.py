@@ -12,8 +12,9 @@ from mousiki_tpu.celt.plan_pack import pack_plans
 from mousiki_tpu.ops.band_exec_jax import execute_packed
 from mousiki_tpu.testing import oracle
 
-pytestmark = pytest.mark.skipif(not oracle.available(),
-                                reason="libopus oracle missing")
+pytestmark = [pytest.mark.tpu,
+              pytest.mark.skipif(not oracle.available(),
+                                 reason="libopus oracle missing")]
 
 TOL = 1e-5
 

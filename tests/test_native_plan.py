@@ -17,6 +17,7 @@ from mousiki_tpu.celt.plan_pack import pack_plans
 from mousiki_tpu.testing import oracle
 
 pytestmark = [
+    pytest.mark.tpu,
     pytest.mark.skipif(not oracle.available(), reason="libopus oracle missing"),
     pytest.mark.skipif(not host_native.available(), reason="native lib missing"),
 ]

@@ -1,11 +1,15 @@
 """Pallas deemphasis kernel vs the associative-scan reference
 (interpret mode so it runs on the CPU test backend)."""
 
+
+
 import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
 
 
 def test_pallas_deemphasis_matches_scan():

@@ -343,3 +343,45 @@ def test_plan_pipeline_all_lm(frame):
             want = refs[s].decode_with_ec(payloads[f], frame)
             err = np.abs(pcm[s] - want).max()
             assert err < 2e-4, (frame, f, s, err)
+
+
+@needs_oracle
+def test_celt_pipeline_packet_loss_plc():
+    """Batched device PLC: a CELT stream batch with ~10%% random loss must
+    match the per-stream decoder (which runs the same pitch-extrapolation
+    concealment) within tolerance (VERDICT r2 item 7)."""
+    from mousiki_tpu.celt import host_native
+    if not host_native.available():
+        pytest.skip("native host lib unavailable")
+    from mousiki_tpu.bitstream.packet import parse_packet
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import CeltStreamPipeline
+
+    S, channels, F = 4, 2, 16
+    rng = np.random.default_rng(17)
+    sig = oracle.make_test_signal(960 * (F + 1), channels, seed=21)
+    enc = oracle.RefEncoder(48000, channels, oracle.APP_RESTRICTED_LOWDELAY)
+    enc.ctl_set(oracle.SET_BITRATE, 96000)
+    pcm16 = oracle.float_to_i16(sig)
+    pkts = [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+            for f in range(F)]
+    pays = [parse_packet(p).frames[0] for p in pkts]
+    # per-stream loss patterns, ~10-15% including a 2-frame burst
+    lost = rng.random((S, F)) < 0.12
+    lost[:, 0] = False                      # prime with a real frame
+    lost[1, 5:7] = True                     # consecutive losses
+    pipe = CeltStreamPipeline(S, channels=channels, use_plan=True)
+    refs = [OpusDecoder(48000, channels) for _ in range(S)]
+    worst = 0.0
+    for f in range(F):
+        batch = [None if lost[s, f] else pays[f] for s in range(S)]
+        got = np.asarray(pipe.step(batch, 960))
+        for s in range(S):
+            want = refs[s].decode(None if lost[s, f] else pkts[f], 960)
+            err = np.abs(got[s] - want).max()
+            worst = max(worst, err)
+            # PLC frames are non-normative; the device mirrors the
+            # python concealment in f32, so keep a loose-but-meaningful
+            # tolerance on them and the strict one on received frames
+            tol = 5e-3 if (lost[s, f] or (f and lost[s, f - 1])) else 2e-4
+            assert err < tol, (f, s, err, bool(lost[s, f]))

@@ -1,5 +1,7 @@
 """Batched device up-resampler vs the bit-exact host fixed-point resampler."""
 
+
+
 import numpy as np
 import pytest
 
@@ -10,6 +12,8 @@ from mousiki_tpu.ops.silk_resampler_jax import (Up48Plan, init_up48_state,
                                                 make_up48_plan, up48_step)
 from mousiki_tpu.silk.resampler import resampler_init, silk_resampler
 from mousiki_tpu.silk.structs import ResamplerState
+
+pytestmark = pytest.mark.tpu
 
 
 def test_up48_matches_host():

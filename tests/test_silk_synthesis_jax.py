@@ -1,6 +1,8 @@
 """Batched SILK device synthesis vs the bit-exact host decode_core on real
 streams (params captured from the host symbol stage)."""
 
+
+
 import numpy as np
 import pytest
 
@@ -11,6 +13,8 @@ from mousiki_tpu.bitstream.packet import Mode
 from mousiki_tpu.opus_encoder import OpusEncoder, APP_VOIP
 from mousiki_tpu.opus_decoder import OpusDecoder
 from mousiki_tpu.ops.silk_synthesis_jax import (SilkFrameParams,
+
+pytestmark = pytest.mark.tpu
                                                 init_silk_state,
                                                 silk_synthesis_step)
 

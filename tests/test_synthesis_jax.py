@@ -15,7 +15,8 @@ from mousiki_tpu.ops.synthesis_jax import (FrameDesc, StreamState, init_state,
                                            make_consts, synthesis_step)
 from mousiki_tpu.testing import oracle
 
-pytestmark = pytest.mark.skipif(not oracle.available(), reason="libopus oracle missing")
+pytestmark = [pytest.mark.tpu, pytest.mark.skipif(
+    not oracle.available(), reason="libopus oracle missing")]
 
 
 def make_descs(n_frames=12, channels=2, bitrate=96000, seed=3):
