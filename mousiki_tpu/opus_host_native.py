@@ -137,11 +137,11 @@ class NativeOpusHostBatch:
         arenas, aux, layout, views, ptrs, silk16 = slot[1][slot[0]]
         modes = np.zeros(S, np.int32)
         silk_fs = np.full(S, 16, np.int32)
-        blob = b"".join(packets)
+        blob = b"".join(p for p in packets if p is not None)
         pos = 0
         for i, p in enumerate(packets):
             offs[i] = pos
-            lens[i] = len(p)
+            lens[i] = 0 if p is None else len(p)  # None = lost frame
             pos += lens[i]
         ip = C.POINTER(C.c_int32)
         sp = C.POINTER(C.c_int16)

@@ -423,13 +423,19 @@ class OpusStreamPipeline:
         # permanently degrades dispatch to executable-reupload mode
         # (~1 s/step) — consumers should read results only in processes
         # that don't own a serving loop.
+        from .celt.modes import opus_custom_mode
+        from .ops.plc_jax import init_plc_state, make_plc_consts
+        self.plc_state = init_plc_state(n_streams, channels)
+        plc_consts = make_plc_consts(960, opus_custom_mode(48000,
+                                                           960).window)
+
         @jax.jit
-        def step_fn(consts, state, rs_states, prev_fs, silk_prev, backing,
-                    x_direct, silk16, silk_fs, mats, up_ws):
-            from .ops.band_exec_jax import plan_synthesis_step_backing
-            pcm, new_state = plan_synthesis_step_backing(
-                consts, state, backing, x_direct, mats, channels=channels,
-                n_streams=n_streams)
+        def step_fn(consts, state, plc_state, rs_states, prev_fs, silk_prev,
+                    backing, x_direct, lost, silk16, silk_fs, mats, up_ws):
+            from .ops.band_exec_jax import plan_synthesis_step_plc
+            pcm, new_state, new_plc = plan_synthesis_step_plc(
+                consts, plc_consts, state, plc_state, backing, x_direct,
+                lost, mats, channels=channels, n_streams=n_streams)
             # the SILK decode API feeds its resampler through a 1-sample
             # delay (the s_mid stereo-prediction tail; silk/dec_api.py:330
             # resamples samples_out1[1:]) — mirror it for exact alignment
@@ -455,7 +461,7 @@ class OpusStreamPipeline:
                     rs_states[r])
                 new_prev = jnp.where(on, xs[:, L - 1], new_prev)
             out = pcm + up[:, :, None] * (1.0 / 32768.0)
-            return out, new_state, new_rs, new_prev
+            return out, new_state, new_plc, new_rs, new_prev
 
         self._step = step_fn
         self._mats = plan_combo_mats(channels, 960)
@@ -486,6 +492,7 @@ class OpusStreamPipeline:
             raise ValueError(f"stream {bad}: native opus host decode "
                              f"failed rc={rcs[bad]}")
         self.last_modes = modes
+        lost = np.fromiter((p is None for p in packets), bool, len(packets))
         name, off, shape = layout["direct"]
         any_direct = bool(arenas[name][off:off + shape[0]].any())
         xd = jnp.asarray(aux["x_direct"]) if any_direct else self._xd_zeros
@@ -494,10 +501,12 @@ class OpusStreamPipeline:
             self._gc_tick = 0
             gc.collect()
         fs_dev = jnp.asarray(silk_fs)
-        pcm, self.state, self.rs_states, self.silk_prev = self._step(
-            self.consts, self.state, self.rs_states, self.prev_fs,
-            self.silk_prev, jnp.asarray(arenas["backing"]), xd,
-            jnp.asarray(silk16), fs_dev, self._mats, self._up_ws)
+        (pcm, self.state, self.plc_state, self.rs_states,
+         self.silk_prev) = self._step(
+            self.consts, self.state, self.plc_state, self.rs_states,
+            self.prev_fs, self.silk_prev, jnp.asarray(arenas["backing"]),
+            xd, jnp.asarray(lost), jnp.asarray(silk16), fs_dev, self._mats,
+            self._up_ws)
         self.prev_fs = fs_dev
         return pcm
 

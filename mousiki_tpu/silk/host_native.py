@@ -49,6 +49,8 @@ def _load():
                                      C.c_int, C.POINTER(C.c_int16)]
     lib.silk_host_rng.restype = C.c_uint32
     lib.silk_host_rng.argtypes = [C.c_void_p]
+    lib.silk_host_plc.restype = C.c_int
+    lib.silk_host_plc.argtypes = [C.c_void_p, C.POINTER(C.c_int16)]
     _lib = lib
     return lib
 
@@ -88,4 +90,11 @@ class NativeSilkHost:
             out.ctypes.data_as(C.POINTER(C.c_int16)))
         if rc < 0:
             raise ValueError(f"native silk decode failed (rc={rc})")
+        return out[:rc]
+
+    def plc(self) -> np.ndarray:
+        """Conceal one lost frame; returns int16 at the stream's rate."""
+        out = np.zeros(16 * 20, np.int16)
+        rc = self._lib.silk_host_plc(
+            self._st, out.ctypes.data_as(C.POINTER(C.c_int16)))
         return out[:rc]

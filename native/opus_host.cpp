@@ -30,6 +30,8 @@ int celt_host_hybrid_redundancy(uint32_t* ec, const uint8_t* data, int len,
 // silk_host.cpp
 int silk_host_decode_ec(void* p, const uint8_t* data, int len, int fs_khz,
                         int frame_ms, int16_t* xq_out, uint32_t* ec_out);
+int silk_host_plc(void* p, int16_t* xq_out);
+void celt_host_note_loss(void* p);
 }
 
 extern "C" {
@@ -117,6 +119,18 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
     for (;;) {
       int s = next.fetch_add(1);
       if (s >= S) break;
+      if (lens[s] == 0) {
+        // lost frame: CELT PLC runs on device (the caller's lost mask);
+        // the SILK half conceals here (int-exact plc.rs/cng.rs twins)
+        celt_host_note_loss(celt_states[s]);
+        int16_t* sp = silk16_all + (size_t)s * 320;
+        memset(sp, 0, 320 * sizeof(int16_t));
+        int n = silk_host_plc(silk_states[s], sp);
+        silk_fs[s] = n > 0 ? n / 20 : 16;
+        modes[s] = 3;  // lost
+        rcs[s] = 1;
+        continue;
+      }
       rcs[s] = opus_host_decode_plan(celt_states[s], silk_states[s],
                                      blob + offs[s], lens[s], C, disable_inv,
                                      arrs, S, s, silk16_all + (size_t)s * 320,

@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <cstdlib>
 #include <algorithm>
 
@@ -230,6 +231,30 @@ struct SideInfo {
   int per_index, ltp_scale_index, seed;
 };
 
+struct PlcState {
+  int32_t pitch_l_q8;
+  int16_t ltp_coef_q14[LTP_ORDER];
+  int16_t prev_lpc_q12[MAX_D];
+  int last_frame_lost;
+  int32_t rand_seed;
+  int16_t rand_scale_q14;
+  int32_t conc_energy;
+  int conc_energy_shift;
+  int16_t prev_ltp_scale_q14;
+  int32_t prev_gain_q16[2];
+  int fs_khz;
+  int nb_subfr, subfr_length;
+};
+
+struct CngState {
+  int16_t cng_smth_nlsf_q15[MAX_D];
+  int32_t cng_exc_buf_q14[MAX_FRAME];
+  int32_t cng_smth_gain_q16;
+  int32_t rand_seed;
+  int32_t cng_synth_state[MAX_D];
+  int fs_khz;
+};
+
 struct SilkState {
   uint32_t last_rng;
   int fs_khz, nb_subfr, frame_length, subfr_length, ltp_mem_length, lpc_order;
@@ -246,6 +271,9 @@ struct SilkState {
   int16_t out_buf[MAX_FRAME + 2 * 20 * 16];
   int32_t exc_q14[MAX_FRAME];
   SideInfo ix;
+  int loss_cnt;
+  PlcState plc;
+  CngState cng;
 };
 
 struct DecCtrl {
@@ -708,6 +736,13 @@ void decode_parameters(SilkState* st, DecCtrl* ctrl, int cond_coding) {
   }
   memcpy(st->prev_nlsf_q15, nlsf_q15, st->lpc_order * sizeof(int16_t));
 
+  if (st->loss_cnt) {
+    // first frame after loss: mild LPC bandwidth expansion
+    // (decode_params.py:292, BWE_AFTER_LOSS_Q16)
+    silk_bwexpander(ctrl->pred_coef_q12[0], st->lpc_order, 63570);
+    silk_bwexpander(ctrl->pred_coef_q12[1], st->lpc_order, 63570);
+  }
+
   if (ix.signal_type == 2) {
     decode_pitch(ix.lag_index, ix.contour_index, st->fs_khz, st->nb_subfr,
                  ctrl->pitch_l);
@@ -787,6 +822,18 @@ void decode_core(SilkState* st, DecCtrl* ctrl, const int* pulses,
         sLPC[i] = SMULWW(gain_adj_q16, sLPC[i]);
     }
     st->prev_gain_q16 = ctrl->gains_q16[k];
+
+    // avoid an abrupt voiced-PLC -> unvoiced transition right after loss
+    // (decode_core.py:85; only the first two subframes)
+    int16_t b_trans[LTP_ORDER];
+    if (st->loss_cnt && st->prev_signal_type == 2 && ix.signal_type != 2
+        && k < 2) {
+      memset(b_trans, 0, sizeof(b_trans));
+      b_trans[LTP_ORDER / 2] = 4096;  // 0.25 in Q14
+      B_q14 = b_trans;
+      signal_type = 2;
+      ctrl->pitch_l[k] = st->lag_prev;
+    }
 
     if (signal_type == 2) {
       lag = ctrl->pitch_l[k];
@@ -872,6 +919,377 @@ void state_set_fs(SilkState* st, int fs_khz, int nb_subfr) {
   }
 }
 
+// -------------------------------------------------------------- PLC / CNG
+// Int-exact twins of mousiki_tpu/silk/plc.py + cng.py (reference
+// src/silk/plc.rs, cng.rs; libopus silk/PLC.c, CNG.c).
+constexpr int NB_ATT = 2;
+constexpr int16_t kHarmAttQ15[NB_ATT] = {32440, 31130};
+constexpr int16_t kRandAttVQ15[NB_ATT] = {31130, 26214};
+constexpr int16_t kRandAttUVQ15[NB_ATT] = {32440, 29491};
+constexpr int V_PITCH_GAIN_START_MIN_Q14 = 11469;
+constexpr int V_PITCH_GAIN_START_MAX_Q14 = 15565;
+constexpr int32_t BWE_COEF_Q16 = 64881;
+constexpr int32_t PITCH_DRIFT_FAC_Q16 = 655;
+constexpr int RAND_BUF_SIZE = 128;
+constexpr int RAND_BUF_MASK = RAND_BUF_SIZE - 1;
+constexpr int LOG2_INV_LPC_GAIN_HIGH_THRES = 3;
+constexpr int LOG2_INV_LPC_GAIN_LOW_THRES = 8;
+constexpr int32_t CNG_NLSF_SMTH_Q16 = 16348;
+constexpr int32_t CNG_GAIN_SMTH_Q16 = 4634;
+
+inline void CLZ_FRAC(int32_t x, int* lz, int* frac_q7) {
+  *lz = CLZ32(x);
+  *frac_q7 = x == 0 ? 0 : (int)(ROTR32((uint32_t)x, 24 - *lz) & 0x7F);
+}
+
+int32_t SQRT_APPROX(int32_t x) {
+  if (x <= 0) return 0;
+  int lz, frac_q7;
+  CLZ_FRAC(x, &lz, &frac_q7);
+  int32_t y = (lz & 1) ? 32768 : 46214;
+  y >>= lz >> 1;
+  y = SMLAWB(y, y, SMULBB(213, frac_q7));
+  return y;
+}
+
+void sum_sqr_shift(const int16_t* x, int length, int32_t* energy,
+                   int* shift) {
+  int shft = 31 - CLZ32(length);
+  int32_t nrg = length;
+  int i = 0;
+  for (; i < length - 1; i += 2) {
+    int32_t t = I32((int64_t)x[i] * x[i] + (int64_t)x[i + 1] * x[i + 1]);
+    nrg = I32(nrg + ((uint32_t)t >> shft));
+  }
+  if (i < length) nrg = I32(nrg + (((int32_t)x[i] * x[i]) >> shft));
+  shft = shft + 3 - CLZ32(nrg);
+  if (shft < 0) shft = 0;
+  nrg = 0;
+  for (i = 0; i < length - 1; i += 2) {
+    int32_t t = I32((int64_t)x[i] * x[i] + (int64_t)x[i + 1] * x[i + 1]);
+    nrg = I32(nrg + ((uint32_t)t >> shft));
+  }
+  if (i < length) nrg = I32(nrg + (((int32_t)x[i] * x[i]) >> shft));
+  *energy = nrg;
+  *shift = shft;
+}
+
+void plc_reset(SilkState* st) {
+  st->plc.pitch_l_q8 = st->frame_length << 7;
+  st->plc.prev_gain_q16[0] = 1 << 16;
+  st->plc.prev_gain_q16[1] = 1 << 16;
+  st->plc.subfr_length = 20;
+  st->plc.nb_subfr = 2;
+}
+
+void plc_update(SilkState* st, const DecCtrl* ctrl) {
+  PlcState* plc = &st->plc;
+  st->prev_signal_type = st->ix.signal_type;
+  int32_t ltp_gain_q14 = 0;
+  if (st->ix.signal_type == 2) {
+    for (int j = 0; j * st->subfr_length < ctrl->pitch_l[st->nb_subfr - 1];
+         j++) {
+      if (j == st->nb_subfr) break;
+      int32_t temp = 0;
+      for (int t = 0; t < LTP_ORDER; t++)
+        temp += ctrl->ltp_coef_q14[(st->nb_subfr - 1 - j) * LTP_ORDER + t];
+      if (temp > ltp_gain_q14) {
+        ltp_gain_q14 = temp;
+        memcpy(plc->ltp_coef_q14,
+               ctrl->ltp_coef_q14 + (st->nb_subfr - 1 - j) * LTP_ORDER,
+               LTP_ORDER * sizeof(int16_t));
+        plc->pitch_l_q8 = ctrl->pitch_l[st->nb_subfr - 1 - j] << 8;
+      }
+    }
+    memset(plc->ltp_coef_q14, 0, sizeof(plc->ltp_coef_q14));
+    plc->ltp_coef_q14[LTP_ORDER / 2] = (int16_t)ltp_gain_q14;
+    if (ltp_gain_q14 < V_PITCH_GAIN_START_MIN_Q14) {
+      int32_t scale_q10 = DIV32(V_PITCH_GAIN_START_MIN_Q14 << 10,
+                                ltp_gain_q14 > 1 ? ltp_gain_q14 : 1);
+      for (int i = 0; i < LTP_ORDER; i++)
+        plc->ltp_coef_q14[i] =
+            (int16_t)(SMULBB(plc->ltp_coef_q14[i], scale_q10) >> 10);
+    } else if (ltp_gain_q14 > V_PITCH_GAIN_START_MAX_Q14) {
+      int32_t scale_q14 = DIV32(V_PITCH_GAIN_START_MAX_Q14 << 14,
+                                ltp_gain_q14 > 1 ? ltp_gain_q14 : 1);
+      for (int i = 0; i < LTP_ORDER; i++)
+        plc->ltp_coef_q14[i] =
+            (int16_t)(SMULBB(plc->ltp_coef_q14[i], scale_q14) >> 14);
+    }
+  } else {
+    plc->pitch_l_q8 = (st->fs_khz * 18) << 8;
+    memset(plc->ltp_coef_q14, 0, sizeof(plc->ltp_coef_q14));
+  }
+  memset(plc->prev_lpc_q12, 0, sizeof(plc->prev_lpc_q12));
+  memcpy(plc->prev_lpc_q12, ctrl->pred_coef_q12[1],
+         st->lpc_order * sizeof(int16_t));
+  plc->prev_ltp_scale_q14 = (int16_t)ctrl->ltp_scale_q14;
+  plc->prev_gain_q16[0] = ctrl->gains_q16[st->nb_subfr - 2];
+  plc->prev_gain_q16[1] = ctrl->gains_q16[st->nb_subfr - 1];
+  plc->subfr_length = st->subfr_length;
+  plc->nb_subfr = st->nb_subfr;
+}
+
+void plc_conceal(SilkState* st, DecCtrl* ctrl, int16_t* frame) {
+  PlcState* plc = &st->plc;
+  int32_t prev_gain_q10[2] = {plc->prev_gain_q16[0] >> 6,
+                              plc->prev_gain_q16[1] >> 6};
+  if (st->first_frame_after_reset)
+    memset(plc->prev_lpc_q12, 0, sizeof(plc->prev_lpc_q12));
+
+  // lowest-energy of the last two subframes picks the random source
+  int16_t exc_buf[2 * 5 * 16];
+  int idx2 = 0;
+  for (int k = 0; k < 2; k++) {
+    int base = (k + st->nb_subfr - 2) * st->subfr_length;
+    for (int i = 0; i < st->subfr_length; i++)
+      exc_buf[idx2++] = (int16_t)SAT16(
+          SMULWW(st->exc_q14[base + i], prev_gain_q10[k]) >> 8);
+  }
+  int32_t energy1, energy2;
+  int shift1, shift2;
+  sum_sqr_shift(exc_buf, st->subfr_length, &energy1, &shift1);
+  sum_sqr_shift(exc_buf + st->subfr_length, st->subfr_length, &energy2,
+                &shift2);
+  int rand_base;
+  if ((energy1 >> shift2) < (energy2 >> shift1))
+    rand_base = (plc->nb_subfr - 1) * plc->subfr_length - RAND_BUF_SIZE;
+  else
+    rand_base = plc->nb_subfr * plc->subfr_length - RAND_BUF_SIZE;
+  if (rand_base < 0) rand_base = 0;
+
+  int16_t b_q14[LTP_ORDER];
+  memcpy(b_q14, plc->ltp_coef_q14, sizeof(b_q14));
+  int32_t rand_scale_q14 = plc->rand_scale_q14;
+
+  int att = st->loss_cnt < NB_ATT - 1 ? st->loss_cnt : NB_ATT - 1;
+  int32_t harm_gain_q15 = kHarmAttQ15[att];
+  int32_t rand_gain_q15 = st->prev_signal_type == 2 ? kRandAttVQ15[att]
+                                                    : kRandAttUVQ15[att];
+
+  silk_bwexpander(plc->prev_lpc_q12, st->lpc_order, BWE_COEF_Q16);
+  const int16_t* a_q12 = plc->prev_lpc_q12;
+
+  if (st->loss_cnt == 0) {
+    rand_scale_q14 = 1 << 14;
+    if (st->prev_signal_type == 2) {
+      for (int i = 0; i < LTP_ORDER; i++) rand_scale_q14 -= b_q14[i];
+      if (rand_scale_q14 < 3277) rand_scale_q14 = 3277;
+      rand_scale_q14 =
+          (int16_t)(SMULBB(rand_scale_q14, plc->prev_ltp_scale_q14) >> 14);
+    } else {
+      int32_t inv_gain_q30 = lpc_inverse_pred_gain(a_q12, st->lpc_order);
+      int32_t down_scale_q30 = (1 << 30) >> LOG2_INV_LPC_GAIN_HIGH_THRES;
+      if (inv_gain_q30 < down_scale_q30) down_scale_q30 = inv_gain_q30;
+      int32_t lo = (1 << 30) >> LOG2_INV_LPC_GAIN_LOW_THRES;
+      if (down_scale_q30 < lo) down_scale_q30 = lo;
+      down_scale_q30 = I32(down_scale_q30 << LOG2_INV_LPC_GAIN_HIGH_THRES);
+      rand_gain_q15 = SMULWB(down_scale_q30, rand_gain_q15) >> 14;
+    }
+  }
+
+  int32_t rand_seed = plc->rand_seed;
+  int lag = RSHIFT_ROUND(plc->pitch_l_q8, 8);
+  int sltp_buf_idx = st->ltp_mem_length;
+
+  // rewhiten the LTP state with the (expanded) previous LPC
+  int idx = st->ltp_mem_length - lag - st->lpc_order - LTP_ORDER / 2;
+  if (idx < 1) idx = 1;
+  int16_t sltp[2 * 20 * 16];
+  lpc_analysis_filter(sltp + idx, st->out_buf, idx, a_q12,
+                      st->ltp_mem_length - idx, st->lpc_order);
+  int32_t inv_gain_q30 = silk_inverse32_varq(plc->prev_gain_q16[1], 46);
+  if (inv_gain_q30 > (0x7FFFFFFF >> 1)) inv_gain_q30 = 0x7FFFFFFF >> 1;
+  static thread_local int32_t sltp_q14[2 * 20 * 16 + MAX_FRAME];
+  memset(sltp_q14, 0, sizeof(int32_t) * (st->ltp_mem_length
+                                         + st->frame_length));
+  for (int i = idx + st->lpc_order; i < st->ltp_mem_length; i++)
+    sltp_q14[i] = SMULWB(inv_gain_q30, sltp[i]);
+
+  // LTP synthesis over the concealed frame
+  for (int k = 0; k < st->nb_subfr; k++) {
+    int pl = sltp_buf_idx - lag + LTP_ORDER / 2;
+    for (int i = 0; i < st->subfr_length; i++) {
+      int32_t ltp_pred_q12 = 2;
+      for (int t = 0; t < LTP_ORDER; t++)
+        ltp_pred_q12 = SMLAWB(ltp_pred_q12, sltp_q14[pl - t], b_q14[t]);
+      pl++;
+      rand_seed = silk_rand(rand_seed);
+      int ridx = (rand_seed >> 25) & RAND_BUF_MASK;
+      sltp_q14[sltp_buf_idx] = I32(
+          (int64_t)SMLAWB(ltp_pred_q12, st->exc_q14[rand_base + ridx],
+                          rand_scale_q14)
+          << 2);
+      sltp_buf_idx++;
+    }
+    for (int j = 0; j < LTP_ORDER; j++)
+      b_q14[j] = (int16_t)(SMULBB(harm_gain_q15, b_q14[j]) >> 15);
+    if (st->ix.signal_type != 0)
+      rand_scale_q14 =
+          (int16_t)(SMULBB(rand_scale_q14, rand_gain_q15) >> 15);
+    plc->pitch_l_q8 = SMLAWB(plc->pitch_l_q8, plc->pitch_l_q8,
+                             PITCH_DRIFT_FAC_Q16);
+    int32_t maxq8 = (18 * st->fs_khz) << 8;
+    if (plc->pitch_l_q8 > maxq8) plc->pitch_l_q8 = maxq8;
+    lag = RSHIFT_ROUND(plc->pitch_l_q8, 8);
+  }
+
+  // LPC synthesis over the concealed excitation
+  int base = st->ltp_mem_length - MAX_D;
+  memcpy(sltp_q14 + base, st->s_lpc_q14_buf, sizeof(st->s_lpc_q14_buf));
+  for (int i = 0; i < st->frame_length; i++) {
+    int32_t lpc_pred_q10 = st->lpc_order >> 1;
+    for (int j = 0; j < st->lpc_order; j++)
+      lpc_pred_q10 = SMLAWB(lpc_pred_q10,
+                            sltp_q14[base + MAX_D + i - 1 - j], a_q12[j]);
+    sltp_q14[base + MAX_D + i] =
+        ADD_SAT32(sltp_q14[base + MAX_D + i],
+                  LSHIFT_SAT32(lpc_pred_q10, 4));
+    frame[i] = (int16_t)SAT16(RSHIFT_ROUND(
+        SMULWW(sltp_q14[base + MAX_D + i], prev_gain_q10[1]), 8));
+  }
+  memcpy(st->s_lpc_q14_buf, sltp_q14 + base + st->frame_length,
+         sizeof(st->s_lpc_q14_buf));
+
+  plc->rand_seed = rand_seed;
+  plc->rand_scale_q14 = (int16_t)rand_scale_q14;
+  for (int i = 0; i < st->nb_subfr && i < 4; i++) ctrl->pitch_l[i] = lag;
+}
+
+void plc_glue_frames(SilkState* st, int16_t* frame, int length) {
+  PlcState* plc = &st->plc;
+#ifdef SILK_PLC_DEBUG
+  fprintf(stderr, "glue: loss=%d lastlost=%d conc=%d shift=%d f[0..3]=%d %d %d %d\n",
+          st->loss_cnt, plc->last_frame_lost, plc->conc_energy,
+          plc->conc_energy_shift, frame[0], frame[1], frame[2], frame[3]);
+#endif
+  if (st->loss_cnt) {
+    sum_sqr_shift(frame, length, &plc->conc_energy,
+                  &plc->conc_energy_shift);
+    plc->last_frame_lost = 1;
+  } else {
+    if (plc->last_frame_lost) {
+      int32_t energy;
+      int energy_shift;
+      sum_sqr_shift(frame, length, &energy, &energy_shift);
+      if (energy_shift > plc->conc_energy_shift)
+        plc->conc_energy >>= energy_shift - plc->conc_energy_shift;
+      else if (energy_shift < plc->conc_energy_shift)
+        energy >>= plc->conc_energy_shift - energy_shift;
+      if (energy > plc->conc_energy) {
+        int lz = CLZ32(plc->conc_energy) - 1;
+#ifdef SILK_PLC_DEBUG
+        fprintf(stderr, "glue RAMP: energy=%d conc=%d lz=%d\n", energy,
+                plc->conc_energy, lz);
+#endif
+        plc->conc_energy = I32((int64_t)plc->conc_energy << lz);
+        int sh = 24 - lz;
+        if (sh < 0) sh = 0;
+        energy >>= sh;
+        int32_t frac_q24 = DIV32(plc->conc_energy,
+                                 energy > 1 ? energy : 1);
+        int32_t gain_q16 = I32((int64_t)SQRT_APPROX(frac_q24) << 4);
+        int32_t slope_q16 = I32((int64_t)DIV32_16((1 << 16) - gain_q16,
+                                                  length)
+                                << 2);
+        for (int i = 0; i < length; i++) {
+          frame[i] = (int16_t)I16(SMULWB(gain_q16, frame[i]));
+          gain_q16 += slope_q16;
+          if (gain_q16 > 1 << 16) break;
+        }
+      }
+    }
+    plc->last_frame_lost = 0;
+  }
+}
+
+void cng_reset(SilkState* st) {
+  int32_t nlsf_step_q15 = DIV32_16(32767, st->lpc_order + 1);
+  int32_t acc = 0;
+  for (int i = 0; i < st->lpc_order; i++) {
+    acc += nlsf_step_q15;
+    st->cng.cng_smth_nlsf_q15[i] = (int16_t)acc;
+  }
+  st->cng.cng_smth_gain_q16 = 0;
+  st->cng.rand_seed = 3176576;
+}
+
+void silk_cng(SilkState* st, const DecCtrl* ctrl, int16_t* frame,
+              int length) {
+  CngState* cng = &st->cng;
+  if (st->fs_khz != cng->fs_khz) {
+    cng_reset(st);
+    cng->fs_khz = st->fs_khz;
+  }
+  if (st->loss_cnt == 0 && st->prev_signal_type == 0) {
+    for (int i = 0; i < st->lpc_order; i++)
+      cng->cng_smth_nlsf_q15[i] = (int16_t)(cng->cng_smth_nlsf_q15[i]
+          + SMULWB(st->prev_nlsf_q15[i] - cng->cng_smth_nlsf_q15[i],
+                   CNG_NLSF_SMTH_Q16));
+    int32_t max_gain = 0;
+    int subfr = 0;
+    for (int i = 0; i < st->nb_subfr; i++)
+      if (ctrl->gains_q16[i] > max_gain) {
+        max_gain = ctrl->gains_q16[i];
+        subfr = i;
+      }
+    memmove(cng->cng_exc_buf_q14 + st->subfr_length, cng->cng_exc_buf_q14,
+            (st->nb_subfr - 1) * st->subfr_length * sizeof(int32_t));
+    memcpy(cng->cng_exc_buf_q14,
+           st->exc_q14 + subfr * st->subfr_length,
+           st->subfr_length * sizeof(int32_t));
+    for (int i = 0; i < st->nb_subfr; i++)
+      cng->cng_smth_gain_q16 += SMULWB(
+          ctrl->gains_q16[i] - cng->cng_smth_gain_q16, CNG_GAIN_SMTH_Q16);
+  }
+  if (st->loss_cnt) {
+    int32_t gain_q16 = SMULWW(st->plc.rand_scale_q14,
+                              st->plc.prev_gain_q16[1]);
+    if (gain_q16 >= (1 << 21) || cng->cng_smth_gain_q16 > (1 << 23)) {
+      gain_q16 = (gain_q16 >> 16) * (gain_q16 >> 16);
+      gain_q16 = I32((cng->cng_smth_gain_q16 >> 16)
+                     * (int64_t)(cng->cng_smth_gain_q16 >> 16)
+                     - ((int64_t)gain_q16 << 5));
+      gain_q16 = I32((int64_t)SQRT_APPROX(gain_q16) << 16);
+    } else {
+      gain_q16 = SMULWW(gain_q16, gain_q16);
+      gain_q16 = I32(SMULWW(cng->cng_smth_gain_q16, cng->cng_smth_gain_q16)
+                     - ((int64_t)gain_q16 << 5));
+      gain_q16 = I32((int64_t)SQRT_APPROX(gain_q16) << 8);
+    }
+    int32_t gain_q10 = gain_q16 >> 6;
+    // CNG excitation from the randomized buffer
+    int exc_mask = 255;
+    while (exc_mask > length) exc_mask >>= 1;
+    static thread_local int32_t sig[MAX_D + MAX_FRAME];
+    memcpy(sig, cng->cng_synth_state, sizeof(cng->cng_synth_state));
+    int32_t seed = cng->rand_seed;
+    for (int i = 0; i < length; i++) {
+      seed = silk_rand(seed);
+      sig[MAX_D + i] = cng->cng_exc_buf_q14[(seed >> 24) & exc_mask];
+    }
+    cng->rand_seed = seed;
+    int16_t a_q12[MAX_D];
+    nlsf2a(cng->cng_smth_nlsf_q15, st->lpc_order, a_q12);
+    for (int i = 0; i < length; i++) {
+      int32_t lpc_pred_q10 = st->lpc_order >> 1;
+      for (int j = 0; j < st->lpc_order; j++)
+        lpc_pred_q10 = SMLAWB(lpc_pred_q10, sig[MAX_D + i - 1 - j],
+                              a_q12[j]);
+      sig[MAX_D + i] = ADD_SAT32(sig[MAX_D + i],
+                                 LSHIFT_SAT32(lpc_pred_q10, 4));
+      int32_t add = SAT16(RSHIFT_ROUND(SMULWW(sig[MAX_D + i], gain_q10),
+                                       8));
+      int32_t v = frame[i] + add;
+      frame[i] = (int16_t)SAT16(v);
+    }
+    memcpy(cng->cng_synth_state, sig + length,
+           sizeof(cng->cng_synth_state));
+  } else {
+    memset(cng->cng_synth_state, 0, sizeof(cng->cng_synth_state));
+  }
+}
+
 void decode_one_frame(SilkState* st, EcDec* dec, int cond_coding,
                       const uint8_t* contour_icdf,
                       const uint8_t* lag_low_icdf, int16_t* xq,
@@ -884,14 +1302,30 @@ void decode_one_frame(SilkState* st, EcDec* dec, int cond_coding,
   decode_pulses(dec, st->ix.signal_type, st->ix.quant_offset_type,
                 st->frame_length, pulses);
   decode_parameters(st, &ctrl, cond_coding);
+#ifdef SILK_PLC_DEBUG
+  fprintf(stderr, "dec: sig=%d lag=%d %d %d %d gains=%d %d %d %d scale=%d interp=%d a0=%d b0=%d\n",
+          st->ix.signal_type, ctrl.pitch_l[0], ctrl.pitch_l[1],
+          ctrl.pitch_l[2], ctrl.pitch_l[3], ctrl.gains_q16[0],
+          ctrl.gains_q16[1], ctrl.gains_q16[2], ctrl.gains_q16[3],
+          ctrl.ltp_scale_q14, st->ix.nlsf_interp_coef_q2,
+          ctrl.pred_coef_q12[0][0], ctrl.ltp_coef_q14[0]);
+#endif
   decode_core(st, &ctrl, pulses, xq);
-  st->prev_signal_type = st->ix.signal_type;
+  // PLC/CNG bookkeeping mirrors dec_api.decode_frame's clean path
+  if (st->fs_khz != st->plc.fs_khz) {
+    plc_reset(st);
+    st->plc.fs_khz = st->fs_khz;
+  }
+  plc_update(st, &ctrl);  // also sets prev_signal_type
+  st->loss_cnt = 0;
   st->first_frame_after_reset = 0;
   // out_buf shift + store (decode_frame postamble, clean path)
   int mv_len = st->ltp_mem_length - st->frame_length;
   memmove(st->out_buf, st->out_buf + st->frame_length,
           mv_len * sizeof(int16_t));
   memcpy(st->out_buf + mv_len, xq, st->frame_length * sizeof(int16_t));
+  silk_cng(st, &ctrl, xq, st->frame_length);
+  plc_glue_frames(st, xq, st->frame_length);
   st->lag_prev = ctrl.pitch_l[st->nb_subfr - 1];
   if (ctrl_out) *ctrl_out = ctrl;
   if (pulses_out)
@@ -1017,6 +1451,68 @@ int silk_host_decode(void* p, const uint8_t* data, int len, int fs_khz,
                              nullptr);
 }
 
+// Conceal one lost frame at the stream's current internal rate: classic
+// LTP/LPC extrapolation + comfort noise (dec_api.decode_frame lost path;
+// reference plc.rs / cng.rs). Writes frame_length int16 samples; returns
+// the sample count (0 when the stream never decoded a frame).
+int silk_host_plc(void* p, int16_t* xq_out) {
+  SilkState* st = (SilkState*)p;
+  if (st->fs_khz == 0 || st->frame_length == 0) return 0;
+  if (st->fs_khz != st->plc.fs_khz) {
+    plc_reset(st);
+    st->plc.fs_khz = st->fs_khz;
+  }
+  DecCtrl ctrl;
+  memset(&ctrl, 0, sizeof(ctrl));
+  for (int i = 0; i < st->nb_subfr && i < 4; i++)
+    ctrl.gains_q16[i] = 65536;
+  st->ix.signal_type = st->prev_signal_type;
+  memset(xq_out, 0, st->frame_length * sizeof(int16_t));
+  plc_conceal(st, &ctrl, xq_out);
+  st->loss_cnt++;
+  int mv_len = st->ltp_mem_length - st->frame_length;
+  memmove(st->out_buf, st->out_buf + st->frame_length,
+          mv_len * sizeof(int16_t));
+  memcpy(st->out_buf + mv_len, xq_out,
+         st->frame_length * sizeof(int16_t));
+  silk_cng(st, &ctrl, xq_out, st->frame_length);
+  plc_glue_frames(st, xq_out, st->frame_length);
+  st->lag_prev = ctrl.pitch_l[st->nb_subfr - 1];
+  return st->frame_length;
+}
+
 uint32_t silk_host_rng(void* p) { return ((SilkState*)p)->last_rng; }
+
+// Full decoder-state dump for parity debugging/tests.
+void silk_host_dump(void* p, int16_t* out_buf, int32_t* s_lpc,
+                    int32_t* ints) {
+  SilkState* st = (SilkState*)p;
+  memcpy(out_buf, st->out_buf, sizeof(st->out_buf));
+  memcpy(s_lpc, st->s_lpc_q14_buf, sizeof(st->s_lpc_q14_buf));
+  ints[0] = st->loss_cnt;
+  ints[1] = st->prev_signal_type;
+  ints[2] = st->lag_prev;
+  ints[3] = st->prev_gain_q16;
+  ints[4] = st->plc.rand_seed;
+  ints[5] = st->plc.rand_scale_q14;
+  ints[6] = st->plc.pitch_l_q8;
+  ints[7] = st->cng.rand_seed;
+  ints[8] = st->cng.cng_smth_gain_q16;
+  ints[9] = st->first_frame_after_reset;
+  for (int i = 0; i < MAX_D; i++) ints[10 + i] = st->prev_nlsf_q15[i];
+}
+
+// Debug/test introspection of the PLC bookkeeping.
+void silk_host_plc_state(void* p, int32_t* out8) {
+  SilkState* st = (SilkState*)p;
+  out8[0] = st->loss_cnt;
+  out8[1] = st->plc.conc_energy;
+  out8[2] = st->plc.conc_energy_shift;
+  out8[3] = st->plc.last_frame_lost;
+  out8[4] = st->plc.rand_scale_q14;
+  out8[5] = st->plc.pitch_l_q8;
+  out8[6] = st->plc.prev_gain_q16[1];
+  out8[7] = st->cng.cng_smth_gain_q16;
+}
 
 }  // extern "C"

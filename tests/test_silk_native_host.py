@@ -84,3 +84,68 @@ def test_native_silk_matches_python(bitrate, frame_size, fec):
     assert got.shape == want.shape
     assert np.array_equal(got, want), \
         f"first diff at {np.argmax(got != want)}"
+
+
+def test_native_silk_plc_matches_python():
+    """Lost frames: native PLC + CNG must be int-exact vs the Python
+    decoder's loss path (plc.py/cng.py are already int-exact twins of
+    plc.rs/cng.rs)."""
+    from mousiki_tpu.bitstream.entcode import RangeDecoder
+    from mousiki_tpu.silk.dec_api import DecControl, silk_decode
+    from mousiki_tpu.silk.structs import SilkDecoder
+    import mousiki_tpu.silk.dec_api as D
+
+    t = np.arange(48000 * 2) / 48000.0
+    sig = np.clip(0.4 * np.sin(2 * np.pi * 140 * t)
+                  * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+                  + 0.2 * np.sin(2 * np.pi * 800 * t), -0.9, 0.9)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    enc.force_mode = Mode.SILK
+    n = 40
+    pkts = [enc.encode(sig[f * 960:(f + 1) * 960], 960) for f in range(n)]
+    payloads = [parse_packet(p).frames[0] for p in pkts]
+    fs_khz = _BW_KHZ[int(toc_bandwidth(pkts[0][0]))]
+    lost = np.zeros(n, bool)
+    lost[[7, 8, 15, 22, 30]] = True   # incl. a 2-frame burst
+
+    # python reference: raw internal-rate frames (clean + concealed)
+    silk = SilkDecoder()
+    ctl = DecControl()
+    ctl.n_channels_api = 1
+    ctl.n_channels_internal = 1
+    ctl.api_sample_rate = fs_khz * 1000
+    ctl.internal_sample_rate = fs_khz * 1000
+    ctl.payload_size_ms = 20
+    outs = []
+    import mousiki_tpu.silk.plc as P
+    orig_glue = P.plc_glue_frames
+
+    # capture AFTER the postamble: CNG and the glue gain-ramp mutate the
+    # frame in place after decode_frame returns (glue is the last touch)
+    def spy(st, frame, length):
+        orig_glue(st, frame, length)
+        outs.extend(frame[:length])
+
+    D.plc_glue_frames = spy
+    try:
+        for f in range(n):
+            if lost[f]:
+                silk_decode(silk, ctl, 1, True, None)   # FLAG_PACKET_LOST
+            else:
+                silk_decode(silk, ctl, 0, True, RangeDecoder(payloads[f]))
+    finally:
+        D.plc_glue_frames = orig_glue
+    want = np.asarray(outs, np.int64)
+
+    nat = host_native.NativeSilkHost()
+    got = []
+    for f in range(n):
+        if lost[f]:
+            got.append(nat.plc())
+        else:
+            got.append(nat.decode(payloads[f], fs_khz, 20))
+    got = np.concatenate(got).astype(np.int64)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), \
+        f"first diff at frame {np.argmax(got != want) // (fs_khz * 20)}"
