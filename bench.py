@@ -249,6 +249,22 @@ def bench_encode(S=16, n_steps=12):
     return S * n_steps * 0.02 / (time.perf_counter() - t0)
 
 
+def bench_deep_recovery(S=64, n_steps=10):
+    """Batched DRED concealment synthesis (PitchDNN + FARGAN on device,
+    parallel/deep_recovery.py): aggregate realtime-x of generating 20 ms
+    of 16 kHz concealment audio per stream per step."""
+    from mousiki_tpu.parallel.deep_recovery import BatchedDeepRecovery
+    rec = BatchedDeepRecovery(S)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((S, 2, 20)).astype(np.float32) * 0.3
+    rec.conceal(feats)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = rec.conceal(feats)
+    out.block_until_ready()
+    return S * n_steps * 0.02 / (time.perf_counter() - t0)
+
+
 def bench_device_only(S):
     """Fallback metric when no oracle/native lib: device synthesis only."""
     import jax.numpy as jnp
@@ -312,6 +328,10 @@ def main():
             encode_x = bench_encode()
         except Exception:
             encode_x = None
+        try:
+            dred_x = bench_deep_recovery()
+        except Exception:
+            dred_x = None
         gate = quality_gate(S, payloads, full_pkts)
         result.update({
             "value": round(e2e_x, 1),
@@ -321,6 +341,7 @@ def main():
             "mixed_silk_celt_hybrid_e2e_x": (round(mixed_x, 1)
                                              if mixed_x else None),
             "encode_e2e_x_s16": (round(encode_x, 1) if encode_x else None),
+            "dred_recovery_x_s64": (round(dred_x, 1) if dred_x else None),
             "quality_gate": "pass" if gate.pop("pass") else "FAIL",
             "quality": gate,
         })
