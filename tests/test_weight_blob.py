@@ -232,3 +232,42 @@ def test_real_blob_loads_and_synthesizes():
         assert np.isfinite(np.asarray(out)).all()
         loaded.append("rdovae_dec")
     assert loaded, "blob contained no recognizable model weights"
+
+
+def test_build_dnn_blob_parses_c_sources(tmp_path):
+    """tools/build_dnn_blob.py: the opus_data C-source parser (the
+    reference weight-crate build step, mousiki-dred-weights/build.rs)
+    round-trips arrays through the blob format."""
+    import subprocess
+    import sys as _sys
+    src = '''
+    /* generated-ish */
+    const float dec_dense1_weights_float[6] = {
+      1.0f, -2.5f, 3e-2f, 0.0f, /* mid */ 4.f, -0.125f
+    };
+    const opus_int8 dec_gru1_input_weights[4] = {1, -2, 127, -128};
+    const int dec_gru1_input_weights_idx[3] = {1, 0, 8};
+    const opus_uint8 some_table[2] = {0x10, 255};
+    static const float not_const_prefixed[2] = {9.0f, 8.0f};
+    '''
+    d = tmp_path / "opus_data"
+    d.mkdir()
+    (d / "dred_rdovae_dec_data.c").write_text(src)
+    out = tmp_path / "blob.bin"
+    r = subprocess.run(
+        [_sys.executable, "tools/build_dnn_blob.py", str(d), str(out)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    from mousiki_tpu.models.nnet import parse_weight_blob
+    arrays = parse_weight_blob(out.read_bytes())
+    w = np.frombuffer(arrays["dec_dense1_weights_float"], "<f4")
+    assert np.allclose(w, [1.0, -2.5, 3e-2, 0.0, 4.0, -0.125])
+    assert np.array_equal(
+        np.frombuffer(arrays["dec_gru1_input_weights"], np.int8),
+        [1, -2, 127, -128])
+    assert np.array_equal(
+        np.frombuffer(arrays["dec_gru1_input_weights_idx"], "<i4"),
+        [1, 0, 8])
+    assert np.array_equal(
+        np.frombuffer(arrays["some_table"], np.uint8), [0x10, 255])
