@@ -13,10 +13,10 @@ from mousiki_tpu.bitstream.packet import Mode
 from mousiki_tpu.opus_encoder import OpusEncoder, APP_VOIP
 from mousiki_tpu.opus_decoder import OpusDecoder
 from mousiki_tpu.ops.silk_synthesis_jax import (SilkFrameParams,
-
-pytestmark = pytest.mark.tpu
                                                 init_silk_state,
                                                 silk_synthesis_step)
+
+pytestmark = pytest.mark.tpu
 
 
 def _capture_frames(bitrate, n_frames=12):
