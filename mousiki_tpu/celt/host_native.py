@@ -406,17 +406,17 @@ class NativeCeltHostBatch:
         plan_arena_layout) ready for single-shot H2D transfer, plus the
         separate native outputs {x_direct, band_log_e, pf_gain, rcs}.
 
-        Arenas are double-buffered and REUSED across calls (fresh
-        alloc + zero + 61-view/pointer-table rebuild cost ~5 us/frame of
-        pure glue at S=256): the native decoder re-memsets every flag
-        plane and the device executor masks all value planes by those
-        flags, so stale values in inactive slots are never read. Safe for
-        the strictly-serialized plan pipelines (on the TPU backend
-        jnp.asarray copies H2D before the next step overwrites the
-        buffer; two buffers add one step of margin). Callers that stash
-        arenas across >=2 steps must copy. The f32 ble32/pf32 arena
-        planes are filled from the native f64 outputs so the descriptor
-        rides the arena transfer.
+        The arena set is a SINGLE buffer REUSED across calls: the native
+        decoder re-memsets every flag plane and the device executor masks
+        all value planes by those flags, so stale values in inactive
+        slots are never read, and on the strictly-serialized plan
+        pipelines jnp.asarray copies H2D before the next step overwrites
+        the buffer. (Double-buffering was tried and costs ~4.5 us/frame
+        at S=256: two ~2 MB arenas alternate out of this host's LLC and
+        every step writes cold lines.) Callers that stash arenas across
+        steps must copy. The f32 ble32/pf32 arena planes are filled from
+        the native f64 outputs so the descriptor rides the arena
+        transfer.
         """
         S, Cch = self.S, self.channels
         assert len(payloads) == S
@@ -427,16 +427,11 @@ class NativeCeltHostBatch:
         if not hasattr(self, "_plan_db"):
             self._plan_db = {}
         if frame_size not in self._plan_db:
-            sets = []
-            for _ in range(2):
-                arenas, aux, layout = alloc_plan_arenas(S, Cch, frame_size)
-                views = plan_views(arenas, aux, layout)
-                sets.append((arenas, aux, layout, views,
-                             _plan_ptr_table(views)))
-            self._plan_db[frame_size] = [0, sets]
-        slot = self._plan_db[frame_size]
-        slot[0] ^= 1
-        arenas, aux, layout, views, ptrs = slot[1][slot[0]]
+            arenas, aux, layout = alloc_plan_arenas(S, Cch, frame_size)
+            views = plan_views(arenas, aux, layout)
+            self._plan_db[frame_size] = (arenas, aux, layout, views,
+                                         _plan_ptr_table(views))
+        arenas, aux, layout, views, ptrs = self._plan_db[frame_size]
         blob = b"".join(p for p in payloads if p is not None)
         pos = 0
         for i, p in enumerate(payloads):

@@ -123,18 +123,15 @@ class NativeOpusHostBatch:
         if not hasattr(self, "_plan_db"):
             self._plan_db = {}
         if frame_size not in self._plan_db:
-            sets = []
-            for _ in range(2):
-                arenas, aux, layout = alloc_plan_arenas(
-                    S, self.channels, frame_size)
-                views = plan_views(arenas, aux, layout)
-                sets.append((arenas, aux, layout, views,
-                             _plan_ptr_table(views),
-                             np.zeros((S, 320), np.int16)))
-            self._plan_db[frame_size] = [0, sets]
-        slot = self._plan_db[frame_size]
-        slot[0] ^= 1
-        arenas, aux, layout, views, ptrs, silk16 = slot[1][slot[0]]
+            # single reused arena set (see celt/host_native.py
+            # decode_plan_arenas for the buffering/safety argument)
+            arenas, aux, layout = alloc_plan_arenas(
+                S, self.channels, frame_size)
+            views = plan_views(arenas, aux, layout)
+            self._plan_db[frame_size] = (arenas, aux, layout, views,
+                                         _plan_ptr_table(views),
+                                         np.zeros((S, 320), np.int16))
+        arenas, aux, layout, views, ptrs, silk16 = self._plan_db[frame_size]
         modes = np.zeros(S, np.int32)
         silk_fs = np.full(S, 16, np.int32)
         blob = b"".join(p for p in packets if p is not None)
