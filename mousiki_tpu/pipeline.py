@@ -113,6 +113,7 @@ class CeltStreamPipeline:
             self._plan_consts = {960: self.consts}
             self._plan_mats = {960: plan_combo_mats(channels, 960)}
             self._xd_zeros = {}
+            self._cpu_backend = jax.devices()[0].platform == "cpu"
             self._gc_tick = 0
             if mesh is not None:
                 from .parallel.streaming import replicate
@@ -204,16 +205,18 @@ class CeltStreamPipeline:
         # may alias or transfer them asynchronously without races
         return desc
 
-    def _host_decode_plan(self, payloads: list, frame_size: int):
-        """Plan-mode host stage: 3 packed arenas (+ conditional x_direct).
+    def _host_decode_plan(self, payloads: list, frame_size: int,
+                          to_device: bool = True):
+        """Plan-mode host stage: one packed arena (+ conditional x_direct).
 
-        The whole plan ships as 3 contiguous H2D transfers; x_direct only
+        The whole plan ships as ONE contiguous H2D transfer; x_direct only
         transfers when some stream fell back to the direct decoder
         (otherwise a cached device zeros array is passed). With a mesh,
         each device shard gets its own native batch + arena triple and
-        the global arrays are assembled shard-wise (no reshard)."""
-        import jax.numpy as jnp
-
+        the global arrays are assembled shard-wise (no reshard).
+        to_device=False returns the host-side tuple for a later
+        _plan_args_to_device call (decode_stream overlaps the pure-CPU
+        native stage with the device execution)."""
         if self.mesh is not None:
             return self._host_decode_plan_sharded(payloads, frame_size)
         arenas, aux, layout = self._native.decode_plan_arenas(payloads,
@@ -226,6 +229,17 @@ class CeltStreamPipeline:
         lost = np.fromiter((p is None for p in payloads), bool, len(payloads))
         name, off, shape = layout["direct"]
         any_direct = bool(arenas[name][off:off + shape[0]].any())
+        host = (arenas, aux, any_direct, lost)
+        if not to_device:
+            return host
+        return self._plan_args_to_device(host, frame_size)
+
+    def _plan_args_to_device(self, host, frame_size: int):
+        """H2D half of the plan host stage (strictly serialized against
+        device executions; see decode_stream)."""
+        import jax.numpy as jnp
+
+        arenas, aux, any_direct, lost = host
         if frame_size not in self._xd_zeros:
             self._xd_zeros[frame_size] = jnp.zeros(
                 (self.S, self.channels, frame_size), jnp.float32)
@@ -233,7 +247,7 @@ class CeltStreamPipeline:
         xd = (jnp.asarray(aux["x_direct"]) if any_direct
               else self._xd_zeros[frame_size])
         # Deterministically reap the per-step device buffers: jax.Array
-        # lifetimes otherwise wait on the cyclic GC, and with ~3 fresh
+        # lifetimes otherwise wait on the cyclic GC, and with fresh
         # multi-MB transfers per step the buffer backlog degrades the
         # transfer path several-fold within a few hundred steps.
         self._gc_tick += 1
@@ -242,8 +256,14 @@ class CeltStreamPipeline:
             import gc
             gc.collect()
         # one H2D transfer: the three arenas share an int32 backing buffer
-        # (each fixed transfer through the device tunnel costs ~0.1 ms)
-        return (jnp.asarray(arenas["backing"]), xd, jnp.asarray(lost))
+        # (each fixed transfer through the device tunnel costs ~0.1 ms).
+        # On the CPU backend jnp.asarray ALIASES numpy buffers zero-copy,
+        # and decode_stream's overlap overwrites the single reused arena
+        # on the next native decode — copy there. TPU H2D always copies.
+        backing = arenas["backing"]
+        if self._cpu_backend:
+            backing = backing.copy()
+        return (jnp.asarray(backing), xd, jnp.asarray(lost))
 
     def _host_decode_plan_sharded(self, payloads: list, frame_size: int):
         import jax
@@ -301,14 +321,37 @@ class CeltStreamPipeline:
         §7.4): device dispatch is asynchronous, so the next host decode runs
         while the chip works; consumers block only when they read a result.
         """
+        if self.use_plan and self.mesh is None:
+            # Plan mode: H2D transfers stay strictly serialized against
+            # device executions (on a tunneled device, transfers racing
+            # enqueued executions degrade the transfer path several-fold
+            # within a few hundred steps), but the PURE-CPU native symbol
+            # decode of frame k+1 overlaps frame k's device execution —
+            # the dispatch is asynchronous and touches no host buffers
+            # after the synchronous jnp.asarray copies (SURVEY §7.4).
+            it = iter(frames_iter)
+            try:
+                host = self._host_decode_plan(next(it), frame_size,
+                                              to_device=False)
+            except StopIteration:
+                return
+            for payloads in it:
+                args = self._plan_args_to_device(host, frame_size)
+                out, self.state = self._plan_step(frame_size, self.state,
+                                                  *args)
+                host = self._host_decode_plan(payloads, frame_size,
+                                              to_device=False)
+                out.block_until_ready()
+                yield out
+            args = self._plan_args_to_device(host, frame_size)
+            out, self.state = self._plan_step(frame_size, self.state, *args)
+            out.block_until_ready()
+            yield out
+            return
+
         pending = None
         for payloads in frames_iter:
             if self.use_plan:
-                # plan mode runs strictly serialized: on a tunneled device,
-                # H2D transfers racing enqueued executions degrade the
-                # transfer path several-fold within a few hundred steps,
-                # and the device stage (~0.5 us/frame) leaves nothing
-                # worth overlapping anyway.
                 args = self._host_decode_plan(payloads, frame_size)
                 if pending is not None:
                     yield pending
