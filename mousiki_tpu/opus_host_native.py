@@ -62,7 +62,7 @@ def _load():
     vp = C.POINTER(C.c_void_p)
     lib.opus_host_decode_plan_batch.argtypes = [
         vp, vp, C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int, vp, sp, ip,
-        ip, C.c_int]
+        ip, C.c_char_p, ip, ip, C.c_int]
     _lib = lib
     return lib
 
@@ -103,17 +103,20 @@ class NativeOpusHostBatch:
                     self._lib.silk_host_destroy(st)
             self._celt = self._silk = None
 
-    def decode(self, packets: list, frame_size: int = 960):
+    def decode(self, packets: list, frame_size: int = 960,
+               fec_packets: list | None = None):
         """packets: S whole Opus packets (20 ms, code 0).
 
         Returns (arenas, aux, layout, silk16, modes, silk_fs): the CELT
         plan arenas (zero rows for SILK-only streams), (S, 320) int16
         SILK pcm at each stream's internal rate (fs*20 valid samples,
         zero for CELT-only), per-stream mode tags (0 CELT / 1 SILK /
-        2 hybrid) and SILK internal rates in kHz. Stereo pipelines
-        (channels=2) accept stereo CELT packets; SILK/hybrid packets are
-        mono-coded and the caller duplicates their output. rcs rides in
-        aux."""
+        2 hybrid, 3 PLC-concealed, 4 FEC-recovered) and SILK internal
+        rates in kHz. Stereo pipelines (channels=2) accept stereo CELT
+        packets; SILK/hybrid packets are mono-coded and the caller
+        duplicates their output. fec_packets (optional, per lost stream):
+        the NEXT packet whose in-band LBRR replaces the loss when
+        present. rcs rides in aux (1 = concealed, 2 = FEC-recovered)."""
         S = self.S
         assert len(packets) == S
         offs, lens = self._lenbufs
@@ -140,6 +143,19 @@ class NativeOpusHostBatch:
             offs[i] = pos
             lens[i] = 0 if p is None else len(p)  # None = lost frame
             pos += lens[i]
+        if fec_packets is not None:
+            fec_offs = np.zeros(S, np.int32)
+            fec_lens = np.zeros(S, np.int32)
+            fec_blob = b"".join(p for p in fec_packets if p is not None)
+            fpos = 0
+            for i, p in enumerate(fec_packets):
+                fec_offs[i] = fpos
+                fec_lens[i] = 0 if p is None else len(p)
+                fpos += fec_lens[i]
+        else:
+            fec_blob = b""
+            fec_offs = np.zeros(S, np.int32)
+            fec_lens = np.zeros(S, np.int32)
         ip = C.POINTER(C.c_int32)
         sp = C.POINTER(C.c_int16)
         self._lib.opus_host_decode_plan_batch(
@@ -147,7 +163,9 @@ class NativeOpusHostBatch:
             lens.ctypes.data_as(ip), S, self.channels,
             1 if self.channels == 1 else 0, ptrs,
             silk16.ctypes.data_as(sp), modes.ctypes.data_as(ip),
-            silk_fs.ctypes.data_as(ip), self.n_threads)
+            silk_fs.ctypes.data_as(ip), fec_blob,
+            fec_offs.ctypes.data_as(ip), fec_lens.ctypes.data_as(ip),
+            self.n_threads)
         views["ble32"][:] = aux["band_log_e"]
         views["pf32"][:] = aux["pf_gain"]
         return arenas, aux, layout, silk16, modes, silk_fs

@@ -515,9 +515,13 @@ class OpusStreamPipeline:
         self._gc_tick = 0
         self.last_modes = None
 
-    def step(self, packets: list, frame_size: int = 960):
-        """packets: S whole Opus packets (one 20 ms frame each).
-        Returns a device array (S, 960, 1), float32."""
+    def step(self, packets: list, frame_size: int = 960,
+             fec_packets: list | None = None):
+        """packets: S whole Opus packets (one 20 ms frame each); None
+        entries are lost frames. fec_packets (optional): per lost stream,
+        the NEXT packet — its in-band LBRR replaces the loss when present
+        (SILK/hybrid), otherwise PLC conceals. Returns a device array
+        (S, 960, channels), float32."""
         import gc
 
         import jax.numpy as jnp
@@ -528,14 +532,16 @@ class OpusStreamPipeline:
             raise ValueError("OpusStreamPipeline supports 20 ms (960-sample) "
                              f"frames only, got {frame_size}")
         arenas, aux, layout, silk16, modes, silk_fs = self._native.decode(
-            packets, frame_size)
+            packets, frame_size, fec_packets)
         rcs = aux["rcs"]
         if np.any(rcs < 0):
             bad = int(np.argmax(rcs < 0))
             raise ValueError(f"stream {bad}: native opus host decode "
                              f"failed rc={rcs[bad]}")
         self.last_modes = modes
-        lost = np.fromiter((p is None for p in packets), bool, len(packets))
+        # device CELT PLC only for PLC-concealed streams (rc 1), not for
+        # FEC-recovered ones (rc 2: the LBRR frame replaces the loss)
+        lost = rcs == 1
         name, off, shape = layout["direct"]
         any_direct = bool(arenas[name][off:off + shape[0]].any())
         xd = jnp.asarray(aux["x_direct"]) if any_direct else self._xd_zeros

@@ -31,8 +31,34 @@ int celt_host_hybrid_redundancy(uint32_t* ec, const uint8_t* data, int len,
 int silk_host_decode_ec(void* p, const uint8_t* data, int len, int fs_khz,
                         int frame_ms, int16_t* xq_out, uint32_t* ec_out);
 int silk_host_plc(void* p, int16_t* xq_out);
+int silk_host_decode_lbrr(void* p, const uint8_t* data, int len,
+                          int fs_khz, int16_t* xq_out);
 void celt_host_note_loss(void* p);
 }
+
+namespace {
+// LBRR routing for a lost frame: decode the NEXT packet's in-band FEC
+// (SILK/hybrid only; 20 ms mono code-0). Returns the SILK internal rate
+// in kHz on success, 0 to fall back to PLC.
+int try_lbrr(void* silk_st, const uint8_t* pkt, int len, int16_t* silk16) {
+  if (!pkt || len < 1) return 0;
+  int toc = pkt[0];
+  int config = toc >> 3;
+  if ((toc >> 2) & 1) return 0;       // stereo-coded: per-stream fallback
+  if ((toc & 3) != 0) return 0;       // code 0 only
+  if (config >= 16) return 0;         // CELT has no in-band FEC
+  int fs;
+  if (config >= 12) {                 // hybrid (odd = 20 ms)
+    if ((config & 1) != 1) return 0;
+    fs = 16;
+  } else {
+    if ((config & 3) != 1) return 0;  // 20 ms only
+    fs = config < 4 ? 8 : (config < 8 ? 12 : 16);
+  }
+  int n = silk_host_decode_lbrr(silk_st, pkt + 1, len - 1, fs, silk16);
+  return n > 0 ? fs : 0;
+}
+}  // namespace
 
 extern "C" {
 
@@ -107,7 +133,10 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
                                  const int32_t* lens, int S, int C,
                                  int disable_inv, void** arrs,
                                  int16_t* silk16_all, int32_t* modes,
-                                 int32_t* silk_fs, int n_threads) {
+                                 int32_t* silk_fs,
+                                 const uint8_t* fec_blob,
+                                 const int32_t* fec_offs,
+                                 const int32_t* fec_lens, int n_threads) {
   int32_t* rcs = (int32_t*)arrs[59];
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
@@ -120,11 +149,24 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
       int s = next.fetch_add(1);
       if (s >= S) break;
       if (lens[s] == 0) {
+        int16_t* sp = silk16_all + (size_t)s * 320;
+        memset(sp, 0, 320 * sizeof(int16_t));
+        // LBRR routing first: the caller may supply the NEXT packet,
+        // whose in-band FEC replaces the lost SILK/hybrid frame
+        if (fec_lens && fec_lens[s] > 0) {
+          int fs = try_lbrr(silk_states[s], fec_blob + fec_offs[s],
+                            fec_lens[s], sp);
+          if (fs > 0) {
+            silk_fs[s] = fs;
+            modes[s] = 4;  // FEC-recovered
+            rcs[s] = 2;
+            continue;
+          }
+          memset(sp, 0, 320 * sizeof(int16_t));
+        }
         // lost frame: CELT PLC runs on device (the caller's lost mask);
         // the SILK half conceals here (int-exact plc.rs/cng.rs twins)
         celt_host_note_loss(celt_states[s]);
-        int16_t* sp = silk16_all + (size_t)s * 320;
-        memset(sp, 0, 320 * sizeof(int16_t));
         int n = silk_host_plc(silk_states[s], sp);
         silk_fs[s] = n > 0 ? n / 20 : 16;
         modes[s] = 3;  // lost

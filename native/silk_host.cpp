@@ -1293,11 +1293,11 @@ void silk_cng(SilkState* st, const DecCtrl* ctrl, int16_t* frame,
 void decode_one_frame(SilkState* st, EcDec* dec, int cond_coding,
                       const uint8_t* contour_icdf,
                       const uint8_t* lag_low_icdf, int16_t* xq,
-                      DecCtrl* ctrl_out, int* pulses_out) {
+                      DecCtrl* ctrl_out, int* pulses_out, int lbrr = 0) {
   DecCtrl ctrl;
   memset(&ctrl, 0, sizeof(ctrl));
-  decode_indices(st, dec, st->nframes_decoded, 0, cond_coding, contour_icdf,
-                 lag_low_icdf, st->fs_khz >> 1);
+  decode_indices(st, dec, st->nframes_decoded, lbrr, cond_coding,
+                 contour_icdf, lag_low_icdf, st->fs_khz >> 1);
   int pulses[MAX_FRAME + 16];
   decode_pulses(dec, st->ix.signal_type, st->ix.quant_offset_type,
                 st->frame_length, pulses);
@@ -1449,6 +1449,34 @@ int silk_host_decode(void* p, const uint8_t* data, int len, int fs_khz,
                      int frame_ms, int16_t* xq_out) {
   return silk_host_decode_ec(p, data, len, fs_khz, frame_ms, xq_out,
                              nullptr);
+}
+
+// Decode the LBRR (in-band FEC) frame 0 of a 20 ms packet as the output
+// frame — the decode_fec=1 path (dec_api FLAG_DECODE_LBRR; reference
+// decode_frame.rs:26). Returns samples, or -20 when the packet carries
+// no LBRR for this frame (caller falls back to PLC).
+int silk_host_decode_lbrr(void* p, const uint8_t* data, int len,
+                          int fs_khz, int16_t* xq_out) {
+  SilkState* st = (SilkState*)p;
+  if (!data || len < 1) return -1;
+  state_set_fs(st, fs_khz, 4);
+  st->nframes_per_packet = 1;
+  st->nframes_decoded = 0;
+  const uint8_t* contour_icdf =
+      fs_khz == 8 ? kPITCH_CONTOUR_NB_ICDF : kPITCH_CONTOUR_ICDF;
+  const uint8_t* lag_low = fs_khz == 16 ? kSILK_UNIFORM8_ICDF
+                           : (fs_khz == 12 ? kSILK_UNIFORM6_ICDF
+                                           : kSILK_UNIFORM4_ICDF);
+  EcDec dec;
+  ec_dec_init(&dec, data, (uint32_t)len);
+  st->vad_flags[0] = ec_dec_bit_logp(&dec, 1);
+  st->lbrr_flag = ec_dec_bit_logp(&dec, 1);
+  if (!st->lbrr_flag) return -20;
+  st->lbrr_flags[0] = 1;
+  decode_one_frame(st, &dec, 0, contour_icdf, lag_low, xq_out, nullptr,
+                   nullptr, /*lbrr=*/1);
+  st->last_rng = dec.rng;
+  return dec.error ? -2 : st->frame_length;
 }
 
 // Conceal one lost frame at the stream's current internal rate: classic
