@@ -469,12 +469,16 @@ class OpusStreamPipeline:
         from .celt.modes import opus_custom_mode
         from .ops.plc_jax import init_plc_state, make_plc_consts
         self.plc_state = init_plc_state(n_streams, channels)
-        plc_consts = make_plc_consts(960, opus_custom_mode(48000,
-                                                           960).window)
+        # runtime ARGUMENT, not a closure capture: the PLC consts include
+        # a 3.7 MB forward-MDCT basis, and embedded array constants are
+        # re-uploaded on every dispatch through the device tunnel
+        self._plc_consts = make_plc_consts(
+            960, opus_custom_mode(48000, 960).window)
 
         @jax.jit
-        def step_fn(consts, state, plc_state, rs_states, prev_fs, silk_prev,
-                    backing, x_direct, lost, silk16, silk_fs, mats, up_ws):
+        def step_fn(consts, plc_consts, state, plc_state, rs_states,
+                    prev_fs, silk_prev, backing, x_direct, lost, silk16,
+                    silk_fs, mats, up_ws):
             from .ops.band_exec_jax import plan_synthesis_step_plc
             pcm, new_state, new_plc = plan_synthesis_step_plc(
                 consts, plc_consts, state, plc_state, backing, x_direct,
@@ -552,10 +556,10 @@ class OpusStreamPipeline:
         fs_dev = jnp.asarray(silk_fs)
         (pcm, self.state, self.plc_state, self.rs_states,
          self.silk_prev) = self._step(
-            self.consts, self.state, self.plc_state, self.rs_states,
-            self.prev_fs, self.silk_prev, jnp.asarray(arenas["backing"]),
-            xd, jnp.asarray(lost), jnp.asarray(silk16), fs_dev, self._mats,
-            self._up_ws)
+            self.consts, self._plc_consts, self.state, self.plc_state,
+            self.rs_states, self.prev_fs, self.silk_prev,
+            jnp.asarray(arenas["backing"]), xd, jnp.asarray(lost),
+            jnp.asarray(silk16), fs_dev, self._mats, self._up_ws)
         self.prev_fs = fs_dev
         return pcm
 
