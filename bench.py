@@ -255,10 +255,12 @@ def bench_mixed(S, n_steps=60):
     return statistics.median(rates)
 
 
-def bench_encode(S=16, n_steps=12):
+def bench_encode(S=128, n_steps=12):
     """CeltEncodePipeline: device front (preemph/pitch/transient/MDCT) +
-    host symbol encode. Runs AFTER the decode phases: its per-step D2H
-    readbacks switch the tunneled session to executable-reupload mode."""
+    native C++ symbol back half (PVQ search + range coding). Runs AFTER
+    the decode phases: its per-step D2H readbacks switch the tunneled
+    session to executable-reupload mode, so the fixed ~40 ms readback
+    tax dominates — batch size amortizes it."""
     from mousiki_tpu.pipeline import CeltEncodePipeline
     from mousiki_tpu.testing import oracle
     sig = oracle.make_test_signal(960 * (n_steps + 2), 2, seed=7)

@@ -596,15 +596,30 @@ class CeltEncodePipeline:
         self._state = init_front_state(n_streams, channels, frame_size)
         self._front = front_step
         self._jnp = jnp
-        self.encs = [CeltEncoder(channels=channels,
-                                 stream_channels=channels)
-                     for _ in range(n_streams)]
+        # native symbol back half (C++ PVQ search + range coding, ~200x
+        # the Python encoder's speed); byte-identical to the Python
+        # encode_with_ec precomputed path (tests/test_encode_native.py)
+        self._native = None
+        try:
+            from .celt.host_native import NativeCeltEncoderBatch
+            self._native = NativeCeltEncoderBatch(n_streams,
+                                                  channels=channels)
+        except (RuntimeError, OSError, AttributeError):
+            self._native = None
+        self.encs = None
+        if self._native is None:
+            self.encs = [CeltEncoder(channels=channels,
+                                     stream_channels=channels)
+                         for _ in range(n_streams)]
 
     def front(self, pcm):
         """Device half only (jitted): returns the analysis tensors."""
         jnp = self._jnp
-        tapset = np.asarray([e.tapset_decision for e in self.encs],
-                            np.int32)
+        if self._native is not None:
+            tapset = self._native.tapsets()
+        else:
+            tapset = np.asarray([e.tapset_decision for e in self.encs],
+                                np.int32)
         nby = np.full(self.S, self.nbytes, np.int32)
         out, self._state = self._front(
             self._consts, self._state, jnp.asarray(pcm, jnp.float32),
@@ -617,6 +632,19 @@ class CeltEncodePipeline:
         import jax
         out = self.front(pcm)
         host = jax.device_get(out)  # one batched readback
+        if self._native is not None:
+            S = self.S
+            iparams = np.zeros((S, 6), np.int32)
+            iparams[:, 0] = host["silence"]
+            iparams[:, 1] = host["pf_on"]
+            iparams[:, 2] = host["pitch_index"]
+            iparams[:, 3] = host["qg"]
+            iparams[:, 4] = host["is_transient"]
+            iparams[:, 5] = self.nbytes
+            fparams = np.stack([host["tone_freq"], host["toneishness"],
+                                host["tf_estimate"]], axis=1)
+            return self._native.encode(host["freq"], iparams, fparams,
+                                       self.frame)
         pkts = []
         for s in range(self.S):
             pre = {k: host[k][s] for k in host}

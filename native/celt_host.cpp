@@ -69,6 +69,9 @@ constexpr int ALLOC_STEPS = 6;
 constexpr int LOG_MAX_PSEUDO = 6;
 constexpr int NB = 21;
 constexpr int SPREAD_AGGRESSIVE = 3;
+constexpr int SPREAD_NONE = 0;
+constexpr int SPREAD_LIGHT = 1;
+constexpr int SPREAD_NORMAL = 2;
 
 // ---------------------------------------------------------------- range dec
 struct EcDec {
@@ -2970,6 +2973,1967 @@ void celt_host_decode_plan_batch(void** states, const uint8_t* blob,
       rcs[s] = celt_host_decode_plan(states[s], blob + offs[s], lens[s],
                                      frame_size, C, start, end, disable_inv,
                                      arrs, S, s);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
+
+// ===================================================================
+// CELT symbol ENCODER (back half): consumes the device front end's
+// MDCT spectrum + analysis flags (ops/encode_front_jax.py) and runs
+// the full symbol layer — coarse/fine energy, tf, spread, dynalloc,
+// allocation, PVQ search + range coding. Mirrors the Python
+// celt/encoder.py encode_with_ec precomputed path (itself behavioral
+// parity with reference src/celt/celt_encoder.rs:6710) with
+// resynth=false (complexity < 8: no theta RDO), own encoder, CBR
+// byte budgets (bitrate = -1 semantics). Double-precision signal
+// math tracks the numpy float64 Python host encoder.
+// ===================================================================
+namespace {
+
+// ------------------------------------------------------------ EcEnc
+// Range encoder (entenc mirror of bitstream/entcode.py RangeEncoder).
+constexpr uint32_t EC_SYM_MAX_E = 255;
+constexpr uint32_t EC_CODE_TOP_E = 1u << 31;
+constexpr uint32_t EC_CODE_BOT_E = EC_CODE_TOP_E >> 8;
+constexpr int EC_CODE_SHIFT_E = 32 - 8 - 1;
+constexpr int EC_MAX_BYTES = 1300;
+
+struct EcEnc {
+  uint8_t buf[EC_MAX_BYTES];
+  uint32_t storage;
+  uint32_t end_offs;
+  uint32_t end_window;
+  int nend_bits;
+  int nbits_total;
+  uint32_t offs;
+  uint32_t rng;
+  uint32_t val;
+  uint32_t ext;
+  int rem;
+  int error;
+};
+
+void ec_enc_init(EcEnc* e, uint32_t size) {
+  e->storage = size;
+  e->end_offs = 0;
+  e->end_window = 0;
+  e->nend_bits = 0;
+  e->nbits_total = 32 + 1;
+  e->offs = 0;
+  e->rng = EC_CODE_TOP_E;
+  e->rem = -1;
+  e->val = 0;
+  e->ext = 0;
+  e->error = 0;
+}
+
+inline int ec_enc_tell(const EcEnc* e) {
+  return e->nbits_total - ec_ilog(e->rng);
+}
+
+inline int ec_tell_frac_rn(int nbits_total, uint32_t rng) {
+  int nbits = nbits_total << BITRES;
+  int l = ec_ilog(rng);
+  uint32_t r = rng >> (l - 16);
+  for (int i = 0; i < BITRES; i++) {
+    r = (r * r) >> 15;
+    int b = (int)(r >> 16);
+    l = (l << 1) | b;
+    r >>= b;
+  }
+  return nbits - l;
+}
+
+inline int ec_enc_tell_frac(const EcEnc* e) {
+  return ec_tell_frac_rn(e->nbits_total, e->rng);
+}
+
+inline void ec_enc_write_byte(EcEnc* e, uint32_t v) {
+  if (e->offs + e->end_offs >= e->storage) {
+    e->error = -1;
+    return;
+  }
+  e->buf[e->offs++] = (uint8_t)v;
+}
+
+inline void ec_enc_write_byte_at_end(EcEnc* e, uint32_t v) {
+  if (e->offs + e->end_offs >= e->storage) {
+    e->error = -1;
+    return;
+  }
+  e->end_offs++;
+  e->buf[e->storage - e->end_offs] = (uint8_t)v;
+}
+
+void ec_enc_carry_out(EcEnc* e, uint32_t c) {
+  if (c != EC_SYM_MAX_E) {
+    uint32_t carry = c >> 8;
+    if (e->rem >= 0) ec_enc_write_byte(e, ((uint32_t)e->rem + carry) & 0xFF);
+    if (e->ext > 0) {
+      uint32_t sym = (EC_SYM_MAX_E + carry) & EC_SYM_MAX_E;
+      while (e->ext > 0) {
+        ec_enc_write_byte(e, sym);
+        e->ext--;
+      }
+    }
+    e->rem = (int)(c & EC_SYM_MAX_E);
+  } else {
+    e->ext++;
+  }
+}
+
+void ec_enc_normalize(EcEnc* e) {
+  while (e->rng <= EC_CODE_BOT_E) {
+    ec_enc_carry_out(e, e->val >> EC_CODE_SHIFT_E);
+    e->val = (e->val << 8) & (EC_CODE_TOP_E - 1);
+    e->rng <<= 8;
+    e->nbits_total += 8;
+  }
+}
+
+void ec_encode(EcEnc* e, uint32_t fl, uint32_t fh, uint32_t ft) {
+  uint32_t r = e->rng / ft;
+  if (fl > 0) {
+    e->val += e->rng - r * (ft - fl);
+    e->rng = r * (fh - fl);
+  } else {
+    e->rng -= r * (ft - fh);
+  }
+  ec_enc_normalize(e);
+}
+
+void ec_encode_bin(EcEnc* e, uint32_t fl, uint32_t fh, int bits) {
+  uint32_t r = e->rng >> bits;
+  if (fl > 0) {
+    e->val += e->rng - r * ((1u << bits) - fl);
+    e->rng = r * (fh - fl);
+  } else {
+    e->rng -= r * ((1u << bits) - fh);
+  }
+  ec_enc_normalize(e);
+}
+
+void ec_enc_bit_logp(EcEnc* e, int val, int logp) {
+  uint32_t r = e->rng;
+  uint32_t l = e->val;
+  uint32_t s = r >> logp;
+  r -= s;
+  if (val) e->val = l + r;
+  e->rng = val ? s : r;
+  ec_enc_normalize(e);
+}
+
+void ec_enc_icdf(EcEnc* e, int s, const uint8_t* icdf, int ftb) {
+  uint32_t r = e->rng >> ftb;
+  if (s > 0) {
+    e->val += e->rng - r * icdf[s - 1];
+    e->rng = r * (uint32_t)(icdf[s - 1] - icdf[s]);
+  } else {
+    e->rng -= r * icdf[s];
+  }
+  ec_enc_normalize(e);
+}
+
+void ec_enc_bits(EcEnc* e, uint32_t fl, int bits) {
+  uint32_t window = e->end_window;
+  int used = e->nend_bits;
+  if (used + bits > 32) {
+    while (used >= 8) {
+      ec_enc_write_byte_at_end(e, window & EC_SYM_MAX_E);
+      window >>= 8;
+      used -= 8;
+    }
+  }
+  window |= fl << used;
+  used += bits;
+  e->end_window = window;
+  e->nend_bits = used;
+  e->nbits_total += bits;
+}
+
+void ec_enc_uint(EcEnc* e, uint32_t fl, uint32_t ft) {
+  ft--;
+  int ftb = ec_ilog(ft);
+  if (ftb > 8) {
+    ftb -= 8;
+    uint32_t ft_hi = (ft >> ftb) + 1;
+    uint32_t fl_hi = fl >> ftb;
+    ec_encode(e, fl_hi, fl_hi + 1, ft_hi);
+    ec_enc_bits(e, fl & ((1u << ftb) - 1), ftb);
+  } else {
+    ec_encode(e, fl, fl + 1, ft + 1);
+  }
+}
+
+void ec_enc_done(EcEnc* e) {
+  int l = 32 - ec_ilog(e->rng);
+  uint32_t msk = (EC_CODE_TOP_E - 1) >> l;
+  uint32_t end = (e->val + msk) & ~msk;
+  if ((end | msk) >= e->val + e->rng) {
+    l++;
+    msk >>= 1;
+    end = (e->val + msk) & ~msk;
+  }
+  while (l > 0) {
+    ec_enc_carry_out(e, end >> EC_CODE_SHIFT_E);
+    end = (end << 8) & (EC_CODE_TOP_E - 1);
+    l -= 8;
+  }
+  if (e->rem >= 0 || e->ext > 0) ec_enc_carry_out(e, 0);
+  uint32_t window = e->end_window;
+  int used = e->nend_bits;
+  while (used >= 8) {
+    ec_enc_write_byte_at_end(e, window & EC_SYM_MAX_E);
+    window >>= 8;
+    used -= 8;
+  }
+  if (!e->error) {
+    memset(e->buf + e->offs, 0, e->storage - e->end_offs - e->offs);
+    if (used > 0) {
+      if (e->end_offs >= e->storage) {
+        e->error = -1;
+      } else {
+        l = -l;
+        if (e->offs + e->end_offs >= e->storage && l < used) {
+          window &= (1u << l) - 1;
+          e->error = -1;
+        }
+        e->buf[e->storage - e->end_offs - 1] |= (uint8_t)(window & 0xFF);
+      }
+    }
+  }
+}
+
+// snapshot/restore for the two-pass coarse energy search
+struct EcEncSnap {
+  EcEnc st;  // includes the buffer (1.3 KB copy, twice per frame)
+};
+inline void ec_enc_save(EcEncSnap* s, const EcEnc* e) { s->st = *e; }
+inline void ec_enc_restore(EcEnc* e, const EcEncSnap* s) { *e = s->st; }
+
+// Laplace encode (bitstream/laplace.py; reference src/celt/laplace.rs:33).
+int ec_laplace_encode(EcEnc* e, int value, uint32_t fs, int decay) {
+  int val = value;
+  uint32_t fl = 0;
+  if (val) {
+    int s = val < 0 ? -1 : 0;
+    val = (val + s) ^ s;
+    fl = fs;
+    fs = (uint32_t)(((32768 - 2 * 16 - (int)fs) * (16384 - decay)) >> 15);
+    int i = 1;
+    while (fs > 0 && i < val) {
+      fs *= 2;
+      fl += fs + 2;
+      fs = (fs * (uint32_t)decay) >> 15;
+      i++;
+    }
+    if (fs == 0) {
+      int ndi_max = (int)((32768 - fl + 1 - 1) >> 0);
+      ndi_max = (ndi_max - s) >> 1;
+      int di = std::min(val - i, ndi_max - 1);
+      fl += (uint32_t)(2 * di + 1 + s);
+      fs = std::min<uint32_t>(1, 32768 - fl);
+      value = (i + di + s) ^ s;
+    } else {
+      fs += 1;
+      if (s == 0) fl += fs;
+    }
+  }
+  ec_encode_bin(e, fl, fl + fs, 15);
+  return value;
+}
+
+// ------------------------------------------------------ CWRS encode
+void encode_pulses(EcEnc* e, const int* y, int n) {
+  // icwrs (cwrs.py:44): index of y in the V(n, k) enumeration
+  int j = n - 1;
+  uint32_t i = y[j] < 0 ? 1u : 0u;
+  int k = std::abs(y[j]);
+  while (j > 0) {
+    j--;
+    i += pvq_u(n - j, k);
+    k += std::abs(y[j]);
+    if (y[j] < 0) i += pvq_u(n - j, k + 1);
+  }
+  ec_enc_uint(e, i, pvq_v(n, k));
+}
+
+// ---------------------------------------------- double-precision vq
+void exp_rotation1_d(double* X, int len, int stride, double c, double s) {
+  double ms = -s;
+  for (int i = 0; i < len - stride; i++) {
+    double x1 = X[i];
+    double x2 = X[i + stride];
+    X[i + stride] = c * x2 + s * x1;
+    X[i] = c * x1 + ms * x2;
+  }
+  for (int i = len - 2 * stride - 1; i >= 0; i--) {
+    double x1 = X[i];
+    double x2 = X[i + stride];
+    X[i + stride] = c * x2 + s * x1;
+    X[i] = c * x1 + ms * x2;
+  }
+}
+
+void exp_rotation_d(double* X, int len, int direction, int stride, int K,
+                    int spread) {
+  if (2 * K >= len || spread == SPREAD_NONE) return;
+  int factor = kSpreadFactor[spread - 1];
+  double gain = (double)len / (len + factor * K);
+  double theta = 0.5 * gain * gain;
+  double c = cos(0.5 * M_PI * theta);
+  double s = cos(0.5 * M_PI * (1 - theta));
+  int stride2 = 0;
+  if (len >= 8 * stride) {
+    stride2 = 1;
+    while ((stride2 * stride2 + stride2) * stride + (stride >> 2) < len)
+      stride2++;
+  }
+  len /= stride;
+  for (int i = 0; i < stride; i++) {
+    double* seg = X + i * len;
+    if (direction < 0) {
+      if (stride2) exp_rotation1_d(seg, len, stride2, s, c);
+      exp_rotation1_d(seg, len, 1, c, s);
+    } else {
+      exp_rotation1_d(seg, len, 1, c, -s);
+      if (stride2) exp_rotation1_d(seg, len, stride2, s, -c);
+    }
+  }
+}
+
+// Greedy PVQ search (vq.py op_pvq_search:122; reference vq.rs:393).
+void op_pvq_search_d(const double* x, int* iy, int N, int K) {
+  double X[208];
+  int signs[208];
+  int64_t y[208];
+  for (int j = 0; j < N; j++) {
+    X[j] = std::fabs(x[j]);
+    signs[j] = x[j] < 0 ? -1 : 1;
+    y[j] = 0;
+  }
+  int pulses_left = K;
+  double xy = 0.0, yy = 0.0;
+  if (K > (N >> 1)) {
+    double sum_x = 0.0;
+    for (int j = 0; j < N; j++) sum_x += X[j];
+    if (sum_x > 1e-15) {
+      double rcp = (K + 0.8) / sum_x;
+      int placed = 0;
+      for (int j = 0; j < N; j++) {
+        y[j] = (int64_t)std::floor(rcp * X[j]);
+        placed += (int)y[j];
+      }
+      pulses_left = K - placed;
+      xy = 0.0;
+      yy = 0.0;
+      for (int j = 0; j < N; j++) {
+        xy += X[j] * (double)y[j];
+        yy += (double)y[j] * (double)y[j];
+      }
+    }
+  }
+  if (pulses_left > N + 3) {
+    y[0] += pulses_left;
+    xy = yy = 0.0;
+    for (int j = 0; j < N; j++) {
+      xy += X[j] * (double)y[j];
+      yy += (double)y[j] * (double)y[j];
+    }
+    pulses_left = 0;
+  }
+  for (int p = 0; p < pulses_left; p++) {
+    int best = 0;
+    double best_val = -1.0;
+    for (int j = 0; j < N; j++) {
+      double num = (xy + X[j]) * (xy + X[j]);
+      double den = yy + 2.0 * (double)y[j] + 1.0;
+      double v = num / den;
+      if (v > best_val) {
+        best_val = v;
+        best = j;
+      }
+    }
+    xy += X[best];
+    yy += 2.0 * (double)y[best] + 1.0;
+    y[best]++;
+  }
+  for (int j = 0; j < N; j++) iy[j] = signs[j] * (int)y[j];
+}
+
+// alg_quant with resynth=false (vq.py:106): rotate, search, code pulses.
+uint32_t alg_quant_d(double* X, int N, int K, int spread, int B, EcEnc* enc) {
+  double x[208];
+  memcpy(x, X, N * sizeof(double));
+  exp_rotation_d(x, N, 1, B, K, spread);
+  int iy[208];
+  op_pvq_search_d(x, iy, N, K);
+  encode_pulses(enc, iy, N);
+  return extract_collapse_mask(iy, N, B);
+}
+
+void haar1_d(double* X, int n0, int stride) {
+  n0 >>= 1;
+  const double s = 0.70710678;
+  for (int i = 0; i < stride; i++)
+    for (int j = 0; j < n0; j++) {
+      int i1 = i + stride * 2 * j;
+      int i2 = i1 + stride;
+      double t1 = s * X[i1];
+      double t2 = s * X[i2];
+      X[i1] = t1 + t2;
+      X[i2] = t1 - t2;
+    }
+}
+
+void deinterleave_hadamard_d(double* X, int n0, int stride, bool hadamard) {
+  int N = n0 * stride;
+  double tmp[1024];
+  if (hadamard) {
+    const int* ordery = ordery_for(stride);
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < n0; j++) tmp[ordery[i] * n0 + j] = X[j * stride + i];
+  } else {
+    for (int i = 0; i < stride; i++)
+      for (int j = 0; j < n0; j++) tmp[i * n0 + j] = X[j * stride + i];
+  }
+  memcpy(X, tmp, N * sizeof(double));
+}
+
+void stereo_split_d(double* X, double* Y, int N) {
+  const double s = 0.70710678;
+  for (int j = 0; j < N; j++) {
+    double l = s * X[j];
+    double r = s * Y[j];
+    X[j] = l + r;
+    Y[j] = r - l;
+  }
+}
+
+void intensity_stereo_d(double* X, const double* Y, const double* band_e,
+                        int band, int N) {
+  double left = band_e[band];            // band_e[0, band]
+  double right = band_e[NB + band];      // band_e[1, band]
+  double norm = 1e-15 + sqrt(1e-15 + left * left + right * right);
+  double a1 = left / norm;
+  double a2 = right / norm;
+  for (int j = 0; j < N; j++) X[j] = a1 * X[j] + a2 * Y[j];
+}
+
+int stereo_itheta_d(const double* X, const double* Y, bool stereo, int N) {
+  double emid = 1e-6, eside = 1e-6;
+  if (stereo) {
+    for (int j = 0; j < N; j++) {
+      double m = X[j] + Y[j];
+      double s = X[j] - Y[j];
+      emid += m * m;
+      eside += s * s;
+    }
+  } else {
+    for (int j = 0; j < N; j++) {
+      emid += X[j] * X[j];
+      eside += Y[j] * Y[j];
+    }
+  }
+  return (int)std::floor(0.5 + 16384 * 0.63662 * atan2(sqrt(eside),
+                                                       sqrt(emid)));
+}
+
+// --------------------------------------------------- encode band loop
+struct EncBandCtx {
+  int i;
+  int intensity;
+  int spread;
+  int tf_change;
+  EcEnc* ec;
+  int remaining_bits;
+  const double* band_e;  // (2, NB)
+  uint32_t seed;
+  bool disable_inv;
+  bool avoid_split_noise;
+};
+
+// compute_theta, encode side (bands.py:200; reference bands.rs:274).
+void enc_compute_theta(EncBandCtx* ctx, SplitCtx* sctx, double* X, double* Y,
+                       int N, int* b, int B, int B0, int LM, bool stereo,
+                       uint32_t* fill) {
+  EcEnc* ec = ctx->ec;
+  int i = ctx->i;
+  int inv = 0;
+
+  int pulse_cap = (int)kLogN[i] + LM * (1 << BITRES);
+  int offset = (pulse_cap >> 1) -
+               (stereo && N == 2 ? QTHETA_OFFSET_TWOPHASE : QTHETA_OFFSET);
+  int qn = compute_qn(N, b[0], offset, pulse_cap, stereo);
+  if (stereo && i >= ctx->intensity) qn = 1;
+  int itheta = stereo_itheta_d(X, Y ? Y : X + N, stereo, N);
+  int tell = ec_enc_tell_frac(ec);
+  if (qn != 1) {
+    // theta_round == 0 path (no stereo theta RDO at complexity < 8)
+    itheta = (itheta * qn + 8192) >> 14;
+    if (!stereo && ctx->avoid_split_noise && itheta > 0 && itheta < qn) {
+      int unq = (itheta * 16384) / qn;
+      int t_imid = bitexact_cos(unq);
+      int t_iside = bitexact_cos(16384 - unq);
+      int t_delta = frac_mul16((N - 1) << 7, bitexact_log2tan(t_iside, t_imid));
+      if (t_delta > b[0])
+        itheta = qn;
+      else if (t_delta < -b[0])
+        itheta = 0;
+    }
+    if (stereo && N > 2) {
+      const int p0 = 3;
+      int x = itheta;
+      int x0 = qn / 2;
+      uint32_t ft = (uint32_t)(p0 * (x0 + 1) + x0);
+      uint32_t fl = x <= x0 ? (uint32_t)(p0 * x)
+                            : (uint32_t)((x - 1 - x0) + (x0 + 1) * p0);
+      uint32_t fh = x <= x0 ? (uint32_t)(p0 * (x + 1))
+                            : (uint32_t)((x - x0) + (x0 + 1) * p0);
+      ec_encode(ec, fl, fh, ft);
+    } else if (B0 > 1 || stereo) {
+      ec_enc_uint(ec, (uint32_t)itheta, (uint32_t)(qn + 1));
+    } else {
+      uint32_t ft = (uint32_t)(((qn >> 1) + 1) * ((qn >> 1) + 1));
+      uint32_t fl, fs;
+      if (itheta <= qn >> 1) {
+        fs = itheta + 1;
+        fl = (uint32_t)(itheta * (itheta + 1) >> 1);
+      } else {
+        fs = qn + 1 - itheta;
+        fl = ft - (uint32_t)((qn + 1 - itheta) * (qn + 2 - itheta) >> 1);
+      }
+      ec_encode(ec, fl, fl + fs, ft);
+    }
+    itheta = (itheta * 16384) / qn;
+    if (stereo) {
+      if (itheta == 0)
+        intensity_stereo_d(X, Y, ctx->band_e, i, N);
+      else
+        stereo_split_d(X, Y, N);
+    }
+  } else if (stereo) {
+    inv = (itheta > 8192 && !ctx->disable_inv) ? 1 : 0;
+    if (inv)
+      for (int j = 0; j < N; j++) Y[j] = -Y[j];
+    intensity_stereo_d(X, Y, ctx->band_e, i, N);
+    if (b[0] > 2 << BITRES && ctx->remaining_bits > 2 << BITRES)
+      ec_enc_bit_logp(ec, inv, 2);
+    else
+      inv = 0;
+    itheta = 0;
+  }
+  int qalloc = ec_enc_tell_frac(ec) - tell;
+  b[0] -= qalloc;
+
+  int imid, iside, delta;
+  if (itheta == 0) {
+    imid = 32767;
+    iside = 0;
+    fill[0] &= (1u << B) - 1;
+    delta = -16384;
+  } else if (itheta == 16384) {
+    imid = 0;
+    iside = 32767;
+    fill[0] &= ((1u << B) - 1) << B;
+    delta = 16384;
+  } else {
+    imid = bitexact_cos(itheta);
+    iside = bitexact_cos(16384 - itheta);
+    delta = frac_mul16((N - 1) << 7, bitexact_log2tan(iside, imid));
+  }
+  sctx->inv = inv;
+  sctx->imid = imid;
+  sctx->iside = iside;
+  sctx->delta = delta;
+  sctx->itheta = itheta;
+  sctx->qalloc = qalloc;
+}
+
+uint32_t enc_quant_band_n1(EncBandCtx* ctx, double* X, double* Y,
+                           double* lowband_out) {
+  EcEnc* ec = ctx->ec;
+  double* chans[2] = {X, Y};
+  int nch = Y ? 2 : 1;
+  for (int c = 0; c < nch; c++) {
+    int sign = 0;
+    if (ctx->remaining_bits >= 1 << BITRES) {
+      sign = chans[c][0] < 0 ? 1 : 0;
+      ec_enc_bits(ec, (uint32_t)sign, 1);
+      ctx->remaining_bits -= 1 << BITRES;
+    }
+  }
+  if (lowband_out) lowband_out[0] = X[0];
+  return 1;
+}
+
+uint32_t enc_quant_partition(EncBandCtx* ctx, double* X, int N, int b, int B,
+                             int LM, double gain, uint32_t fill) {
+  int i = ctx->i;
+  int B0 = B;
+  uint32_t cm = 0;
+
+  int cache_index = kCacheIndex[(LM + 1) * NB + i];
+  const uint8_t* cache = kCacheBits + (cache_index < 0 ? 0 : cache_index);
+  bool can_split =
+      cache_index >= 0 && LM != -1 && b > (int)cache[cache[0]] + 12 && N > 2;
+  if (can_split) {
+    N >>= 1;
+    double* Y = X + N;
+    LM -= 1;
+    if (B == 1) fill = (fill & 1) | (fill << 1);
+    B = (B + 1) >> 1;
+
+    SplitCtx sctx;
+    int b_box = b;
+    uint32_t fill_box = fill;
+    enc_compute_theta(ctx, &sctx, X, Y, N, &b_box, B, B0, LM, false,
+                      &fill_box);
+    b = b_box;
+    fill = fill_box;
+    int delta = sctx.delta, itheta = sctx.itheta, qalloc = sctx.qalloc;
+    double mid = sctx.imid / 32768.0;
+    double side = sctx.iside / 32768.0;
+
+    if (B0 > 1 && (itheta & 0x3FFF)) {
+      if (itheta > 8192)
+        delta -= delta >> (4 - LM);
+      else
+        delta = std::min(0, delta + (N << BITRES >> (5 - LM)));
+    }
+    int bd = b - delta;
+    int half = bd >= 0 ? bd / 2 : -((-bd + 1) / 2);
+    int mbits = std::max(0, std::min(b, half));
+    int sbits = b - mbits;
+    ctx->remaining_bits -= qalloc;
+
+    int rebalance = ctx->remaining_bits;
+    if (mbits >= sbits) {
+      cm = enc_quant_partition(ctx, X, N, mbits, B, LM, gain * mid, fill);
+      rebalance = mbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 0)
+        sbits += rebalance - (3 << BITRES);
+      cm |= enc_quant_partition(ctx, Y, N, sbits, B, LM, gain * side,
+                                fill >> B)
+            << (B0 >> 1);
+    } else {
+      cm = enc_quant_partition(ctx, Y, N, sbits, B, LM, gain * side,
+                               fill >> B)
+           << (B0 >> 1);
+      rebalance = sbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 16384)
+        mbits += rebalance - (3 << BITRES);
+      cm |= enc_quant_partition(ctx, X, N, mbits, B, LM, gain * mid, fill);
+    }
+  } else {
+    int q = bits2pulses(i, LM, b);
+    int curr_bits = pulses2bits(i, LM, q);
+    ctx->remaining_bits -= curr_bits;
+    while (ctx->remaining_bits < 0 && q > 0) {
+      ctx->remaining_bits += curr_bits;
+      q--;
+      curr_bits = pulses2bits(i, LM, q);
+      ctx->remaining_bits -= curr_bits;
+    }
+    if (q != 0) {
+      int K = get_pulses(q);
+      cm = alg_quant_d(X, N, K, ctx->spread, B, ctx->ec);
+    }
+    // q == 0 leaf: resynth-only (noise fill / folding), nothing coded
+  }
+  return cm;
+}
+
+uint32_t enc_quant_band(EncBandCtx* ctx, double* X, int N, int b, int B,
+                        int LM, double* lowband_out, double gain,
+                        uint32_t fill) {
+  int N_B = N / B;
+  int B0 = B;
+  int recombine = 0;
+  bool long_blocks = B0 == 1;
+  int tf_change = ctx->tf_change;
+
+  if (N == 1) return enc_quant_band_n1(ctx, X, nullptr, lowband_out);
+
+  if (tf_change > 0) recombine = tf_change;
+
+  for (int k = 0; k < recombine; k++) {
+    haar1_d(X, N >> k, 1 << k);
+    fill = kBitInterleave[fill & 0xF] | kBitInterleave[(fill >> 4) & 0xF] << 2;
+  }
+  B >>= recombine;
+  N_B <<= recombine;
+
+  while ((N_B & 1) == 0 && tf_change < 0) {
+    haar1_d(X, N_B, B);
+    fill |= fill << B;
+    B <<= 1;
+    N_B >>= 1;
+    tf_change++;
+  }
+  B0 = B;
+
+  if (B0 > 1)
+    deinterleave_hadamard_d(X, N_B >> recombine, B0 << recombine, long_blocks);
+
+  return enc_quant_partition(ctx, X, N, b, B, LM, gain, fill);
+  // resynth=false: no interleave-back, no lowband_out fill, raw cm
+}
+
+uint32_t enc_quant_band_stereo(EncBandCtx* ctx, double* X, double* Y, int N,
+                               int b, int B, int LM, double* lowband_out,
+                               uint32_t fill) {
+  if (N == 1) return enc_quant_band_n1(ctx, X, Y, lowband_out);
+
+  EcEnc* ec = ctx->ec;
+  uint32_t orig_fill = fill;
+  SplitCtx sctx;
+  int b_box = b;
+  uint32_t fill_box = fill;
+  enc_compute_theta(ctx, &sctx, X, Y, N, &b_box, B, B, LM, true, &fill_box);
+  b = b_box;
+  fill = fill_box;
+  int delta = sctx.delta, itheta = sctx.itheta, qalloc = sctx.qalloc;
+  double side = sctx.iside / 32768.0;
+  uint32_t cm;
+
+  if (N == 2) {
+    int mbits = b;
+    int sbits = 0;
+    if (itheta != 0 && itheta != 16384) sbits = 1 << BITRES;
+    mbits -= sbits;
+    bool c = itheta > 8192;
+    ctx->remaining_bits -= qalloc + sbits;
+    double* x2 = c ? Y : X;
+    double* y2 = c ? X : Y;
+    int sign = 0;
+    if (sbits) {
+      sign = x2[0] * y2[1] - x2[1] * y2[0] < 0 ? 1 : 0;
+      ec_enc_bits(ec, (uint32_t)sign, 1);
+    }
+    sign = 1 - 2 * sign;
+    cm = enc_quant_band(ctx, x2, N, mbits, B, LM, lowband_out, 1.0,
+                        orig_fill);
+    y2[0] = -sign * x2[1];
+    y2[1] = sign * x2[0];
+  } else {
+    int bd = b - delta;
+    int half = bd >= 0 ? bd / 2 : -((-bd + 1) / 2);
+    int mbits = std::max(0, std::min(b, half));
+    int sbits = b - mbits;
+    ctx->remaining_bits -= qalloc;
+    int rebalance = ctx->remaining_bits;
+    if (mbits >= sbits) {
+      cm = enc_quant_band(ctx, X, N, mbits, B, LM, lowband_out, 1.0, fill);
+      rebalance = mbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 0)
+        sbits += rebalance - (3 << BITRES);
+      cm |= enc_quant_band(ctx, Y, N, sbits, B, LM, nullptr, side,
+                           fill >> B);
+    } else {
+      cm = enc_quant_band(ctx, Y, N, sbits, B, LM, nullptr, side, fill >> B);
+      rebalance = sbits - (rebalance - ctx->remaining_bits);
+      if (rebalance > 3 << BITRES && itheta != 16384)
+        mbits += rebalance - (3 << BITRES);
+      cm |= enc_quant_band(ctx, X, N, mbits, B, LM, lowband_out, 1.0, fill);
+    }
+  }
+  // resynth=false: no stereo_merge / inv flip
+  return cm;
+}
+
+// quant_all_bands, encode side with resynth=false (bands.py:655). With no
+// resynthesis the lowband_offset gate never opens (matches the Python host
+// encoder at complexity < 8): every band folds from a fresh fill mask and
+// no norm buffer is consumed.
+uint32_t enc_quant_all_bands(int start, int end, double* X_, double* Y_,
+                             uint8_t* collapse_masks, const double* band_e,
+                             const int* pulses, bool short_blocks, int spread,
+                             int dual_stereo, int intensity, const int* tf_res,
+                             int total_bits, int balance, EcEnc* ec, int LM,
+                             int coded_bands, uint32_t seed, bool disable_inv) {
+  int M = 1 << LM;
+  int B = short_blocks ? M : 1;
+  int norm_offset = M * kEBands[start];
+  int C = Y_ ? 2 : 1;
+  double norm_sink[2 * 8 * 100];  // dead lowband_out writes (n1 bands)
+
+  EncBandCtx ctx;
+  ctx.intensity = intensity;
+  ctx.spread = spread;
+  ctx.ec = ec;
+  ctx.band_e = band_e;
+  ctx.seed = seed;
+  ctx.disable_inv = disable_inv;
+  ctx.avoid_split_noise = B > 1;
+
+  for (int i = start; i < end; i++) {
+    ctx.i = i;
+    bool last = i == end - 1;
+    double* X = X_ + M * kEBands[i];
+    double* Y = Y_ ? Y_ + M * kEBands[i] : nullptr;
+    int N = M * kEBands[i + 1] - M * kEBands[i];
+    int tell = ec_enc_tell_frac(ec);
+
+    if (i != start) balance -= tell;
+    int remaining_bits = total_bits - tell - 1;
+    ctx.remaining_bits = remaining_bits;
+    int b;
+    if (i <= coded_bands - 1) {
+      int den = std::min(3, coded_bands - i);
+      int curr_balance = balance / den;
+      b = std::max(0, std::min(16383, std::min(remaining_bits + 1,
+                                               pulses[i] + curr_balance)));
+    } else {
+      b = 0;
+    }
+
+    ctx.tf_change = tf_res[i];
+    uint32_t x_cm = (1u << B) - 1, y_cm = (1u << B) - 1;
+
+    if (dual_stereo && i == intensity) dual_stereo = 0;
+    if (dual_stereo) {
+      x_cm = enc_quant_band(&ctx, X, N, b / 2, B, LM,
+                            last ? nullptr
+                                 : norm_sink + M * kEBands[i] - norm_offset,
+                            1.0, x_cm);
+      y_cm = enc_quant_band(&ctx, Y, N, b / 2, B, LM,
+                            last ? nullptr
+                                 : norm_sink + M * kEBands[i] - norm_offset,
+                            1.0, y_cm);
+    } else {
+      if (Y) {
+        x_cm = enc_quant_band_stereo(
+            &ctx, X, Y, N, b, B, LM,
+            last ? nullptr : norm_sink + M * kEBands[i] - norm_offset,
+            x_cm | y_cm);
+      } else {
+        x_cm = enc_quant_band(
+            &ctx, X, N, b, B, LM,
+            last ? nullptr : norm_sink + M * kEBands[i] - norm_offset, 1.0,
+            x_cm | y_cm);
+      }
+      y_cm = x_cm;
+    }
+    collapse_masks[i * C + 0] = (uint8_t)(x_cm & 0xFF);
+    collapse_masks[i * C + C - 1] = (uint8_t)(y_cm & 0xFF);
+    balance += pulses[i] + tell;
+    ctx.avoid_split_noise = false;
+  }
+  return ctx.seed;
+}
+
+}  // namespace
+
+// ------------------------------------------------- encoder energies
+namespace {
+
+const double kEMeansD[21] = {6.4375, 6.25,  5.75,   5.3125, 5.0625, 4.8125,
+                             4.5,    4.375, 4.875,  4.6875, 4.5625, 4.4375,
+                             4.875,  4.625, 4.3125, 4.5,    4.375,  4.625,
+                             4.75,   4.4375, 3.75};
+const int kIntensityThresholds[21] = {1,  2,  3,  4,  5,  6,  7,  8,  16, 24,
+                                      36, 44, 50, 56, 62, 67, 72, 79, 88,
+                                      106, 134};
+const int kIntensityHysteresis[21] = {1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+                                      2, 2, 2, 3, 3, 4, 5, 6, 8, 8};
+
+// hysteresis_decision (encoder.py:51; reference celt/bands.rs:573)
+int hysteresis_decision(double value, const int* thresholds,
+                        const int* hysteresis, int count, int prev) {
+  int index = 0;
+  while (index < count && value >= thresholds[index]) index++;
+  if (prev < count && index > prev && value < thresholds[prev] + hysteresis[prev])
+    index = prev;
+  if (prev > 0 && index < prev && value > thresholds[prev - 1] - hysteresis[prev - 1])
+    index = prev;
+  return index;
+}
+
+// coarse energy quantizer, encode side (encoder.py:1059 _coarse_impl)
+int enc_coarse_impl(EcEnc* enc, const double* e_bands, double* old, int budget,
+                    int tell, const uint8_t* prob_model, double* error, int C,
+                    int LM, bool intra, double max_decay, int start, int end,
+                    bool lfe) {
+  int badness = 0;
+  double prev[2] = {0.0, 0.0};
+  if (tell + 3 <= budget) ec_enc_bit_logp(enc, intra ? 1 : 0, 3);
+  double coef = intra ? 0.0 : kPredCoef[LM];
+  double beta = intra ? kBetaIntra : kBetaCoef[LM];
+  for (int i = start; i < end; i++) {
+    for (int c = 0; c < C; c++) {
+      double x = e_bands[c * NB + i];
+      double old_e = std::max(-9.0, old[c * NB + i]);
+      double f = x - coef * old_e - prev[c];
+      int qi = (int)std::floor(0.5 + f);
+      double decay_bound = std::max(-28.0, old[c * NB + i]) - max_decay;
+      if (qi < 0 && x < decay_bound) {
+        qi += (int)(decay_bound - x);
+        if (qi > 0) qi = 0;
+      }
+      int qi0 = qi;
+      tell = ec_enc_tell(enc);
+      int bits_left = budget - tell - 3 * C * (end - i);
+      if (i != start && bits_left < 30) {
+        if (bits_left < 24) qi = std::min(1, qi);
+        if (bits_left < 16) qi = std::max(-1, qi);
+      }
+      if (lfe && i >= 2) qi = std::min(qi, 0);
+      if (budget - tell >= 15) {
+        int pi = 2 * std::min(i, 20);
+        qi = ec_laplace_encode(enc, qi, (uint32_t)prob_model[pi] << 7,
+                               (int)prob_model[pi + 1] << 6);
+      } else if (budget - tell >= 2) {
+        qi = std::max(-1, std::min(qi, 1));
+        ec_enc_icdf(enc, (2 * qi) ^ -(qi < 0 ? 1 : 0), kSmallEnergyICDF, 2);
+      } else if (budget - tell >= 1) {
+        qi = std::min(0, qi);
+        ec_enc_bit_logp(enc, -qi, 1);
+      } else {
+        qi = -1;
+      }
+      error[c * NB + i] = f - qi;
+      badness += std::abs(qi0 - qi);
+      double q = (double)qi;
+      double tmp = coef * old_e + prev[c] + q;
+      old[c * NB + i] = tmp;
+      prev[c] = prev[c] + q - beta * q;
+    }
+  }
+  return lfe ? 0 : badness;
+}
+
+struct CeltEncHost {
+  int channels;       // == stream channels (C)
+  int complexity;
+  int disable_inv;
+  int lsb_depth;
+  uint32_t rng;
+  int spread_decision;
+  double delayed_intra;
+  int tonal_average;
+  int hf_average;
+  int tapset_decision;
+  int consec_transient;
+  int intensity;
+  int last_coded_bands;
+  int force_intra;
+  int loss_rate;
+  double old_band_e[2 * NB];
+  double old_log_e[2 * NB];
+  double old_log_e2[2 * NB];
+  double energy_error[2 * NB];
+};
+
+void celt_enc_reset_impl(CeltEncHost* st) {
+  st->rng = 0;
+  st->spread_decision = SPREAD_NORMAL;
+  st->delayed_intra = 1.0;
+  st->tonal_average = 256;
+  st->hf_average = 0;
+  st->tapset_decision = 0;
+  st->consec_transient = 0;
+  st->intensity = 0;
+  st->last_coded_bands = 0;
+  st->force_intra = 0;
+  st->loss_rate = 0;
+  for (int i = 0; i < 2 * NB; i++) {
+    st->old_band_e[i] = 0.0;
+    st->old_log_e[i] = -28.0;
+    st->old_log_e2[i] = -28.0;
+    st->energy_error[i] = 0.0;
+  }
+}
+
+double enc_loss_distortion(const double* e_bands, const double* old, int start,
+                           int end, int C) {
+  double d = 0.0;
+  for (int c = 0; c < C; c++)
+    for (int i = start; i < end; i++) {
+      double t = e_bands[c * NB + i] - old[c * NB + i];
+      d += t * t;
+    }
+  return std::min(200.0, d);
+}
+
+void enc_quant_coarse_energy(CeltEncHost* st, EcEnc* enc,
+                             const double* e_bands, double* error, int budget,
+                             int C, int LM, int eff_end,
+                             int nb_available_bytes, bool two_pass, int start,
+                             int end) {
+  double* old = st->old_band_e;
+  bool intra = st->force_intra ||
+               (!two_pass && st->delayed_intra > 2 * C * (end - start) &&
+                nb_available_bytes > (end - start) * C);
+  int intra_bias =
+      (int)((double)budget * st->delayed_intra * st->loss_rate / (C * 512));
+  double new_distortion = enc_loss_distortion(e_bands, old, start, eff_end, C);
+
+  int tell = ec_enc_tell(enc);
+  if (tell + 3 > budget) {
+    two_pass = false;
+    intra = false;
+  }
+
+  double max_decay = 16.0;
+  if (end - start > 10)
+    max_decay = std::min(max_decay, 0.125 * nb_available_bytes);
+
+  static thread_local EcEncSnap snap_start, snap_intra;
+  ec_enc_save(&snap_start, enc);
+  double old_intra[2 * NB];
+  memcpy(old_intra, old, sizeof(old_intra));
+  double error_intra[2 * NB] = {0};
+  int badness1 = 0;
+  const uint8_t* pm_intra = kEProbModel + (LM * 2 + 1) * 42;
+  const uint8_t* pm_inter = kEProbModel + (LM * 2 + 0) * 42;
+  if (two_pass || intra)
+    badness1 = enc_coarse_impl(enc, e_bands, old_intra, budget, tell, pm_intra,
+                               error_intra, C, LM, true, max_decay, start, end,
+                               false);
+  if (!intra) {
+    ec_enc_save(&snap_intra, enc);
+    int tell_intra = ec_enc_tell_frac(enc);
+    ec_enc_restore(enc, &snap_start);
+    int badness2 = enc_coarse_impl(enc, e_bands, old, budget, tell, pm_inter,
+                                   error, C, LM, false, max_decay, start, end,
+                                   false);
+    if (two_pass &&
+        (badness1 < badness2 ||
+         (badness1 == badness2 &&
+          ec_enc_tell_frac(enc) + intra_bias > tell_intra))) {
+      ec_enc_restore(enc, &snap_intra);
+      memcpy(old, old_intra, sizeof(old_intra));
+      memcpy(error, error_intra, sizeof(error_intra));
+      intra = true;
+    }
+  } else {
+    memcpy(old, old_intra, sizeof(old_intra));
+    memcpy(error, error_intra, sizeof(error_intra));
+  }
+
+  if (intra)
+    st->delayed_intra = new_distortion;
+  else
+    st->delayed_intra =
+        kPredCoef[LM] * kPredCoef[LM] * st->delayed_intra + new_distortion;
+}
+
+void enc_quant_fine_energy(CeltEncHost* st, EcEnc* enc, double* error,
+                           const int* fine_quant, int C, int start, int end) {
+  for (int i = start; i < end; i++) {
+    if (fine_quant[i] <= 0) continue;
+    int frac = 1 << fine_quant[i];
+    for (int c = 0; c < C; c++) {
+      int q2 = (int)std::floor((error[c * NB + i] + 0.5) * frac);
+      q2 = std::max(0, std::min(q2, frac - 1));
+      ec_enc_bits(enc, (uint32_t)q2, fine_quant[i]);
+      double offset = (q2 + 0.5) * std::ldexp(1.0, -fine_quant[i]) - 0.5;
+      st->old_band_e[c * NB + i] += offset;
+      error[c * NB + i] -= offset;
+    }
+  }
+}
+
+void enc_quant_energy_finalise(CeltEncHost* st, EcEnc* enc, double* error,
+                               const int* fine_quant, const int* fine_priority,
+                               int bits_left, int C, int start, int end) {
+  for (int prio = 0; prio < 2; prio++) {
+    for (int i = start; i < end; i++) {
+      if (bits_left < C) break;
+      if (fine_quant[i] >= MAX_FINE_BITS || fine_priority[i] != prio) continue;
+      for (int c = 0; c < C; c++) {
+        int q2 = error[c * NB + i] < 0 ? 0 : 1;
+        ec_enc_bits(enc, (uint32_t)q2, 1);
+        double offset = (q2 - 0.5) * std::ldexp(1.0, -(fine_quant[i] + 1));
+        st->old_band_e[c * NB + i] += offset;
+        error[c * NB + i] -= offset;
+        bits_left--;
+      }
+    }
+  }
+}
+
+// tf_encode (encoder.py:1112)
+void enc_tf_encode(EcEnc* enc, bool is_transient, int* tf_res, int LM,
+                   int tf_select, int budget, int start, int end) {
+  int tell = ec_enc_tell(enc);
+  int logp = is_transient ? 2 : 4;
+  int tf_select_rsv = (LM > 0 && tell + logp + 1 <= budget) ? 1 : 0;
+  budget -= tf_select_rsv;
+  int curr = 0, tf_changed = 0;
+  for (int i = start; i < end; i++) {
+    if (tell + logp <= budget) {
+      ec_enc_bit_logp(enc, tf_res[i] ^ curr, logp);
+      tell = ec_enc_tell(enc);
+      curr = tf_res[i];
+      tf_changed |= curr;
+    } else {
+      tf_res[i] = curr;
+    }
+    logp = is_transient ? 4 : 5;
+  }
+  int ti = is_transient ? 1 : 0;
+  if (tf_select_rsv && kTfSelect[LM * 8 + 4 * ti + 0 + tf_changed] !=
+                           kTfSelect[LM * 8 + 4 * ti + 2 + tf_changed])
+    ec_enc_bit_logp(enc, tf_select, 1);
+  else
+    tf_select = 0;
+  for (int i = start; i < end; i++)
+    tf_res[i] = kTfSelect[LM * 8 + 4 * ti + 2 * tf_select + tf_res[i]];
+}
+
+// tf_analysis (encoder.py:801; reference celt_encoder.rs:1604)
+int enc_tf_analysis(int eff_end, bool is_transient, int lam, const double* X,
+                    int LM, double tf_estimate, const int* importance,
+                    int* tf_res) {
+  double bias = 0.04 * std::max(-0.25, 0.5 - tf_estimate);
+  int metric[NB] = {0};
+
+  for (int band = 0; band < eff_end; band++) {
+    int j0 = kEBands[band], j1 = kEBands[band + 1];
+    int width = j1 - j0;
+    int n = width << LM;
+    double tmp[224];
+    memcpy(tmp, X + (j0 << LM), n * sizeof(double));
+    bool narrow = width == 1;
+    int best_level = 0;
+    auto l1_metric = [&](const double* v, int len, int b) {
+      double s = 0.0;
+      for (int j = 0; j < len; j++) s += std::fabs(v[j]);
+      return s + b * bias * s;
+    };
+    double best_l1 = l1_metric(tmp, n, is_transient ? LM : 0);
+    if (is_transient && !narrow) {
+      double alt[224];
+      memcpy(alt, tmp, n * sizeof(double));
+      haar1_d(alt, n >> LM, 1 << LM);
+      double l1 = l1_metric(alt, n, LM + 1);
+      if (l1 < best_l1) {
+        best_l1 = l1;
+        best_level = -1;
+      }
+    }
+    int extra = (is_transient || narrow) ? 0 : 1;
+    for (int k = 0; k < LM + extra; k++) {
+      if (n >> k == 0) break;
+      haar1_d(tmp, n >> k, 1 << k);
+      int b = is_transient ? (LM - k - 1) : (k + 1);
+      double l1 = l1_metric(tmp, n, b);
+      if (l1 < best_l1) {
+        best_l1 = l1;
+        best_level = k + 1;
+      }
+    }
+    int value = is_transient ? 2 * best_level : -2 * best_level;
+    if (narrow && (value == 0 || value == -2 * LM)) value -= 1;
+    metric[band] = value;
+  }
+
+  int base = is_transient ? 4 : 0;
+  int path0[NB], path1[NB];
+  auto viterbi = [&](int sel, int* p0, int* p1, int64_t* c0_out,
+                     int64_t* c1_out) {
+    int t0 = 2 * (int)kTfSelect[LM * 8 + base + 2 * sel];
+    int t1 = 2 * (int)kTfSelect[LM * 8 + base + 2 * sel + 1];
+    int64_t cost0 = (int64_t)importance[0] * std::abs(metric[0] - t0);
+    int64_t cost1 = (int64_t)importance[0] * std::abs(metric[0] - t1) +
+                    (is_transient ? 0 : lam);
+    for (int band = 1; band < eff_end; band++) {
+      int64_t curr0, curr1;
+      if (cost0 < cost1 + lam) {
+        curr0 = cost0;
+        p0[band] = 0;
+      } else {
+        curr0 = cost1 + lam;
+        p0[band] = 1;
+      }
+      if (cost0 + lam < cost1) {
+        curr1 = cost0 + lam;
+        p1[band] = 0;
+      } else {
+        curr1 = cost1;
+        p1[band] = 1;
+      }
+      cost0 = curr0 + (int64_t)importance[band] * std::abs(metric[band] - t0);
+      cost1 = curr1 + (int64_t)importance[band] * std::abs(metric[band] - t1);
+    }
+    *c0_out = cost0;
+    *c1_out = cost1;
+  };
+  int64_t c0a, c1a, c0b, c1b;
+  viterbi(0, path0, path1, &c0a, &c1a);
+  viterbi(1, path0, path1, &c0b, &c1b);
+  int tf_select =
+      (is_transient && std::min(c0b, c1b) < std::min(c0a, c1a)) ? 1 : 0;
+  int64_t cost0, cost1;
+  viterbi(tf_select, path0, path1, &cost0, &cost1);
+  tf_res[eff_end - 1] = cost0 < cost1 ? 0 : 1;
+  for (int band = eff_end - 2; band >= 0; band--)
+    tf_res[band] = tf_res[band + 1] ? path1[band + 1] : path0[band + 1];
+  return tf_select;
+}
+
+// spreading_decision (encoder.py:740; reference bands.rs:3576)
+int enc_spreading_decision(CeltEncHost* st, const double* X, int end, int C,
+                           int M, const int* spread_weight, bool update_hf,
+                           int N_per_ch) {
+  if (M * (kEBands[end] - kEBands[end - 1]) <= 8) return SPREAD_NONE;
+  int ssum = 0, nb_bands = 0, hf_sum = 0;
+  for (int c = 0; c < C; c++) {
+    for (int band = 0; band < end; band++) {
+      int j0 = M * kEBands[band], j1 = M * kEBands[band + 1];
+      int n = j1 - j0;
+      if (n <= 8) continue;
+      int t0 = 0, t1 = 0, t2 = 0;
+      for (int j = j0; j < j1; j++) {
+        double x2n = X[c * N_per_ch + j] * X[c * N_per_ch + j] * n;
+        t0 += x2n < 0.25;
+        t1 += x2n < 0.0625;
+        t2 += x2n < 0.015625;
+      }
+      if (band + 4 > kNbEBands) hf_sum += 32 * (t1 + t0) / n;
+      int tmp = (2 * t2 >= n) + (2 * t1 >= n) + (2 * t0 >= n);
+      ssum += tmp * spread_weight[band];
+      nb_bands += spread_weight[band];
+    }
+  }
+  if (update_hf) {
+    if (hf_sum) {
+      int denom = C * (4 - kNbEBands + end);
+      hf_sum = denom > 0 ? hf_sum / denom : 0;
+    }
+    st->hf_average = (st->hf_average + hf_sum) >> 1;
+    hf_sum = st->hf_average;
+    if (st->tapset_decision == 2)
+      hf_sum += 4;
+    else if (st->tapset_decision == 0)
+      hf_sum -= 4;
+    if (hf_sum > 22)
+      st->tapset_decision = 2;
+    else if (hf_sum > 18)
+      st->tapset_decision = 1;
+    else
+      st->tapset_decision = 0;
+  }
+  if (nb_bands <= 0) return SPREAD_NORMAL;
+  ssum = ((ssum << 8) / nb_bands + st->tonal_average) >> 1;
+  st->tonal_average = ssum;
+  ssum = (3 * ssum + (((3 - st->spread_decision) << 7) + 64) + 2) >> 2;
+  if (ssum < 80) return SPREAD_AGGRESSIVE;
+  if (ssum < 256) return SPREAD_NORMAL;
+  if (ssum < 384) return SPREAD_LIGHT;
+  return SPREAD_NONE;
+}
+
+// stereo_analysis (encoder.py:720; reference celt_encoder.rs:1559)
+bool enc_stereo_analysis(const double* X, int LM, int N, int N_per_ch) {
+  double sum_lr = 1e-15, sum_ms = 1e-15;
+  for (int band = 0; band < 13; band++) {
+    int j0 = kEBands[band] << LM, j1 = kEBands[band + 1] << LM;
+    if (j1 <= j0 || j1 > N) continue;
+    for (int j = j0; j < j1; j++) {
+      double l = X[j], r = X[N_per_ch + j];
+      sum_lr += std::fabs(l) + std::fabs(r);
+      sum_ms += std::fabs(l + r) + std::fabs(l - r);
+    }
+  }
+  sum_ms *= 0.7071067811865476;
+  int thetas = 13 - (LM <= 1 ? 8 : 0);
+  double base = (double)(kEBands[13] << (LM + 1));
+  return (base + thetas) * sum_ms > base * sum_lr;
+}
+
+inline double median3(double a, double b, double c) {
+  if (a > b) std::swap(a, b);
+  if (b > c) std::swap(b, c);
+  if (a > b) std::swap(a, b);
+  return b;
+}
+
+inline double median5(const double* v) {
+  double t[5] = {v[0], v[1], v[2], v[3], v[4]};
+  std::sort(t, t + 5);
+  return t[2];
+}
+
+// dynalloc_analysis (encoder.py:886; reference celt_encoder.rs:2861)
+void enc_dynalloc_analysis(CeltEncHost* st, const double* band_log_e,
+                           const double* old_band_e, int C, int LM,
+                           int effective_bytes, bool is_transient,
+                           double tone_freq, double toneishness, int* want,
+                           int* importance, int* spread_weight, int start,
+                           int end, bool vbr) {
+  for (int i = 0; i < NB; i++) {
+    want[i] = 0;
+    importance[i] = 13;
+    spread_weight[i] = 32;
+  }
+  double noise_floor[NB];
+  for (int i = 0; i < end; i++)
+    noise_floor[i] = 0.0625 * (double)kLogN[i] + 0.5 +
+                     (9.0 - st->lsb_depth) - kEMeansD[i] +
+                     0.0062 * (i + 5.0) * (i + 5.0);
+  double sig[NB], mask[NB];
+  for (int i = 0; i < end; i++) {
+    sig[i] = band_log_e[i] - noise_floor[i];
+    if (C == 2)
+      sig[i] = std::max(sig[i], band_log_e[NB + i] - noise_floor[i]);
+    mask[i] = sig[i];
+  }
+  for (int i = 1; i < end; i++) mask[i] = std::max(mask[i], mask[i - 1] - 2.0);
+  for (int i = end - 2; i >= 0; i--)
+    mask[i] = std::max(mask[i], mask[i + 1] - 3.0);
+  double max_depth = -1e30;
+  for (int c = 0; c < C; c++)
+    for (int i = 0; i < end; i++)
+      max_depth = std::max(max_depth, band_log_e[c * NB + i] - noise_floor[i]);
+  double base_threshold = std::max(0.0, max_depth - 12.0);
+  for (int i = 0; i < end; i++) {
+    double smr = sig[i] - std::max(base_threshold, mask[i]);
+    int shift = std::min(5, std::max(0, -(int)std::floor(smr + 0.5)));
+    spread_weight[i] = 32 >> shift;
+  }
+  if (effective_bytes < 30 + 5 * LM) return;
+
+  double follower[2][NB];
+  for (int c = 0; c < C; c++) {
+    double ble3[NB];
+    for (int i = 0; i < end; i++) ble3[i] = band_log_e[c * NB + i];
+    if (LM == 0) {
+      int k = std::min(end, 8);
+      for (int i = 0; i < k; i++)
+        ble3[i] = std::max(ble3[i], old_band_e[c * NB + i]);
+    }
+    double f[NB];
+    f[0] = ble3[0];
+    int last = 0;
+    for (int i = 1; i < end; i++) {
+      if (ble3[i] > ble3[i - 1] + 0.5) last = i;
+      f[i] = std::min(f[i - 1] + 1.5, ble3[i]);
+    }
+    for (int i = last - 1; i >= 0; i--)
+      f[i] = std::min(f[i], std::min(f[i + 1] + 2.0, ble3[i]));
+    if (end >= 3) {
+      double med0 = median3(ble3[0], ble3[1], ble3[2]) - 1.0;
+      f[0] = std::max(f[0], med0);
+      f[1] = std::max(f[1], med0);
+      double med1 = median3(ble3[end - 3], ble3[end - 2], ble3[end - 1]) - 1.0;
+      f[end - 2] = std::max(f[end - 2], med1);
+      f[end - 1] = std::max(f[end - 1], med1);
+    }
+    for (int i = 2; i < end - 2; i++)
+      f[i] = std::max(f[i], median5(ble3 + i - 2) - 1.0);
+    for (int i = 0; i < end; i++)
+      follower[c][i] = std::max(f[i], noise_floor[i]);
+  }
+  double depth[NB];
+  if (C == 2) {
+    for (int k = 0, i = start; i < end; i++, k++) {
+      double fr = std::max(follower[1][i], follower[0][i] - 4.0);
+      double fl = std::max(follower[0][i], fr - 4.0);
+      double dl = std::max(band_log_e[i] - fl, 0.0);
+      double dr = std::max(band_log_e[NB + i] - fr, 0.0);
+      depth[k] = 0.5 * (dl + dr);
+    }
+  } else {
+    for (int k = 0, i = start; i < end; i++, k++)
+      depth[k] = std::max(band_log_e[i] - follower[0][i], 0.0);
+  }
+  for (int k = 0, i = start; i < end; i++, k++)
+    importance[i] = (int)(13.0 * std::pow(2.0, std::min(depth[k], 4.0)) + 0.5);
+  if (!vbr && !is_transient)
+    for (int k = 0; k < end - start; k++) depth[k] *= 0.5;
+  bool have_tone = toneishness > 0.98;
+  int tone_bin =
+      have_tone ? (int)std::floor(tone_freq * (120.0 / M_PI) + 0.5) : 0;
+  for (int k = 0, i = start; i < end; i++, k++) {
+    double d = depth[k];
+    if (i < 8) d *= 2.0;
+    if (i >= 12) d *= 0.5;
+    if (have_tone) {
+      int lo = kEBands[i], hi = kEBands[i + 1];
+      if (lo <= tone_bin && tone_bin <= hi) d += 2.0;
+      if (lo - 1 <= tone_bin && tone_bin <= hi + 1) d += 1.0;
+      if (lo - 2 <= tone_bin && tone_bin <= hi + 2) d += 1.0;
+      if (lo - 3 <= tone_bin && tone_bin <= hi + 3) d += 0.5;
+    }
+    d = std::min(d, 4.0);
+    int width = C * (kEBands[i + 1] - kEBands[i]) << LM;
+    if (width < 6)
+      want[i] = (int)d;
+    else if (width > 48)
+      want[i] = (int)(d * 8.0);
+    else
+      want[i] = (int)(d * width / 6.0);
+  }
+}
+
+// encoder-side interp_bits2pulses (rate.py:34 with is_encoder=True)
+void enc_interp_bits2pulses(int start, int end, int skip_start,
+                            const int* bits1, const int* bits2,
+                            const int* thresh, const int* cap, int total,
+                            int skip_rsv, int intensity, int intensity_rsv,
+                            int dual_stereo, int dual_stereo_rsv, int C,
+                            int LM, EcEnc* enc, int prev,
+                            int signal_bandwidth, Alloc* out) {
+  const int16_t* eb = kEBands;
+  int alloc_floor = C << BITRES;
+  int stereo = C > 1 ? 1 : 0;
+  int log_m = LM << BITRES;
+  int bits[NB] = {0};
+
+  int lo = 0, hi = 1 << ALLOC_STEPS;
+  for (int it = 0; it < ALLOC_STEPS; it++) {
+    int mid = (lo + hi) >> 1;
+    int psum = 0, done = 0;
+    for (int j = end - 1; j >= start; j--) {
+      int tmp = bits1[j] + ((mid * bits2[j]) >> ALLOC_STEPS);
+      if (tmp >= thresh[j] || done) {
+        done = 1;
+        psum += std::min(tmp, cap[j]);
+      } else if (tmp >= alloc_floor) {
+        psum += alloc_floor;
+      }
+    }
+    if (psum > total)
+      hi = mid;
+    else
+      lo = mid;
+  }
+  int psum = 0, done = 0;
+  for (int j = end - 1; j >= start; j--) {
+    int tmp = bits1[j] + ((lo * bits2[j]) >> ALLOC_STEPS);
+    if (tmp < thresh[j] && !done)
+      tmp = tmp >= alloc_floor ? alloc_floor : 0;
+    else
+      done = 1;
+    tmp = std::min(tmp, cap[j]);
+    bits[j] = tmp;
+    psum += tmp;
+  }
+
+  int coded_bands = end;
+  while (coded_bands > start) {
+    int j = coded_bands - 1;
+    if (j <= skip_start) {
+      total += skip_rsv;
+      break;
+    }
+    int band_width = eb[coded_bands] - eb[j];
+    uint32_t left = (uint32_t)(total - psum);
+    int denom = eb[coded_bands] - eb[start];
+    uint32_t per_coeff = left / denom;
+    int32_t left2 = (int32_t)(left - denom * per_coeff);
+    int rem = std::max(left2 - (eb[j] - eb[start]), 0);
+    int32_t band_bits = (int32_t)(bits[j] + per_coeff * band_width + rem);
+    if (band_bits >= std::max(thresh[j], alloc_floor + (1 << BITRES))) {
+      bool decision;
+      if (coded_bands <= start + 2) {
+        decision = true;
+      } else {
+        int depth_threshold =
+            coded_bands > 17 ? (j < prev ? 7 : 9) : 0;
+        decision =
+            band_bits > ((depth_threshold * band_width) << (LM + BITRES)) >> 4
+            && j <= signal_bandwidth;
+      }
+      ec_enc_bit_logp(enc, decision ? 1 : 0, 1);
+      if (decision) break;
+      psum += 1 << BITRES;
+      band_bits -= 1 << BITRES;
+    }
+    psum -= bits[j] + intensity_rsv;
+    if (intensity_rsv > 0) intensity_rsv = kLog2FracTable[j - start];
+    psum += intensity_rsv;
+    if (band_bits >= alloc_floor) {
+      psum += alloc_floor;
+      bits[j] = alloc_floor;
+    } else {
+      bits[j] = 0;
+    }
+    coded_bands--;
+  }
+
+  if (intensity_rsv > 0) {
+    intensity = std::min(intensity, coded_bands);
+    ec_enc_uint(enc, (uint32_t)(intensity - start),
+                (uint32_t)(coded_bands + 1 - start));
+  } else {
+    intensity = 0;
+  }
+  if (intensity <= start) {
+    total += dual_stereo_rsv;
+    dual_stereo_rsv = 0;
+  }
+  if (dual_stereo_rsv > 0)
+    ec_enc_bit_logp(enc, dual_stereo, 1);
+  else
+    dual_stereo = 0;
+
+  int denom = std::max(eb[coded_bands] - eb[start], 1);
+  uint32_t left = (uint32_t)(total - psum);
+  uint32_t per_coeff = left / denom;
+  int32_t leftr = (int32_t)(left - denom * per_coeff);
+  for (int j = start; j < coded_bands; j++)
+    bits[j] += (int)per_coeff * (eb[j + 1] - eb[j]);
+  for (int j = start; j < coded_bands; j++) {
+    int add = std::min((int)(eb[j + 1] - eb[j]), (int)leftr);
+    bits[j] += add;
+    leftr -= add;
+  }
+
+  int balance = 0;
+  for (int j = start; j < coded_bands; j++) {
+    int n0 = eb[j + 1] - eb[j];
+    int n = n0 << LM;
+    int bit = bits[j] + balance;
+    int excess = 0;
+    if (n > 1) {
+      excess = std::max(bit - cap[j], 0);
+      bits[j] = bit - excess;
+      int den = C * n;
+      if (C == 2 && n > 2 && dual_stereo == 0 && j < intensity) den++;
+      int nclogn = den * ((int)kLogN[j] + log_m);
+      int offset = (nclogn >> 1) - den * FINE_OFFSET;
+      if (n == 2) offset += den << (BITRES - 2);
+      if (bits[j] + offset < (den * 2) << BITRES)
+        offset += nclogn >> 2;
+      else if (bits[j] + offset < (den * 3) << BITRES)
+        offset += nclogn >> 3;
+      int ebv = std::max(0, bits[j] + offset + (den << (BITRES - 1)));
+      ebv = ((uint32_t)ebv / den) >> BITRES;
+      if (C * ebv > (bits[j] >> BITRES)) ebv = bits[j] >> stereo >> BITRES;
+      ebv = std::min(ebv, MAX_FINE_BITS);
+      out->fine_priority[j] = ebv * (den << BITRES) >= bits[j] + offset;
+      bits[j] -= (C * ebv) << BITRES;
+      out->ebits[j] = ebv;
+    } else {
+      excess = std::max(0, bit - (C << BITRES));
+      bits[j] = bit - excess;
+      out->ebits[j] = 0;
+      out->fine_priority[j] = 1;
+    }
+    if (excess > 0) {
+      int extra_fine =
+          std::min(excess >> (stereo + BITRES), MAX_FINE_BITS - out->ebits[j]);
+      out->ebits[j] += extra_fine;
+      int extra_bits = (extra_fine * C) << BITRES;
+      out->fine_priority[j] = extra_bits >= excess - balance;
+      excess -= extra_bits;
+    }
+    balance = excess;
+    out->pulses[j] = bits[j];
+  }
+  for (int j = coded_bands; j < end; j++) {
+    out->ebits[j] = bits[j] >> stereo >> BITRES;
+    out->pulses[j] = 0;
+    out->fine_priority[j] = out->ebits[j] < 1;
+  }
+  out->coded_bands = coded_bands;
+  out->balance = balance;
+  out->intensity = intensity;
+  out->dual_stereo = dual_stereo;
+}
+
+void enc_clt_compute_allocation(int start, int end, const int* offsets,
+                                const int* cap, int alloc_trim, int intensity,
+                                int dual_stereo, int total, int C, int LM,
+                                EcEnc* enc, int prev, int signal_bandwidth,
+                                Alloc* out) {
+  const int16_t* eb = kEBands;
+  total = std::max(total, 0);
+  int skip_start = start;
+  int skip_rsv = 0;
+  if (total >= 1 << BITRES) {
+    skip_rsv = 1 << BITRES;
+    total -= skip_rsv;
+  }
+  int intensity_rsv = 0, dual_stereo_rsv = 0;
+  if (C == 2) {
+    int cand = kLog2FracTable[end - start];
+    if (cand <= total) {
+      intensity_rsv = cand;
+      total -= cand;
+      if (total >= 1 << BITRES) {
+        dual_stereo_rsv = 1 << BITRES;
+        total -= dual_stereo_rsv;
+      }
+    }
+  }
+  int thresh[NB], trim_offset[NB];
+  for (int j = start; j < end; j++) {
+    int n = eb[j + 1] - eb[j];
+    thresh[j] = std::max(C << BITRES, (3 * n) << (LM + BITRES) >> 4);
+    trim_offset[j] = (C * n * (alloc_trim - 5 - LM) * (end - j - 1) *
+                      (1 << (LM + BITRES))) >>
+                     6;
+    if ((n << LM) == 1) trim_offset[j] -= C << BITRES;
+  }
+  int lo = 1, hi = 11 - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) >> 1;
+    int psum = 0, done = 0;
+    for (int j = end - 1; j >= start; j--) {
+      int n = eb[j + 1] - eb[j];
+      int bitsj = (C * n * kAllocVectors[mid * NB + j]) << LM >> 2;
+      if (bitsj > 0) bitsj = std::max(0, bitsj + trim_offset[j]);
+      bitsj += offsets[j];
+      if (bitsj >= thresh[j] || done) {
+        done = 1;
+        psum += std::min(bitsj, cap[j]);
+      } else if (bitsj >= C << BITRES) {
+        psum += C << BITRES;
+      }
+    }
+    if (psum > total)
+      hi = mid - 1;
+    else
+      lo = mid + 1;
+  }
+  hi = lo;
+  lo -= 1;
+  int bits1[NB] = {0}, bits2[NB] = {0};
+  for (int j = start; j < end; j++) {
+    int n = eb[j + 1] - eb[j];
+    int b1 = (C * n * kAllocVectors[lo * NB + j]) << LM >> 2;
+    int b2 =
+        hi >= 11 ? cap[j] : (C * n * kAllocVectors[hi * NB + j]) << LM >> 2;
+    if (b1 > 0) b1 = std::max(0, b1 + trim_offset[j]);
+    if (b2 > 0) b2 = std::max(0, b2 + trim_offset[j]);
+    if (lo > 0) b1 += offsets[j];
+    b2 += offsets[j];
+    if (offsets[j] > 0) skip_start = j;
+    bits1[j] = b1;
+    bits2[j] = std::max(0, b2 - b1);
+  }
+  enc_interp_bits2pulses(start, end, skip_start, bits1, bits2, thresh, cap,
+                         total, skip_rsv, intensity, intensity_rsv,
+                         dual_stereo, dual_stereo_rsv, C, LM, enc, prev,
+                         signal_bandwidth, out);
+}
+
+}  // namespace
+
+// ----------------------------------------------- encoder top level
+namespace {
+
+// One frame, symbol layer only (encoder.py encode_with_ec:120, precomputed
+// path). freq: (C, N) float32 MDCT spectrum from the device front end.
+// Returns nbytes on success, -1 on error.
+int celt_enc_encode_one(CeltEncHost* st, const float* freq, int frame_size,
+                        int silence_in, int pf_on_in, int pitch_index_in,
+                        int qg_in, int transient_in, double tone_freq,
+                        double toneishness, double tf_estimate, int nbytes,
+                        uint8_t* out) {
+  const int start = 0, end = NB;
+  int C = st->channels;
+  int LM = -1;
+  for (int lm = 0; lm <= kMaxLM; lm++)
+    if (kShortMdctSize << lm == frame_size) LM = lm;
+  if (LM < 0 || nbytes < 2 || nbytes > EC_MAX_BYTES) return -1;
+  int M = 1 << LM;
+  int N = M * kShortMdctSize;
+  int eff_end = end;
+
+  EcEnc enc_s;
+  EcEnc* enc = &enc_s;
+  ec_enc_init(enc, (uint32_t)nbytes);
+  int tell = 1;
+  int total_bits = nbytes * 8;
+  int effective_bytes = nbytes;
+
+  // silence
+  int silence = silence_in ? 1 : 0;
+  ec_enc_bit_logp(enc, silence, 15);
+  if (silence) enc->nbits_total += total_bits - ec_enc_tell(enc);
+
+  // prefilter flags (decision + application happened on device)
+  int pf_on = 0, pitch_index = 15, qg = 0;
+  int prefilter_tapset = st->tapset_decision;
+  bool enabled = start == 0 && !silence &&
+                 ec_enc_tell(enc) + 16 <= total_bits && st->complexity >= 5 &&
+                 nbytes > 12;
+  if (enabled && pf_on_in) {
+    pf_on = 1;
+    pitch_index = pitch_index_in;
+    qg = qg_in;
+  }
+  if (start == 0 && !silence && ec_enc_tell(enc) + 16 <= total_bits) {
+    ec_enc_bit_logp(enc, pf_on, 1);
+    if (pf_on) {
+      int octave = std::max(0, ec_ilog((uint32_t)(pitch_index + 1)) - 5);
+      ec_enc_uint(enc, (uint32_t)octave, 6);
+      ec_enc_bits(enc, (uint32_t)(pitch_index + 1 - (16 << octave)),
+                  4 + octave);
+      ec_enc_bits(enc, (uint32_t)qg, 3);
+      if (ec_enc_tell(enc) + 2 <= total_bits)
+        ec_enc_icdf(enc, prefilter_tapset, kTapsetICDF, 2);
+    }
+  }
+
+  // transient
+  int is_transient = 0;
+  if (LM > 0 && ec_enc_tell(enc) + 3 <= total_bits && !silence) {
+    is_transient = transient_in ? 1 : 0;
+    ec_enc_bit_logp(enc, is_transient, 3);
+  }
+  int short_blocks = is_transient ? M : 0;
+
+  // energies + normalisation (ops_float.py)
+  static thread_local double Xbuf[2 * MAX_N];
+  double band_e[2 * NB] = {0};
+  double band_log_e[2 * NB];
+  for (int c = 0; c < C; c++) {
+    for (int i = 0; i < eff_end; i++) {
+      double acc = 0.0;
+      for (int j = M * kEBands[i]; j < M * kEBands[i + 1]; j++) {
+        double v = (double)freq[c * N + j];
+        acc += v * v;
+      }
+      band_e[c * NB + i] = sqrt(1e-27 + acc);
+    }
+  }
+  for (int c = 0; c < 2; c++)
+    for (int i = 0; i < NB; i++)
+      band_log_e[c * NB + i] =
+          c < C && i < eff_end
+              ? std::log2(band_e[c * NB + i]) - kEMeansD[i]
+              : -14.0;
+  for (int c = 0; c < C; c++)
+    for (int i = 0; i < eff_end; i++) {
+      double inv = 1.0 / (1e-27 + band_e[c * NB + i]);
+      for (int j = M * kEBands[i]; j < M * kEBands[i + 1]; j++)
+        Xbuf[c * N + j] = (double)freq[c * N + j] * inv;
+    }
+
+  // coarse energy
+  double old_be_prev[2 * NB];
+  memcpy(old_be_prev, st->old_band_e, sizeof(old_be_prev));
+  double error[2 * NB] = {0};
+  enc_quant_coarse_energy(st, enc, band_log_e, error, total_bits, C, LM,
+                          eff_end, effective_bytes, st->complexity >= 4,
+                          start, end);
+
+  // dynalloc analysis
+  int want[NB], importance[NB], spread_weight[NB];
+  enc_dynalloc_analysis(st, band_log_e, old_be_prev, C, LM, effective_bytes,
+                        is_transient != 0, tone_freq, toneishness, want,
+                        importance, spread_weight, start, end, false);
+
+  // tf
+  int tf_res[NB];
+  int tf_sel = 0;
+  if (start == 0 && effective_bytes >= 15 * C && st->complexity >= 2) {
+    int lam = std::max(80, 20480 / std::max(1, effective_bytes) + 2);
+    tf_sel = enc_tf_analysis(eff_end, is_transient != 0, lam, Xbuf, LM,
+                             tf_estimate, importance, tf_res);
+    for (int i = eff_end; i < NB; i++) tf_res[i] = tf_res[eff_end - 1];
+  } else {
+    for (int i = 0; i < NB; i++) tf_res[i] = is_transient ? 1 : 0;
+  }
+  enc_tf_encode(enc, is_transient != 0, tf_res, LM, tf_sel, total_bits, start,
+                end);
+
+  // spread
+  if (ec_enc_tell(enc) + 4 <= total_bits) {
+    if (st->complexity == 0 || silence)
+      st->spread_decision = SPREAD_NONE;
+    else if (short_blocks || st->complexity < 3 ||
+             effective_bytes < 10 * C)
+      st->spread_decision = SPREAD_NORMAL;
+    else
+      st->spread_decision = enc_spreading_decision(
+          st, Xbuf, eff_end, C, M, spread_weight,
+          pf_on && !short_blocks, N);
+    ec_enc_icdf(enc, st->spread_decision, kSpreadICDF, 5);
+  }
+
+  // dynalloc flag chains
+  int cap[NB];
+  init_caps(cap, LM, C);
+  int offsets[NB] = {0};
+  int dynalloc_logp = 6;
+  int total_bits_q3 = total_bits << BITRES;
+  int tell_frac = ec_enc_tell_frac(enc);
+  for (int i = start; i < end; i++) {
+    int width = C * (kEBands[i + 1] - kEBands[i]) << LM;
+    int quanta = std::min(width << BITRES, std::max(6 << BITRES, width));
+    int dynalloc_loop_logp = dynalloc_logp;
+    int boost = 0;
+    int j = 0;
+    while (tell_frac + (dynalloc_loop_logp << BITRES) < total_bits_q3 &&
+           boost < cap[i]) {
+      int flag = j < want[i] ? 1 : 0;
+      ec_enc_bit_logp(enc, flag, dynalloc_loop_logp);
+      tell_frac = ec_enc_tell_frac(enc);
+      if (!flag) break;
+      boost += quanta;
+      total_bits_q3 -= quanta;
+      dynalloc_loop_logp = 1;
+      j++;
+    }
+    offsets[i] = boost;
+    if (boost) dynalloc_logp = std::max(2, dynalloc_logp - 1);
+  }
+
+  // trim (always the conservative mid value, encoder.py:997)
+  int alloc_trim = 5;
+  if (ec_enc_tell_frac(enc) + (6 << BITRES) <= total_bits_q3)
+    ec_enc_icdf(enc, alloc_trim, kTrimICDF, 7);
+
+  // allocation
+  int bits = ((nbytes * 8) << BITRES) - ec_enc_tell_frac(enc) - 1;
+  int anti_collapse_rsv =
+      (is_transient && LM >= 2 && bits >= (LM + 2) << BITRES) ? (1 << BITRES)
+                                                              : 0;
+  bits -= anti_collapse_rsv;
+
+  int intensity = end, dual_stereo = 0;
+  if (C == 2) {
+    int base_rate = nbytes * 8 * 50;
+    int shift = 3 - LM;
+    int equiv_rate = shift >= 0 ? base_rate << shift : base_rate >> -shift;
+    equiv_rate -= (40 * C + 20) * ((400 >> LM) - 50);
+    intensity = hysteresis_decision(equiv_rate / 1000.0,
+                                    kIntensityThresholds,
+                                    kIntensityHysteresis, 21, st->intensity);
+    intensity = std::min(end, std::max(start, intensity));
+    st->intensity = intensity;
+    if (LM != 0) dual_stereo = enc_stereo_analysis(Xbuf, LM, N, N) ? 1 : 0;
+  }
+  int signal_bandwidth = end - 1;
+  Alloc alloc;
+  enc_clt_compute_allocation(start, end, offsets, cap, alloc_trim, intensity,
+                             dual_stereo, bits, C, LM, enc,
+                             st->last_coded_bands, signal_bandwidth, &alloc);
+  int coded_bands = alloc.coded_bands;
+  if (st->last_coded_bands)
+    st->last_coded_bands =
+        std::min(st->last_coded_bands + 1,
+                 std::max(st->last_coded_bands - 1, coded_bands));
+  else
+    st->last_coded_bands = coded_bands;
+
+  enc_quant_fine_energy(st, enc, error, alloc.ebits, C, start, end);
+
+  // PVQ band encode
+  uint8_t collapse_masks[2 * NB] = {0};
+  enc_quant_all_bands(start, end, Xbuf, C == 2 ? Xbuf + N : nullptr,
+                      collapse_masks, band_e, alloc.pulses, short_blocks != 0,
+                      st->spread_decision, alloc.dual_stereo, alloc.intensity,
+                      tf_res, nbytes * (8 << BITRES) - anti_collapse_rsv,
+                      alloc.balance, enc, LM, coded_bands, st->rng,
+                      st->disable_inv != 0);
+
+  if (anti_collapse_rsv > 0) {
+    int anti_collapse_on = st->consec_transient < 2 ? 1 : 0;
+    ec_enc_bits(enc, (uint32_t)anti_collapse_on, 1);
+  }
+
+  enc_quant_energy_finalise(st, enc, error, alloc.ebits, alloc.fine_priority,
+                            nbytes * 8 - ec_enc_tell(enc), C, start, end);
+  memset(st->energy_error, 0, sizeof(st->energy_error));
+  for (int c = 0; c < C; c++)
+    for (int i = start; i < end; i++)
+      st->energy_error[c * NB + i] =
+          std::max(-0.5, std::min(0.5, error[c * NB + i]));
+
+  if (silence)
+    for (int i = 0; i < 2 * NB; i++) st->old_band_e[i] = -28.0;
+
+  // state updates (decoder bookkeeping parity, encoder.py:485)
+  if (C == 1)
+    for (int i = 0; i < NB; i++) st->old_band_e[NB + i] = st->old_band_e[i];
+  if (!is_transient) {
+    memcpy(st->old_log_e2, st->old_log_e, sizeof(st->old_log_e2));
+    memcpy(st->old_log_e, st->old_band_e, sizeof(st->old_log_e));
+  } else {
+    for (int i = 0; i < 2 * NB; i++)
+      st->old_log_e[i] = std::min(st->old_log_e[i], st->old_band_e[i]);
+  }
+  st->consec_transient = is_transient ? st->consec_transient + 1 : 0;
+  st->rng = enc->rng;
+
+  if (ec_enc_tell(enc) > 8 * nbytes) return -1;
+  ec_enc_done(enc);
+  if (enc->error) return -1;
+  memcpy(out, enc->buf, nbytes);
+  (void)tell;
+  return nbytes;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* celt_enc_host_create(int channels, int complexity, int disable_inv) {
+  if (channels < 1 || channels > 2) return nullptr;
+  build_u_table();
+  build_b2p_table();
+  CeltEncHost* st = new CeltEncHost();
+  st->channels = channels;
+  st->complexity = complexity;
+  st->disable_inv = disable_inv;
+  st->lsb_depth = 24;
+  celt_enc_reset_impl(st);
+  return st;
+}
+
+void celt_enc_host_destroy(void* p) { delete (CeltEncHost*)p; }
+void celt_enc_host_reset(void* p) { celt_enc_reset_impl((CeltEncHost*)p); }
+int celt_enc_host_tapset(void* p) {
+  return ((CeltEncHost*)p)->tapset_decision;
+}
+
+int celt_enc_host_encode(void* p, const float* freq, int frame_size,
+                         const int32_t* iparams, const float* fparams,
+                         int nbytes, uint8_t* out) {
+  // iparams: silence, pf_on, pitch_index, qg, is_transient
+  // fparams: tone_freq, toneishness, tf_estimate
+  return celt_enc_encode_one((CeltEncHost*)p, freq, frame_size, iparams[0],
+                             iparams[1], iparams[2], iparams[3], iparams[4],
+                             fparams[0], fparams[1], fparams[2], nbytes, out);
+}
+
+// Batched symbol encode: S streams, one thread pool. freq is (S, C, N)
+// float32; iparams (S, 6) int32 rows [silence, pf_on, pitch_index, qg,
+// is_transient, nbytes]; fparams (S, 3) float32 rows [tone_freq,
+// toneishness, tf_estimate]. out is (S, max_bytes); out_lens[s] receives
+// the packet length or -1.
+void celt_enc_host_encode_batch(void** states, const float* freq,
+                                const int32_t* iparams, const float* fparams,
+                                int S, int C, int frame_size, int max_bytes,
+                                uint8_t* out, int32_t* out_lens,
+                                int n_threads) {
+  int N = frame_size;
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, S);
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int s = next.fetch_add(1);
+      if (s >= S) break;
+      int nbytes = iparams[s * 6 + 5];
+      if (nbytes > max_bytes) nbytes = max_bytes;
+      out_lens[s] = celt_enc_encode_one(
+          (CeltEncHost*)states[s], freq + (size_t)s * C * N, frame_size,
+          iparams[s * 6 + 0], iparams[s * 6 + 1], iparams[s * 6 + 2],
+          iparams[s * 6 + 3], iparams[s * 6 + 4], fparams[s * 3 + 0],
+          fparams[s * 3 + 1], fparams[s * 3 + 2], nbytes,
+          out + (size_t)s * max_bytes);
     }
   };
   if (n_threads == 1) {
