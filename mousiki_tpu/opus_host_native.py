@@ -26,6 +26,11 @@ _SRCS = ["opus_host.cpp", "celt_host.cpp", "silk_host.cpp"]
 
 _lib = None
 
+# Feeder sentinel: this stream's 20 ms tick is a buffered chunk of an
+# already-decoded multiframe SILK packet — the native batch must neither
+# decode nor conceal (pipeline.OpusStreamPipeline.push/tick).
+SKIP = object()
+
 
 def _build() -> bool:
     try:
@@ -63,6 +68,9 @@ def _load():
     lib.opus_host_decode_plan_batch.argtypes = [
         vp, vp, C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int, vp, sp, ip,
         ip, C.c_char_p, ip, ip, C.c_int]
+    lib.silk_host_decode.restype = C.c_int
+    lib.silk_host_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_int,
+                                     C.c_int, C.c_int, sp]
     _lib = lib
     return lib
 
@@ -137,12 +145,18 @@ class NativeOpusHostBatch:
         arenas, aux, layout, views, ptrs, silk16 = self._plan_db[frame_size]
         modes = np.zeros(S, np.int32)
         silk_fs = np.full(S, 16, np.int32)
-        blob = b"".join(p for p in packets if p is not None)
+        blob = b"".join(p for p in packets
+                        if p is not None and p is not SKIP)
         pos = 0
         for i, p in enumerate(packets):
             offs[i] = pos
-            lens[i] = 0 if p is None else len(p)  # None = lost frame
-            pos += lens[i]
+            if p is SKIP:       # buffered multiframe chunk (feeder)
+                lens[i] = -1
+            elif p is None:     # lost frame
+                lens[i] = 0
+            else:
+                lens[i] = len(p)
+                pos += lens[i]
         if fec_packets is not None:
             fec_offs = np.zeros(S, np.int32)
             fec_lens = np.zeros(S, np.int32)
@@ -169,3 +183,19 @@ class NativeOpusHostBatch:
         views["ble32"][:] = aux["band_log_e"]
         views["pf32"][:] = aux["pf_gain"]
         return arenas, aux, layout, silk16, modes, silk_fs
+
+    def decode_silk_frames(self, s: int, payload: bytes, fs_khz: int,
+                           frame_ms: int) -> np.ndarray:
+        """Direct single-stream SILK decode of a whole 10-60 ms frame
+        (used by the pipeline feeder for 40/60 ms packets; the batched
+        20 ms path then consumes the buffered chunks via SKIP ticks).
+        Returns (fs_khz * frame_ms,) int16."""
+        n = fs_khz * frame_ms
+        out = np.zeros(max(n, 320), np.int16)
+        sp = C.POINTER(C.c_int16)
+        rc = self._lib.silk_host_decode(
+            self._silk[s], payload, len(payload), fs_khz, frame_ms,
+            out.ctypes.data_as(sp))
+        if rc < 0:
+            raise ValueError(f"stream {s}: silk multiframe decode rc={rc}")
+        return out[:n]

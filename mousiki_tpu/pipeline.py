@@ -518,9 +518,87 @@ class OpusStreamPipeline:
         self._xd_zeros.block_until_ready()
         self._gc_tick = 0
         self.last_modes = None
+        self._queues = None  # feeder mode (push/tick), built on first push
+
+    def push(self, s: int, packet: bytes | None) -> None:
+        """Feeder mode: queue one packet (or None = one lost 20 ms tick)
+        for stream s, then call tick() to decode 20 ms for all streams.
+
+        Accepts multi-frame packets (codes 1-3) and 40/60 ms SILK frames
+        (reference packet framing, src/packet.rs:316): CELT and hybrid
+        frames are 20 ms each and re-wrapped as code-0 packets; 40/60 ms
+        SILK frames decode natively in one call at tick time and feed
+        20 ms chunks. 2.5-10 ms frames need the OpusDecoder path (the
+        fused device step is fixed at 960 samples)."""
+        from collections import deque
+
+        from .bitstream.packet import parse_packet
+
+        if self._queues is None:
+            self._queues = [deque() for _ in range(self.S)]
+        q = self._queues[s]
+        if packet is None:
+            q.append(None)
+            return
+        toc = packet[0]
+        config = toc >> 3
+        frames = parse_packet(packet).frames
+        toc0 = bytes([toc & 0xFC])  # same config + stereo bit, code 0
+        if config >= 16:  # CELT: (config & 3) = 2.5/5/10/20 ms
+            if (config & 3) != 3:
+                raise ValueError("feeder supports 20 ms CELT frames only")
+            for f in frames:
+                q.append(("f", toc0 + f))
+        elif config >= 12:  # hybrid: 10/20 ms
+            if (config & 1) != 1:
+                raise ValueError("feeder supports 20 ms hybrid frames only")
+            for f in frames:
+                q.append(("f", toc0 + f))
+        else:  # SILK: 10/20/40/60 ms
+            dur = (10, 20, 40, 60)[config & 3]
+            if dur == 10:
+                raise ValueError("feeder supports >= 20 ms SILK frames only")
+            if dur == 20:
+                for f in frames:
+                    q.append(("f", toc0 + f))
+            else:
+                fs = 8 if config < 4 else (12 if config < 8 else 16)
+                for f in frames:
+                    q.append(("m", f, fs, dur))
+
+    def tick(self):
+        """Feeder mode: decode the next 20 ms for every stream from its
+        queue (an empty queue underruns as a lost tick -> PLC). Returns a
+        device array (S, 960, channels) float32."""
+        from .opus_host_native import SKIP
+
+        assert self._queues is not None, "push() packets before tick()"
+        packets = [None] * self.S
+        fills = {}
+        for s in range(self.S):
+            q = self._queues[s]
+            item = q.popleft() if q else None
+            if item is None:
+                packets[s] = None
+                continue
+            if item[0] == "f":
+                packets[s] = item[1]
+                continue
+            if item[0] == "m":  # head of a 40/60 ms SILK frame: decode now
+                _, pay, fs, dur = item
+                pcm = self._native.decode_silk_frames(s, pay, fs, dur)
+                L = 20 * fs
+                for k in range(dur // 20 - 1, 0, -1):
+                    q.appendleft(("pcm", pcm[k * L:(k + 1) * L], fs))
+                chunk = pcm[:L]
+            else:  # buffered 20 ms chunk
+                _, chunk, fs = item
+            fills[s] = (chunk, fs)
+            packets[s] = SKIP
+        return self.step(packets, 960, _fills=fills)
 
     def step(self, packets: list, frame_size: int = 960,
-             fec_packets: list | None = None):
+             fec_packets: list | None = None, _fills: dict | None = None):
         """packets: S whole Opus packets (one 20 ms frame each); None
         entries are lost frames. fec_packets (optional): per lost stream,
         the NEXT packet — its in-band LBRR replaces the loss when present
@@ -537,6 +615,10 @@ class OpusStreamPipeline:
                              f"frames only, got {frame_size}")
         arenas, aux, layout, silk16, modes, silk_fs = self._native.decode(
             packets, frame_size, fec_packets)
+        if _fills:
+            for s, (chunk, fs) in _fills.items():
+                silk16[s, :len(chunk)] = chunk
+                silk_fs[s] = fs
         rcs = aux["rcs"]
         if np.any(rcs < 0):
             bad = int(np.argmax(rcs < 0))

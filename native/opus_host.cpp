@@ -148,6 +148,17 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
     for (;;) {
       int s = next.fetch_add(1);
       if (s >= S) break;
+      if (lens[s] < 0) {
+        // feeder skip: this tick's 20 ms comes from a buffered chunk of a
+        // 40/60 ms SILK packet the caller already decoded
+        // (silk_host_decode); the caller fills silk16/silk_fs after this
+        // returns. No state touches here.
+        memset(silk16_all + (size_t)s * 320, 0, 320 * sizeof(int16_t));
+        silk_fs[s] = 16;
+        modes[s] = 1;
+        rcs[s] = 0;
+        continue;
+      }
       if (lens[s] == 0) {
         int16_t* sp = silk16_all + (size_t)s * 320;
         memset(sp, 0, 320 * sizeof(int16_t));

@@ -506,3 +506,88 @@ def test_opus_mixed_pipeline_lbrr_fec():
     assert np.array_equal(
         ob[:cs.ltp_mem_length],
         np.asarray(cs.out_buf[:cs.ltp_mem_length], np.int16))
+
+
+@needs_oracle
+def test_opus_pipeline_feeder_multiframe():
+    """push/tick feeder: 40/60 ms SILK frames and multi-frame CELT packets
+    (codes 1-3) decode through the 20 ms batched step and match the
+    per-stream OpusDecoder on whole packets (packet framing per reference
+    src/packet.rs:316; SILK multiframe per src/silk/dec_api.rs:132)."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    sig = oracle.make_test_signal(2880 * 12, 1, seed=5)
+    pcm16 = oracle.float_to_i16(sig)
+
+    def mk(app, bitrate, frame, n, bw=None):
+        enc = oracle.RefEncoder(48000, 1, app)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        if bw:
+            enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+        return [enc.encode(pcm16[f * frame:(f + 1) * frame].reshape(-1))
+                for f in range(n)]
+
+    BW_NB, BW_WB = 1101, 1103
+    streams = [
+        ("silk40", mk(oracle.APP_VOIP, 16000, 1920, 6, BW_WB), 1920),
+        ("silk60", mk(oracle.APP_VOIP, 12000, 2880, 4, BW_NB), 2880),
+        ("celt40", mk(oracle.APP_RESTRICTED_LOWDELAY, 96000, 1920, 6), 1920),
+        ("silk20", mk(oracle.APP_VOIP, 20000, 960, 12, BW_WB), 960),
+    ]
+    S, n_ticks = len(streams), 12
+    # 40 ms packets must arrive as code 0 (SILK) / code 2 (CELT split)
+    assert streams[0][1][0][0] & 3 == 0 and (streams[0][1][0][0] >> 3) == 10
+    assert streams[2][1][0][0] & 3 != 0
+
+    refs = []
+    for name, pkts, frame in streams:
+        dec = OpusDecoder(48000, 1)
+        out = np.concatenate([dec.decode(p, frame) for p in pkts])
+        refs.append(out[: n_ticks * 960].reshape(n_ticks, 960))
+
+    pipe = OpusStreamPipeline(S)
+    for s, (name, pkts, frame) in enumerate(streams):
+        for p in pkts:
+            pipe.push(s, p)
+    outs = np.stack([np.asarray(pipe.tick())[..., 0]
+                     for _ in range(n_ticks)], axis=1)
+    for s, (name, pkts, frame) in enumerate(streams):
+        d = float(np.abs(outs[s] - refs[s]).max())
+        assert d < 2e-4, f"{name}: {d}"
+
+
+@needs_oracle
+def test_opus_pipeline_feeder_loss_and_underrun():
+    """Feeder loss ticks (push None) conceal with PLC and the stream
+    recovers; queue underrun behaves as a loss."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host unavailable")
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    sig = oracle.make_test_signal(1920 * 8, 1, seed=9)
+    pcm16 = oracle.float_to_i16(sig)
+    enc = oracle.RefEncoder(48000, 1, oracle.APP_VOIP)
+    enc.ctl_set(oracle.SET_BITRATE, 16000)
+    enc.ctl_set(oracle.SET_BANDWIDTH, 1103)
+    pkts = [enc.encode(pcm16[f * 1920:(f + 1) * 1920].reshape(-1))
+            for f in range(8)]  # 40 ms WB SILK
+
+    pipe = OpusStreamPipeline(2)
+    for p in pkts[:3]:
+        pipe.push(0, p)
+    pipe.push(0, None)  # one lost tick mid-stream
+    for p in pkts[3:]:
+        pipe.push(0, p)
+    for p in pkts[:2]:
+        pipe.push(1, p)  # stream 1 underruns after 4 ticks
+    got = [np.asarray(pipe.tick()) for _ in range(10)]
+    for g in got:
+        assert g.shape == (2, 960, 1)
+        assert np.all(np.isfinite(g))
+    # the concealed/underrun output must stay bounded (no blowups)
+    assert max(float(np.abs(g).max()) for g in got) < 2.0
