@@ -66,8 +66,8 @@ def _load():
     sp = C.POINTER(C.c_int16)
     vp = C.POINTER(C.c_void_p)
     lib.opus_host_decode_plan_batch.argtypes = [
-        vp, vp, C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int, vp, sp, ip,
-        ip, C.c_char_p, ip, ip, C.c_int]
+        vp, vp, vp, ip, C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int, vp,
+        sp, ip, ip, ip, C.c_char_p, ip, ip, C.c_int]
     lib.silk_host_decode.restype = C.c_int
     lib.silk_host_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_int,
                                      C.c_int, C.c_int, sp]
@@ -98,6 +98,15 @@ class NativeOpusHostBatch:
             *[lib.celt_host_create() for _ in range(n_streams)])
         self._silk = (C.c_void_p * n_streams)(
             *[lib.silk_host_create() for _ in range(n_streams)])
+        # stereo pipelines: a side-channel SILK state + an 8-int stereo
+        # state (s_mid/s_side/pred_prev/prev_mid_only/active) per stream
+        if channels == 2:
+            self._silk_side = (C.c_void_p * n_streams)(
+                *[lib.silk_host_create() for _ in range(n_streams)])
+            self._ssts = np.zeros((n_streams, 8), np.int32)
+        else:
+            self._silk_side = None
+            self._ssts = None
         self._lenbufs = (np.empty(n_streams, np.int32),
                         np.empty(n_streams, np.int32))
 
@@ -109,7 +118,11 @@ class NativeOpusHostBatch:
             for st in self._silk:
                 if st:
                     self._lib.silk_host_destroy(st)
-            self._celt = self._silk = None
+            if self._silk_side is not None:
+                for st in self._silk_side:
+                    if st:
+                        self._lib.silk_host_destroy(st)
+            self._celt = self._silk = self._silk_side = None
 
     def decode(self, packets: list, frame_size: int = 960,
                fec_packets: list | None = None):
@@ -139,12 +152,14 @@ class NativeOpusHostBatch:
             arenas, aux, layout = alloc_plan_arenas(
                 S, self.channels, frame_size)
             views = plan_views(arenas, aux, layout)
+            plane = 640 if self.channels == 2 else 320
             self._plan_db[frame_size] = (arenas, aux, layout, views,
                                          _plan_ptr_table(views),
-                                         np.zeros((S, 320), np.int16))
+                                         np.zeros((S, plane), np.int16))
         arenas, aux, layout, views, ptrs, silk16 = self._plan_db[frame_size]
         modes = np.zeros(S, np.int32)
         silk_fs = np.full(S, 16, np.int32)
+        silk_stereo = np.zeros(S, np.int32)
         blob = b"".join(p for p in packets
                         if p is not None and p is not SKIP)
         pos = 0
@@ -172,17 +187,19 @@ class NativeOpusHostBatch:
             fec_lens = np.zeros(S, np.int32)
         ip = C.POINTER(C.c_int32)
         sp = C.POINTER(C.c_int16)
+        ssts_p = (self._ssts.ctypes.data_as(ip) if self._ssts is not None
+                  else None)
         self._lib.opus_host_decode_plan_batch(
-            self._celt, self._silk, blob, offs.ctypes.data_as(ip),
-            lens.ctypes.data_as(ip), S, self.channels,
-            1 if self.channels == 1 else 0, ptrs,
+            self._celt, self._silk, self._silk_side, ssts_p, blob,
+            offs.ctypes.data_as(ip), lens.ctypes.data_as(ip), S,
+            self.channels, 1 if self.channels == 1 else 0, ptrs,
             silk16.ctypes.data_as(sp), modes.ctypes.data_as(ip),
-            silk_fs.ctypes.data_as(ip), fec_blob,
-            fec_offs.ctypes.data_as(ip), fec_lens.ctypes.data_as(ip),
-            self.n_threads)
+            silk_fs.ctypes.data_as(ip), silk_stereo.ctypes.data_as(ip),
+            fec_blob, fec_offs.ctypes.data_as(ip),
+            fec_lens.ctypes.data_as(ip), self.n_threads)
         views["ble32"][:] = aux["band_log_e"]
         views["pf32"][:] = aux["pf_gain"]
-        return arenas, aux, layout, silk16, modes, silk_fs
+        return (arenas, aux, layout, silk16, modes, silk_fs, silk_stereo)
 
     def decode_silk_frames(self, s: int, payload: bytes, fs_khz: int,
                            frame_ms: int) -> np.ndarray:

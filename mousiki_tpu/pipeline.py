@@ -424,11 +424,13 @@ class OpusStreamPipeline:
     and sums the two paths — per-stream mode needs no explicit masks
     because inactive components carry all-zero inputs.
 
-    v1 scope: 20 ms, one frame per packet, streams keep a consistent mode
-    (no per-stream mode switching with transition smoothing — use
-    OpusDecoder for those). Mono pipelines take NB/MB/WB SILK, hybrid and
-    mono CELT; stereo pipelines take stereo CELT plus mono SILK
-    (duplicated to both channels after up-resampling).
+    Scope: 20 ms steps (push/tick feeder splits multi-frame and 40/60 ms
+    SILK packets), streams keep a consistent mode (no per-stream mode
+    switching with transition smoothing — use OpusDecoder for those).
+    Mono pipelines take NB/MB/WB SILK, hybrid and mono CELT; stereo
+    pipelines take stereo CELT, stereo SILK (native mid/side decode +
+    MS->LR, silk_host.cpp) and mono SILK/hybrid (duplicated to both
+    channels).
     """
 
     def __init__(self, n_streams: int, host_threads: int = 0,
@@ -449,7 +451,12 @@ class OpusStreamPipeline:
         # one up-resampler plan per SILK internal rate; a stream's rate
         # selects its output (and which state advances) by mask
         self._rates = (8, 12, 16)
-        self.rs_states = {r: init_up48_state(n_streams) for r in self._rates}
+        # stereo pipelines resample each SILK channel independently
+        # (stereo SILK decodes natively to L/R planes): one resampler row
+        # per (stream, channel)
+        self._rows = n_streams * channels
+        self.rs_states = {r: init_up48_state(self._rows)
+                          for r in self._rates}
         plans = {r: make_up48_plan(20 * r, r) for r in self._rates}
         # the resampler operators must be runtime ARGUMENTS, not closure
         # captures: on a tunneled device an executable's embedded array
@@ -478,27 +485,34 @@ class OpusStreamPipeline:
         @jax.jit
         def step_fn(consts, plc_consts, state, plc_state, rs_states,
                     prev_fs, silk_prev, backing, x_direct, lost, silk16,
-                    silk_fs, mats, up_ws):
+                    silk_fs, sdel, mats, up_ws):
             from .ops.band_exec_jax import plan_synthesis_step_plc
             pcm, new_state, new_plc = plan_synthesis_step_plc(
                 consts, plc_consts, state, plc_state, backing, x_direct,
                 lost, mats, channels=channels, n_streams=n_streams)
             # the SILK decode API feeds its resampler through a 1-sample
             # delay (the s_mid stereo-prediction tail; silk/dec_api.py:330
-            # resamples samples_out1[1:]) — mirror it for exact alignment
-            xs = silk16.astype(jnp.float32)
+            # resamples samples_out1[1:]) — mirror it for exact alignment.
+            # Stereo-SILK rows (sdel) are already delayed: the MS->LR unmix
+            # rewrites the history slot, so its output window x1[1:L+1]
+            # bakes the 1-sample delay in (silk_host.cpp stereo_ms_to_lr_c).
+            xs = silk16.astype(jnp.float32)  # (rows, 320)
+            fs_rows = jnp.repeat(silk_fs, channels)
+            pfs_rows = jnp.repeat(prev_fs, channels)
+            sdel_rows = jnp.repeat(sdel, channels)
             up = jnp.zeros((xs.shape[0], 960), jnp.float32)
             new_rs = {}
             new_prev = jnp.zeros_like(silk_prev)
             for r in (8, 12, 16):
                 L = 20 * r
-                on = silk_fs == r
-                switched = on & (prev_fs != r)
+                on = fs_rows == r
+                switched = on & (pfs_rows != r)
                 st_r = jax.tree.map(
                     lambda z: jnp.where(switched.reshape(
                         (-1,) + (1,) * (z.ndim - 1)), 0.0, z), rs_states[r])
-                x = jnp.concatenate([silk_prev[:, None], xs[:, : L - 1]],
-                                    axis=1)
+                x_mono = jnp.concatenate([silk_prev[:, None], xs[:, : L - 1]],
+                                         axis=1)
+                x = jnp.where(sdel_rows[:, None], xs[:, :L], x_mono)
                 up_r, rs_r = up48_step(x, st_r,
                                        plan_metas[r]._replace(wmat=up_ws[r]))
                 up = jnp.where(on[:, None], up_r, up)
@@ -507,12 +521,16 @@ class OpusStreamPipeline:
                         (-1,) + (1,) * (a.ndim - 1)), a, b), rs_r,
                     rs_states[r])
                 new_prev = jnp.where(on, xs[:, L - 1], new_prev)
-            out = pcm + up[:, :, None] * (1.0 / 32768.0)
+            if channels == 2:
+                upc = up.reshape(n_streams, 2, 960)
+                out = pcm + jnp.transpose(upc, (0, 2, 1)) * (1.0 / 32768.0)
+            else:
+                out = pcm + up[:, :, None] * (1.0 / 32768.0)
             return out, new_state, new_plc, new_rs, new_prev
 
         self._step = step_fn
         self._mats = plan_combo_mats(channels, 960)
-        self.silk_prev = jnp.zeros((n_streams,), jnp.float32)
+        self.silk_prev = jnp.zeros((self._rows,), jnp.float32)
         self.prev_fs = jnp.full((n_streams,), 16, jnp.int32)
         self._xd_zeros = jnp.zeros((n_streams, channels, 960), jnp.float32)
         self._xd_zeros.block_until_ready()
@@ -613,11 +631,13 @@ class OpusStreamPipeline:
             # any other frame size would corrupt the arena layout
             raise ValueError("OpusStreamPipeline supports 20 ms (960-sample) "
                              f"frames only, got {frame_size}")
-        arenas, aux, layout, silk16, modes, silk_fs = self._native.decode(
-            packets, frame_size, fec_packets)
+        (arenas, aux, layout, silk16, modes, silk_fs,
+         silk_stereo) = self._native.decode(packets, frame_size, fec_packets)
         if _fills:
             for s, (chunk, fs) in _fills.items():
                 silk16[s, :len(chunk)] = chunk
+                if self.channels == 2:  # duplicate the mono chunk
+                    silk16[s, 320:320 + len(chunk)] = chunk
                 silk_fs[s] = fs
         rcs = aux["rcs"]
         if np.any(rcs < 0):
@@ -636,12 +656,14 @@ class OpusStreamPipeline:
             self._gc_tick = 0
             gc.collect()
         fs_dev = jnp.asarray(silk_fs)
+        rows16 = silk16.reshape(self._rows, 320)
         (pcm, self.state, self.plc_state, self.rs_states,
          self.silk_prev) = self._step(
             self.consts, self._plc_consts, self.state, self.plc_state,
             self.rs_states, self.prev_fs, self.silk_prev,
             jnp.asarray(arenas["backing"]), xd, jnp.asarray(lost),
-            jnp.asarray(silk16), fs_dev, self._mats, self._up_ws)
+            jnp.asarray(rows16), fs_dev, jnp.asarray(silk_stereo != 0),
+            self._mats, self._up_ws)
         self.prev_fs = fs_dev
         return pcm
 

@@ -33,6 +33,11 @@ int silk_host_decode_ec(void* p, const uint8_t* data, int len, int fs_khz,
 int silk_host_plc(void* p, int16_t* xq_out);
 int silk_host_decode_lbrr(void* p, const uint8_t* data, int len,
                           int fs_khz, int16_t* xq_out);
+int silk_host_decode_stereo(void* mid_p, void* side_p, int32_t* sst,
+                            const uint8_t* data, int len, int fs_khz,
+                            int frame_ms, int16_t* out_l, int16_t* out_r);
+int silk_host_plc_stereo(void* mid_p, void* side_p, int32_t* sst,
+                         int16_t* out_l, int16_t* out_r);
 void celt_host_note_loss(void* p);
 }
 
@@ -72,10 +77,11 @@ extern "C" {
 // pass through). C is the pipeline's channel count: stereo pipelines
 // accept stereo CELT packets only (SILK/hybrid packets are mono-coded;
 // a stereo pipeline duplicates their up-resampled output).
-int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
+int opus_host_decode_plan(void* celt_st, void* silk_st, void* silk_side,
+                          int32_t* sst, const uint8_t* pkt,
                           int len, int C, int disable_inv, void** arrs,
                           int S, int s, int16_t* silk16, int32_t* mode_out,
-                          int32_t* fs_out) {
+                          int32_t* fs_out, int32_t* stereo_out) {
   if (!pkt || len < 1) return -1;
   int toc = pkt[0];
   int config = toc >> 3;
@@ -84,8 +90,9 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
   if (code != 0) return -10;  // single-frame packets only on this path
   const uint8_t* pay = pkt + 1;
   int plen = len - 1;
-  memset(silk16, 0, 320 * sizeof(int16_t));
+  memset(silk16, 0, (C == 2 ? 640 : 320) * sizeof(int16_t));
   *fs_out = 16;
+  *stereo_out = 0;
 
   if (config >= 16) {  // CELT-only: configs 16..31
     static const int kEnds[4] = {13, 17, 19, 21};
@@ -96,13 +103,28 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
     return celt_host_decode_plan(celt_st, pay, plen, 960, C, 0, end,
                                  disable_inv, arrs, S, s);
   }
-  if (stereo_pkt) return -14;  // stereo SILK/hybrid: per-stream fallback
+  if (stereo_pkt && C == 2 && config < 12) {
+    // stereo SILK: joint mid/side decode + MS->LR (silk_host.cpp
+    // silk_host_decode_stereo; reference dec_api.rs n_channels=2)
+    if ((config & 3) != 1) return -11;  // 20 ms only on this path
+    int fs = config < 4 ? 8 : (config < 8 ? 12 : 16);
+    int n = silk_host_decode_stereo(silk_st, silk_side, sst, pay, plen, fs,
+                                    20, silk16, silk16 + 320);
+    if (n < 0) return n;
+    sst[7] = 1;  // stream has live stereo-SILK state (PLC routing)
+    *mode_out = 1;
+    *fs_out = fs;
+    *stereo_out = 1;
+    return 0;
+  }
+  if (stereo_pkt) return -14;  // stereo hybrid: per-stream fallback
   if (config >= 12) {  // hybrid: 12/13 SWB, 14/15 FB (odd = 20 ms)
     if ((config & 1) != 1) return -11;
     int end = config < 14 ? 19 : 21;
     uint32_t ec[10];
     int n = silk_host_decode_ec(silk_st, pay, plen, 16, 20, silk16, ec);
     if (n < 0) return n;
+    if (C == 2) memcpy(silk16 + 320, silk16, 320 * sizeof(int16_t));
     // redundancy signaling sits between the SILK and CELT halves; the
     // redundant CELT audio itself (transition smoothing) is skipped on
     // this steady-state path
@@ -121,6 +143,7 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
   int fs = config < 4 ? 8 : (config < 8 ? 12 : 16);
   int n = silk_host_decode_ec(silk_st, pay, plen, fs, 20, silk16, nullptr);
   if (n < 0) return n;
+  if (C == 2) memcpy(silk16 + 320, silk16, 320 * sizeof(int16_t));
   *mode_out = 1;
   *fs_out = fs;
   return 0;
@@ -129,15 +152,17 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, const uint8_t* pkt,
 // Batched variant: arrs is the 61-pointer CELT plan table (rcs at [59]);
 // silk16_all is (S, 320) int16; modes is (S,) int32.
 void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
+                                 void** silk_sides, int32_t* ssts,
                                  const uint8_t* blob, const int32_t* offs,
                                  const int32_t* lens, int S, int C,
                                  int disable_inv, void** arrs,
                                  int16_t* silk16_all, int32_t* modes,
-                                 int32_t* silk_fs,
+                                 int32_t* silk_fs, int32_t* silk_stereo,
                                  const uint8_t* fec_blob,
                                  const int32_t* fec_offs,
                                  const int32_t* fec_lens, int n_threads) {
   int32_t* rcs = (int32_t*)arrs[59];
+  int plane = C == 2 ? 640 : 320;
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = 1;
@@ -148,46 +173,59 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
     for (;;) {
       int s = next.fetch_add(1);
       if (s >= S) break;
+      int32_t* sst = ssts ? ssts + (size_t)s * 8 : nullptr;
+      void* side = silk_sides ? silk_sides[s] : nullptr;
+      silk_stereo[s] = 0;
       if (lens[s] < 0) {
         // feeder skip: this tick's 20 ms comes from a buffered chunk of a
         // 40/60 ms SILK packet the caller already decoded
         // (silk_host_decode); the caller fills silk16/silk_fs after this
         // returns. No state touches here.
-        memset(silk16_all + (size_t)s * 320, 0, 320 * sizeof(int16_t));
+        memset(silk16_all + (size_t)s * plane, 0, plane * sizeof(int16_t));
         silk_fs[s] = 16;
         modes[s] = 1;
         rcs[s] = 0;
         continue;
       }
       if (lens[s] == 0) {
-        int16_t* sp = silk16_all + (size_t)s * 320;
-        memset(sp, 0, 320 * sizeof(int16_t));
+        int16_t* sp = silk16_all + (size_t)s * plane;
+        memset(sp, 0, plane * sizeof(int16_t));
         // LBRR routing first: the caller may supply the NEXT packet,
         // whose in-band FEC replaces the lost SILK/hybrid frame
         if (fec_lens && fec_lens[s] > 0) {
           int fs = try_lbrr(silk_states[s], fec_blob + fec_offs[s],
                             fec_lens[s], sp);
           if (fs > 0) {
+            if (C == 2) memcpy(sp + 320, sp, 320 * sizeof(int16_t));
             silk_fs[s] = fs;
             modes[s] = 4;  // FEC-recovered
             rcs[s] = 2;
             continue;
           }
-          memset(sp, 0, 320 * sizeof(int16_t));
+          memset(sp, 0, plane * sizeof(int16_t));
         }
         // lost frame: CELT PLC runs on device (the caller's lost mask);
         // the SILK half conceals here (int-exact plc.rs/cng.rs twins)
         celt_host_note_loss(celt_states[s]);
-        int n = silk_host_plc(silk_states[s], sp);
+        int n;
+        if (sst && sst[7]) {  // live stereo-SILK stream: joint PLC
+          n = silk_host_plc_stereo(silk_states[s], side, sst, sp, sp + 320);
+          silk_stereo[s] = 1;
+        } else {
+          n = silk_host_plc(silk_states[s], sp);
+          if (C == 2) memcpy(sp + 320, sp, 320 * sizeof(int16_t));
+        }
         silk_fs[s] = n > 0 ? n / 20 : 16;
         modes[s] = 3;  // lost
         rcs[s] = 1;
         continue;
       }
-      rcs[s] = opus_host_decode_plan(celt_states[s], silk_states[s],
-                                     blob + offs[s], lens[s], C, disable_inv,
-                                     arrs, S, s, silk16_all + (size_t)s * 320,
-                                     modes + s, silk_fs + s);
+      rcs[s] = opus_host_decode_plan(celt_states[s], silk_states[s], side,
+                                     sst, blob + offs[s], lens[s], C,
+                                     disable_inv, arrs, S, s,
+                                     silk16_all + (size_t)s * plane,
+                                     modes + s, silk_fs + s,
+                                     silk_stereo + s);
     }
   };
   if (n_threads == 1) {

@@ -1544,3 +1544,256 @@ void silk_host_plc_state(void* p, int32_t* out8) {
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Stereo SILK: joint mid/side packet decode + MS->LR unmix for the
+// unified pipeline (mirrors silk/dec_api.py silk_decode n_channels=2;
+// reference src/silk/{dec_api,stereo_decode_pred,stereo_ms_to_lr}.rs).
+// The caller owns two SilkState (mid, side) plus a 7-int stereo state:
+// [s_mid0, s_mid1, s_side0, s_side1, pred_prev0, pred_prev1,
+//  prev_decode_only_middle].
+// ===================================================================
+namespace {
+
+const uint8_t kSTEREO_PRED_JOINT_ICDF[25] = {
+    249, 247, 246, 245, 244, 234, 210, 202, 201, 200, 197, 174, 82,
+    59,  56,  55,  54,  46,  22,  12,  11,  10,  9,   7,   0};
+const int16_t kSTEREO_PRED_QUANT_Q13[16] = {
+    -13732, -10050, -8266, -7526, -6500, -5000, -2950, -820,
+    820,    2950,   5000,  6500,  7526,  8266,  10050, 13732};
+const uint8_t kSTEREO_ONLY_CODE_MID_ICDF[2] = {64, 0};
+constexpr int STEREO_INTERP_LEN_MS = 8;
+
+inline int32_t SMLABB(int32_t a, int32_t b, int32_t c) {
+  return I32((int64_t)a + (int16_t)b * (int16_t)c);
+}
+
+void stereo_decode_pred_c(EcDec* dec, int32_t* pred_q13) {
+  int n = ec_dec_icdf(dec, kSTEREO_PRED_JOINT_ICDF, 8);
+  int ix[2][3];
+  ix[0][2] = n / 5;
+  ix[1][2] = n - 5 * ix[0][2];
+  for (int ch = 0; ch < 2; ch++) {
+    ix[ch][0] = ec_dec_icdf(dec, kSILK_UNIFORM3_ICDF, 8);
+    ix[ch][1] = ec_dec_icdf(dec, kSILK_UNIFORM5_ICDF, 8);
+  }
+  for (int ch = 0; ch < 2; ch++) {
+    ix[ch][0] += 3 * ix[ch][2];
+    int32_t low = kSTEREO_PRED_QUANT_Q13[ix[ch][0]];
+    int32_t step = SMULWB(
+        kSTEREO_PRED_QUANT_Q13[ix[ch][0] + 1] - low, 6554);
+    pred_q13[ch] = SMLABB(low, step, 2 * ix[ch][1] + 1);
+  }
+  pred_q13[0] -= pred_q13[1];
+}
+
+// In-place MS->LR; x1/x2 carry 2 leading history samples.
+void stereo_ms_to_lr_c(int32_t* sst, int16_t* x1, int16_t* x2,
+                       const int32_t* pred_q13, int fs_khz, int L) {
+  x1[0] = (int16_t)sst[0];
+  x1[1] = (int16_t)sst[1];
+  x2[0] = (int16_t)sst[2];
+  x2[1] = (int16_t)sst[3];
+  sst[0] = x1[L];
+  sst[1] = x1[L + 1];
+  sst[2] = x2[L];
+  sst[3] = x2[L + 1];
+
+  int32_t pred0 = sst[4];
+  int32_t pred1 = sst[5];
+  int interp_len = STEREO_INTERP_LEN_MS * fs_khz;
+  int32_t denom_q16 = (1 << 16) / interp_len;
+  int32_t delta0 = RSHIFT_ROUND(
+      SMULBB(pred_q13[0] - sst[4], denom_q16), 16);
+  int32_t delta1 = RSHIFT_ROUND(
+      SMULBB(pred_q13[1] - sst[5], denom_q16), 16);
+  for (int n = 0; n < interp_len; n++) {
+    pred0 += delta0;
+    pred1 += delta1;
+    int32_t s = I32((int64_t)(I32((int64_t)x1[n] + x1[n + 2]) +
+                              ((int32_t)x1[n + 1] << 1))
+                    << 9);
+    s = SMLAWB(I32((int64_t)x2[n + 1] << 8), s, pred0);
+    s = SMLAWB(s, I32((int64_t)x1[n + 1] << 11), pred1);
+    x2[n + 1] = (int16_t)SAT16(RSHIFT_ROUND(s, 8));
+  }
+  pred0 = pred_q13[0];
+  pred1 = pred_q13[1];
+  for (int n = interp_len; n < L; n++) {
+    int32_t s = I32((int64_t)(I32((int64_t)x1[n] + x1[n + 2]) +
+                              ((int32_t)x1[n + 1] << 1))
+                    << 9);
+    s = SMLAWB(I32((int64_t)x2[n + 1] << 8), s, pred0);
+    s = SMLAWB(s, I32((int64_t)x1[n + 1] << 11), pred1);
+    x2[n + 1] = (int16_t)SAT16(RSHIFT_ROUND(s, 8));
+  }
+  sst[4] = pred_q13[0];
+  sst[5] = pred_q13[1];
+
+  for (int n = 0; n < L; n++) {
+    int32_t s = (int32_t)x1[n + 1] + x2[n + 1];
+    int32_t d = (int32_t)x1[n + 1] - x2[n + 1];
+    x1[n + 1] = (int16_t)SAT16(s);
+    x2[n + 1] = (int16_t)SAT16(d);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a stereo SILK frame (10-60 ms payload) into left/right PCM at
+// the internal rate. mid_p/side_p: two silk_host states. sst: the 7-int
+// stereo state (see header comment). out_l/out_r hold fs_khz*frame_ms
+// samples. Returns samples per channel or < 0.
+int silk_host_decode_stereo(void* mid_p, void* side_p, int32_t* sst,
+                            const uint8_t* data, int len, int fs_khz,
+                            int frame_ms, int16_t* out_l, int16_t* out_r) {
+  SilkState* cs[2] = {(SilkState*)mid_p, (SilkState*)side_p};
+  if (!data || len < 1) return -1;
+  int n_frames = frame_ms >= 20 ? frame_ms / 20 : 1;
+  int sub_ms = frame_ms <= 20 ? frame_ms : 20;
+  int nb_subfr = sub_ms == 20 ? 4 : 2;
+  for (int n = 0; n < 2; n++) {
+    state_set_fs(cs[n], fs_khz, nb_subfr);
+    cs[n]->nframes_per_packet = n_frames;
+    cs[n]->nframes_decoded = 0;
+  }
+
+  const uint8_t* contour_icdf;
+  if (fs_khz == 8)
+    contour_icdf = nb_subfr == 4 ? kPITCH_CONTOUR_NB_ICDF
+                                 : kPITCH_CONTOUR_10_MS_NB_ICDF;
+  else
+    contour_icdf = nb_subfr == 4 ? kPITCH_CONTOUR_ICDF
+                                 : kPITCH_CONTOUR_10_MS_ICDF;
+  const uint8_t* lag_low = fs_khz == 16 ? kSILK_UNIFORM8_ICDF
+                           : (fs_khz == 12 ? kSILK_UNIFORM6_ICDF
+                                           : kSILK_UNIFORM4_ICDF);
+
+  EcDec dec;
+  ec_dec_init(&dec, data, (uint32_t)len);
+
+  // VAD + LBRR flags, both channels (dec_api.py:234)
+  for (int n = 0; n < 2; n++) {
+    for (int i = 0; i < n_frames; i++)
+      cs[n]->vad_flags[i] = ec_dec_bit_logp(&dec, 1);
+    cs[n]->lbrr_flag = ec_dec_bit_logp(&dec, 1);
+  }
+  for (int n = 0; n < 2; n++) {
+    for (int i = 0; i < 3; i++) cs[n]->lbrr_flags[i] = 0;
+    if (cs[n]->lbrr_flag) {
+      if (n_frames == 1) {
+        cs[n]->lbrr_flags[0] = 1;
+      } else {
+        const uint8_t* icdf =
+            n_frames == 2 ? kLBRR_FLAGS_ICDF0 : kLBRR_FLAGS_ICDF1;
+        int sym = ec_dec_icdf(&dec, icdf, 8) + 1;
+        for (int i = 0; i < n_frames; i++)
+          cs[n]->lbrr_flags[i] = (sym >> i) & 1;
+      }
+    }
+  }
+  // skip-parse LBRR data, channel-interleaved per frame (dec_api.py:251)
+  for (int i = 0; i < n_frames; i++) {
+    for (int n = 0; n < 2; n++) {
+      if (cs[n]->lbrr_flags[i]) {
+        if (n == 0) {
+          int32_t pq[2];
+          stereo_decode_pred_c(&dec, pq);
+          if (cs[1]->lbrr_flags[i] == 0)
+            ec_dec_icdf(&dec, kSTEREO_ONLY_CODE_MID_ICDF, 8);
+        }
+        int cond = (i > 0 && cs[n]->lbrr_flags[i - 1]) ? 2 : 0;
+        decode_indices(cs[n], &dec, i, 1, cond, contour_icdf, lag_low,
+                       fs_khz >> 1);
+        int pulses[MAX_FRAME + 16];
+        decode_pulses(&dec, cs[n]->ix.signal_type,
+                      cs[n]->ix.quant_offset_type, cs[n]->frame_length,
+                      pulses);
+      }
+    }
+  }
+
+  int L = cs[0]->frame_length;
+  int total = 0;
+  // 2 history samples + up to 60 ms at 16 kHz
+  int16_t x1[2 + 960], x2[2 + 960];
+  for (int i = 0; i < n_frames; i++) {
+    int32_t ms_pred_q13[2];
+    stereo_decode_pred_c(&dec, ms_pred_q13);
+    int decode_only_middle = 0;
+    if (cs[1]->vad_flags[i] == 0)
+      decode_only_middle = ec_dec_icdf(&dec, kSTEREO_ONLY_CODE_MID_ICDF, 8);
+
+    if (decode_only_middle == 0 && sst[6] == 1) {
+      // side channel comes back after a mid-only stretch: reset it
+      // (dec_api.py:283)
+      memset(cs[1]->out_buf, 0, sizeof(cs[1]->out_buf));
+      memset(cs[1]->s_lpc_q14_buf, 0, sizeof(cs[1]->s_lpc_q14_buf));
+      cs[1]->lag_prev = 0;
+      cs[1]->last_gain_index = 10;
+      cs[1]->prev_signal_type = 0;
+      cs[1]->first_frame_after_reset = 1;
+    }
+    int has_side = decode_only_middle == 0;
+
+    for (int n = 0; n < 2; n++) {
+      int16_t* xbuf = n == 0 ? x1 : x2;
+      if (n == 0 || has_side) {
+        int frame_index = cs[0]->nframes_decoded - n;
+        int cond;
+        if (frame_index <= 0)
+          cond = 0;  // CODE_INDEPENDENTLY
+        else if (n > 0 && sst[6])
+          cond = 1;  // CODE_INDEPENDENTLY_NO_LTP_SCALING
+        else
+          cond = 2;  // CODE_CONDITIONALLY
+        decode_one_frame(cs[n], &dec, cond, contour_icdf, lag_low,
+                         xbuf + 2, nullptr, nullptr);
+      } else {
+        memset(xbuf + 2, 0, L * sizeof(int16_t));
+      }
+      cs[n]->nframes_decoded++;
+    }
+
+#ifdef SILK_STEREO_SKIP_UNMIX
+    memcpy(out_l + total, x1 + 2, L * sizeof(int16_t));
+    memcpy(out_r + total, x2 + 2, L * sizeof(int16_t));
+    (void)ms_pred_q13;
+#else
+    stereo_ms_to_lr_c(sst, x1, x2, ms_pred_q13, fs_khz, L);
+    memcpy(out_l + total, x1 + 1, L * sizeof(int16_t));
+    memcpy(out_r + total, x2 + 1, L * sizeof(int16_t));
+#endif
+    sst[6] = decode_only_middle;
+    total += L;
+  }
+  cs[0]->last_rng = dec.rng;
+  return dec.error ? -2 : total;
+}
+
+// Stereo SILK PLC: conceal one 20 ms frame per channel, then MS->LR
+// with the previous predictors (dec_api.py lost path).
+int silk_host_plc_stereo(void* mid_p, void* side_p, int32_t* sst,
+                         int16_t* out_l, int16_t* out_r) {
+  SilkState* cs[2] = {(SilkState*)mid_p, (SilkState*)side_p};
+  int L = cs[0]->frame_length;
+  if (L <= 0) return -1;
+  int16_t x1[2 + 960], x2[2 + 960];
+  int32_t pred[2] = {sst[4], sst[5]};
+  for (int n = 0; n < 2; n++) {
+    int16_t* xbuf = n == 0 ? x1 : x2;
+    int has_side = !sst[6];
+    if (n == 0 || has_side)
+      silk_host_plc(cs[n], xbuf + 2);
+    else
+      memset(xbuf + 2, 0, L * sizeof(int16_t));
+  }
+  stereo_ms_to_lr_c(sst, x1, x2, pred, cs[0]->fs_khz, L);
+  memcpy(out_l, x1 + 1, L * sizeof(int16_t));
+  memcpy(out_r, x2 + 1, L * sizeof(int16_t));
+  return L;
+}
+
+}  // extern "C"

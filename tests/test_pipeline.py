@@ -591,3 +591,76 @@ def test_opus_pipeline_feeder_loss_and_underrun():
         assert np.all(np.isfinite(g))
     # the concealed/underrun output must stay bounded (no blowups)
     assert max(float(np.abs(g).max()) for g in got) < 2.0
+
+
+@needs_oracle
+def test_opus_pipeline_stereo_silk():
+    """Stereo pipelines decode stereo SILK packets natively (joint
+    mid/side decode + MS->LR unmix, silk_host.cpp silk_host_decode_stereo;
+    reference src/silk/dec_api.rs n_channels=2) and match the per-stream
+    OpusDecoder, mixed in one batch with stereo CELT and mono SILK."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    sig = oracle.make_test_signal(960 * 12, 2, seed=3)
+    pcm16 = oracle.float_to_i16(sig)
+
+    def mk(app, bitrate, bw=None, force=None):
+        enc = oracle.RefEncoder(48000, 2, app)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        if bw:
+            enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+        if force:
+            enc.ctl_set(oracle.SET_FORCE_CHANNELS, force)
+        return [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(12)]
+
+    streams = [mk(oracle.APP_VOIP, 32000, 1103),            # stereo WB SILK
+               mk(oracle.APP_RESTRICTED_LOWDELAY, 128000),  # stereo CELT
+               mk(oracle.APP_VOIP, 20000, 1103, force=1)]   # mono SILK
+    assert (streams[0][0][0] >> 2) & 1 == 1  # stereo-coded SILK TOC
+    S = len(streams)
+    refs = []
+    for pkts in streams:
+        dec = OpusDecoder(48000, 2)
+        refs.append(np.stack([dec.decode(p, 960) for p in pkts]))
+
+    pipe = OpusStreamPipeline(S, channels=2)
+    outs = np.stack([np.asarray(pipe.step([streams[s][t] for s in range(S)],
+                                          960)) for t in range(12)], axis=1)
+    for s in range(S):
+        d = float(np.abs(outs[s] - refs[s]).max())
+        assert d < 2e-4, f"stream {s}: {d}"
+
+
+@needs_oracle
+def test_opus_pipeline_stereo_silk_loss():
+    """A lost stereo-SILK frame conceals with the joint stereo PLC
+    (silk_host_plc_stereo) and matches the per-stream OpusDecoder's
+    concealment."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    sig = oracle.make_test_signal(960 * 12, 2, seed=11)
+    pcm16 = oracle.float_to_i16(sig)
+    enc = oracle.RefEncoder(48000, 2, oracle.APP_VOIP)
+    enc.ctl_set(oracle.SET_BITRATE, 32000)
+    enc.ctl_set(oracle.SET_BANDWIDTH, 1103)
+    pkts = [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+            for f in range(12)]
+    feed = list(pkts)
+    feed[6] = None  # one lost frame
+
+    dec = OpusDecoder(48000, 2)
+    ref = np.stack([dec.decode(p, 960) for p in feed])
+
+    pipe = OpusStreamPipeline(1, channels=2)
+    outs = np.stack([np.asarray(pipe.step([p], 960))[0] for p in feed])
+    d = float(np.abs(outs - ref).max())
+    assert d < 2e-3, d
