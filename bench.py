@@ -329,6 +329,13 @@ def main():
     try:
         from mousiki_tpu.celt import host_native
         native_ok = host_native.available()
+        # Serving plan profile: shrink the tier/fill slot capacities to
+        # what <=256 kbps traffic uses (with ~25% margin) — the packed
+        # plan arena drops ~31%, and the per-step H2D transfer with it.
+        # Overflowing streams fall back to the exact direct decoder, so
+        # the quality gate below also validates this profile end to end.
+        if native_ok:
+            host_native.set_plan_profile((144, 40, 8), 2)
     except Exception:
         pass
 

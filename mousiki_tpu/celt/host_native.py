@@ -85,15 +85,75 @@ def _load():
         C.c_int, C.c_char_p, ip, C.c_int]
     lib.celt_enc_host_tapset.restype = C.c_int
     lib.celt_enc_host_tapset.argtypes = [C.c_void_p]
+    _apply_profile(lib)
     _lib = lib
     return lib
 
 
 # Packed plan-array layout shared with native/celt_host.cpp (see the
 # celt_host_decode_plan comment there) and mousiki_tpu/celt/plan_pack.py.
-_TIERS = ((16, 224), (48, 48), (176, 16))
+# _TIERS/_FILL are the FULL profile (no direct fallback up to 510 kbps
+# stereo); serving pipelines shrink them via set_plan_profile to shrink
+# the per-step H2D arena (streams that overflow a tier fall back to the
+# exact direct decoder, so correctness is profile-independent).
+_FULL_TIERS = ((16, 224), (48, 48), (176, 16))
+_FULL_FILL = 4
+_TIERS = _FULL_TIERS
 _NB = 21
 _FILL = 4
+
+
+def set_plan_profile(tiers=None, fills=None) -> None:
+    """Set the process-wide plan tier/fill capacities.
+
+    tiers: 3 slot counts for the (n<=16, n<=48, n<=176) leaf tiers;
+    fills: fold/noise slots per (band, channel) call. None restores the
+    full profile. Must be called BEFORE creating plan pipelines / native
+    batches (arena layouts and jitted unpack traces bake the profile in;
+    existing NativeCeltHostBatch/NativeOpusHostBatch objects keep stale
+    arenas). Applies to every loaded native host library.
+    """
+    global _TIERS, _FILL
+    t = tuple(int(x) for x in tiers) if tiers is not None \
+        else tuple(s for _, s in _FULL_TIERS)
+    f = int(fills) if fills is not None else _FULL_FILL
+    if len(t) != 3 or not all(1 <= t[i] <= _FULL_TIERS[i][1]
+                              for i in range(3)):
+        raise ValueError(f"bad tier profile {t}")
+    if not 1 <= f <= _FULL_FILL:
+        raise ValueError(f"bad fill profile {f}")
+    _TIERS = tuple((n, t[i]) for i, (n, _) in enumerate(_FULL_TIERS))
+    _FILL = f
+    for lib in _profile_libs():
+        lib.celt_host_set_plan_profile(t[0], t[1], t[2], f)
+
+
+def get_plan_profile():
+    return tuple(s for _, s in _TIERS), _FILL
+
+
+def _profile_libs():
+    """Every loaded native library carrying the plan writer (each .so has
+    its own copy of the capacity globals)."""
+    libs = []
+    if _lib is not None:
+        libs.append(_lib)
+    import sys
+    ohn = sys.modules.get("mousiki_tpu.opus_host_native")
+    if ohn is not None and getattr(ohn, "_lib", None) is not None:
+        libs.append(ohn._lib)
+    return libs
+
+
+def _apply_profile(lib) -> None:
+    """Push the current profile into a freshly loaded library."""
+    try:
+        lib.celt_host_set_plan_profile.argtypes = [C.c_int, C.c_int,
+                                                   C.c_int, C.c_int]
+    except AttributeError:
+        return
+    t, f = get_plan_profile()
+    lib.celt_host_set_plan_profile(t[0], t[1], t[2], f)
 
 # Plane dtypes mirror native PlanOut (celt_host.cpp): narrow types keep
 # host write traffic and the per-step H2D arena transfer small.

@@ -403,14 +403,21 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
     norm_len = M * eb[nb - 1] - norm_offset
     npad = norm_len + 192
     S = p["direct"].shape[0]
-    offs = pool_layout()
+    # tier slot counts come from the plane shapes (the host may run a
+    # shrunk serving profile — host_native.set_plan_profile); nmax per
+    # tier is fixed. Pool offsets follow the actual slot counts.
+    tiers = tuple((TIERS[t][0], int(p["pvq_active"][t].shape[1]))
+                  for t in range(3))
+    offs = [1]
+    for nmax, slots in tiers:
+        offs.append(offs[-1] + nmax * slots)
     A_J, C_J = _lcg_jump()
     A_J = jnp.asarray(A_J)
     C_J = jnp.asarray(C_J)
 
     # ---- P1 + P2: PVQ leaves per tier -> pool ------------------------
     parts = [jnp.zeros((S, 1), jnp.float32)]
-    for t, (nmax, slots) in enumerate(TIERS):
+    for t, (nmax, slots) in enumerate(tiers):
         act = p["pvq_active"][t].reshape(-1)
         n = p["pvq_n"][t].reshape(-1)
         k = p["pvq_k"][t].reshape(-1)
@@ -434,7 +441,7 @@ def execute_packed(p: dict, x_direct, *, channels: int, frame: int, lm: int,
     rows = jnp.arange(S, dtype=jnp.int32)[:, None]
     d1 = jnp.zeros((S, Cf + 1), jnp.int32)
     d2 = jnp.zeros((S, Cf + 1), jnp.int32)
-    for t, (nmax, slots) in enumerate(TIERS):
+    for t, (nmax, slots) in enumerate(tiers):
         base_t = (offs[t] + np.arange(slots, dtype=np.int32) * nmax)
         act = p["pvq_active"][t].astype(jnp.int32)
         dst = p["pvq_dst"][t]

@@ -71,6 +71,8 @@ def _load():
     lib.silk_host_decode.restype = C.c_int
     lib.silk_host_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_int,
                                      C.c_int, C.c_int, sp]
+    from .celt.host_native import _apply_profile
+    _apply_profile(lib)
     _lib = lib
     return lib
 

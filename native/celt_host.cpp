@@ -1663,10 +1663,16 @@ void celt_host_reset_impl(CeltHost* st) {
 // direct decoder (direct=1 + x_direct).
 namespace {
 
-// tier capacities — must match plan_pack.TIERS
+// tier capacities — runtime-profiled (celt_host_set_plan_profile):
+// the full profile (224/48/16 slots, 4 fills) packs even 510 kbps stereo
+// frames with no direct fallback; serving deployments shrink the slots to
+// shrink the per-step H2D arena (overflowing streams fall back to the
+// direct decoder, which stays correct). Defaults must match
+// plan_pack.TIERS / FILL_SLOTS; the Python layout (host_native.py) reads
+// the same profile when sizing the arenas.
 constexpr int kTierN[3] = {16, 48, 176};
-constexpr int kTierSlots[3] = {224, 48, 16};
-constexpr int kFillSlots = 4;
+int kTierSlots[3] = {224, 48, 16};
+int kFillSlots = 4;
 constexpr int kPool0 = 1;  // reserved zero cell
 constexpr int kLcgMax = 2048;
 
@@ -2477,6 +2483,18 @@ int celt_host_decode(void* p, const uint8_t* data, int len, int frame_size,
 }
 
 uint32_t celt_host_rng(void* p) { return ((CeltHost*)p)->rng; }
+
+// Set the plan tier/fill slot capacities (process-wide). Must be called
+// before any plan decode, with the Python-side layout sized to match
+// (host_native.set_plan_profile does both). Values are clamped to the
+// full-profile maxima the writer was validated against.
+void celt_host_set_plan_profile(int t0, int t1, int t2, int fills) {
+  const int mx[3] = {224, 48, 16};
+  int v[3] = {t0, t1, t2};
+  for (int t = 0; t < 3; t++)
+    kTierSlots[t] = v[t] < 1 ? 1 : (v[t] > mx[t] ? mx[t] : v[t]);
+  kFillSlots = fills < 1 ? 1 : (fills > 4 ? 4 : fills);
+}
 
 // Plan-mode decode: symbols only; band signal math is recorded as a packed
 // plan for the device executor (mousiki_tpu/ops/band_exec_jax.py). `arrs`
