@@ -505,17 +505,27 @@ class CeltDecoder:
             self.decode_mem[c, pos + N: pos + N + half] = new_tail
 
     def _deemphasis(self, N: int, CC: int, accum_pcm=None) -> np.ndarray:
-        coef0 = self.mode.preemph[0]
+        coef = self.mode.preemph
+        coef0 = coef[0]
         Nd = N // self.downsample
         pcm = np.zeros((Nd, CC), np.float64)
         for c in range(CC):
             x = self.decode_mem[c, DECODE_BUFFER_SIZE - N: DECODE_BUFFER_SIZE]
             m = self.preemph_mem[c]
             scratch = np.empty(N, np.float64)
-            for j in range(N):
-                tmp = x[j] + m
-                m = coef0 * tmp
-                scratch[j] = tmp
+            if coef[1] != 0.0:
+                # custom modes below 40 kHz use the 3-tap response
+                # (celt_decoder.rs deemphasis, coef[1] branch)
+                coef1, coef3 = coef[1], coef[3]
+                for j in range(N):
+                    tmp = x[j] + m
+                    m = coef0 * tmp - coef1 * x[j]
+                    scratch[j] = coef3 * tmp
+            else:
+                for j in range(N):
+                    tmp = x[j] + m
+                    m = coef0 * tmp
+                    scratch[j] = tmp
             self.preemph_mem[c] = m
             pcm[:, c] = scratch[:: self.downsample][:Nd] / 32768.0
         if accum_pcm is not None:

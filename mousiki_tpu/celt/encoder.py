@@ -198,15 +198,26 @@ class CeltEncoder:
         if precomputed is None:
             inb = np.empty((CC, N + overlap), np.float64)
             inb[:, :overlap] = self.in_mem
-            coef0 = mode.preemph[0]
+            coef = mode.preemph
+            coef0 = coef[0]
             for c in range(min(CC, pcm.shape[1]) if pcm.ndim > 1 else 1):
                 x = pcm[:, c] * 32768.0
                 m = self.preemph_mem[c]
                 out = np.empty(N)
-                # y[n] = x[n] - coef0*x[n-1] with carried memory
-                out[0] = x[0] - m
-                out[1:] = x[1:] - coef0 * x[:-1]
-                self.preemph_mem[c] = coef0 * x[-1]
+                if coef[1] != 0.0:
+                    # custom modes below 40 kHz: 3-tap response
+                    # (celt_encoder.rs celt_preemphasis, coef[1] branch)
+                    coef1, coef2 = coef[1], coef[2]
+                    for j in range(N):
+                        tmp = coef2 * x[j]
+                        out[j] = tmp + m
+                        m = coef1 * out[j] - coef0 * tmp
+                    self.preemph_mem[c] = m
+                else:
+                    # y[n] = x[n] - coef0*x[n-1] with carried memory
+                    out[0] = x[0] - m
+                    out[1:] = x[1:] - coef0 * x[:-1]
+                    self.preemph_mem[c] = coef0 * x[-1]
                 inb[c, overlap:] = out
             if CC == 2 and (pcm.ndim == 1 or pcm.shape[1] == 1):
                 inb[1] = inb[0]

@@ -190,37 +190,164 @@ def compute_pulse_cache(ebands, log_n, max_lm: int) -> PulseCache:
     return PulseCache(index=index.astype(np.int16), bits=bits, caps=caps)
 
 
-@lru_cache(maxsize=4)
-def opus_custom_mode(fs: int = 48000, frame_size: int = 960) -> CeltMode:
-    """The canonical mode: only 48kHz/960 (and its LM subdivisions) for now."""
-    if fs != 48000 or frame_size not in (120, 240, 480, 960):
-        raise NotImplementedError("only the canonical 48k mode family is supported")
-    max_lm = 3
-    short_mdct = 120
-    overlap = 120
-    ebands = np.array(EBAND5MS, np.int16)
+# --------------------------------------------------------------- custom modes
+# Bark critical-band edges used to derive band layouts for non-48k custom
+# modes (normative: every interoperable custom-mode implementation derives
+# the identical layout from them; reference modes.rs:53 / celt/modes.c).
+BARK_FREQ = [0, 100, 200, 300, 400, 510, 630, 770, 920, 1080, 1270, 1480,
+             1720, 2000, 2320, 2700, 3150, 3700, 4400, 5300, 6400, 7700,
+             9500, 12000, 15500, 20000]
+BARK_BANDS = 25
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def compute_ebands(fs: int, short_mdct: int, resolution: int) -> np.ndarray:
+    """Band-edge layout for a custom mode (parity: modes.rs compute_ebands).
+
+    Returns int16 edges (num_bands+1) in short-MDCT bins. 400*short == fs
+    short-circuits to the canonical EBAND5MS layout."""
+    if fs == 400 * short_mdct:
+        return np.array(EBAND5MS, np.int16)
+    n_bark = 1
+    while n_bark < BARK_BANDS and BARK_FREQ[n_bark + 1] * 2 < fs:
+        n_bark += 1
+    lin = 0
+    while lin < n_bark and BARK_FREQ[lin + 1] - BARK_FREQ[lin] < resolution:
+        lin += 1
+    low = _tdiv(BARK_FREQ[lin] + resolution // 2, resolution)
+    high = n_bark - lin
+    num_bands = low + high
+    bands = [0] * (num_bands + 2)
+    for i in range(low):
+        bands[i] = i
+    offset = 0
+    if low > 0:
+        offset = bands[low - 1] * resolution - BARK_FREQ[max(lin - 1, 0)]
+    for i in range(high):
+        target = BARK_FREQ[lin + i]
+        value = _tdiv(target + _tdiv(offset, 2) + resolution,
+                      2 * resolution) * 2
+        bands[low + i] = value
+        offset = value * resolution - target
+    for i in range(num_bands):
+        bands[i] = max(bands[i], i)
+    bands[num_bands] = min(_tdiv(BARK_FREQ[n_bark] + resolution,
+                                 2 * resolution) * 2, short_mdct)
+    if num_bands > 1:
+        for i in range(1, num_bands - 1):
+            if bands[i + 1] - bands[i] < bands[i] - bands[i - 1]:
+                bands[i] -= _tdiv(2 * bands[i] - bands[i - 1] - bands[i + 1],
+                                  2)
+    j = 0
+    for i in range(num_bands):
+        if bands[i + 1] > bands[j]:
+            j += 1
+            bands[j] = bands[i + 1]
+    return np.array(bands[:j + 1], np.int16)
+
+
+def compute_allocation_table(fs: int, short_mdct: int,
+                             ebands: np.ndarray) -> np.ndarray:
+    """Interpolate the canonical 5 ms allocation curves onto a custom band
+    layout (parity: modes.rs compute_allocation_table)."""
     nb = len(ebands) - 1
+    if fs == 400 * short_mdct:
+        flat = np.array(BAND_ALLOCATION, np.uint8).reshape(-1)
+        return flat[:11 * nb].reshape(11, nb)
+    max_bands = len(EBAND5MS) - 1
+    flat_ref = np.array(BAND_ALLOCATION, np.int64).reshape(11, max_bands)
+    out = np.zeros((11, nb), np.uint8)
+    for v in range(11):
+        for band in range(nb):
+            target = int(ebands[band]) * fs // short_mdct
+            k = 0
+            while k < max_bands and 400 * EBAND5MS[k] <= target:
+                k += 1
+            if k >= max_bands:
+                out[v, band] = flat_ref[v, max_bands - 1]
+            else:
+                upper = max(k, 1)
+                a1 = target - 400 * EBAND5MS[upper - 1]
+                a0 = 400 * EBAND5MS[upper] - target
+                num = (a0 * flat_ref[v, upper - 1] + a1 * flat_ref[v, upper])
+                out[v, band] = num // (a0 + a1)
+    return out
+
+
+def compute_preemphasis(fs: int) -> tuple:
+    """Rate-dependent pre-emphasis response (parity: modes.rs
+    compute_preemphasis / celt/modes.c opus_custom_mode_create)."""
+    if fs < 12000:
+        return (0.3500061035, -0.1799926758, 0.2719968125, 3.6765136719)
+    if fs < 24000:
+        return (0.6000061035, -0.1799926758, 0.4424998650, 2.2598876953)
+    if fs < 40000:
+        return (0.7799987793, -0.1000061035, 0.7499771125, 1.3333740234)
+    return (0.85, 0.0, 1.0, 1.0)
+
+
+def _mdct_window(overlap: int) -> np.ndarray:
+    i = np.arange(overlap, dtype=np.float64)
+    inner = np.sin(0.5 * math.pi * (i + 0.5) / overlap)
+    return np.sin(0.5 * math.pi * inner * inner).astype(np.float32)
+
+
+@lru_cache(maxsize=16)
+def opus_custom_mode(fs: int = 48000, frame_size: int = 960) -> CeltMode:
+    """Build a CELT mode: the canonical 48 kHz family or a custom mode for
+    any 8-96 kHz rate and 40-1024 even frame size (parity: modes.rs
+    build_custom_mode / celt/modes.c opus_custom_mode_create)."""
+    if not 8000 <= fs <= 96000:
+        raise ValueError("bad sample rate for a custom mode")
+    if not 40 <= frame_size <= 1024 or frame_size % 2:
+        raise ValueError("bad frame size for a custom mode")
+    if frame_size * 1000 < fs:
+        raise ValueError("frame shorter than 1 ms")
+    if frame_size * 75 >= fs and frame_size % 16 == 0:
+        max_lm = 3
+    elif frame_size * 150 >= fs and frame_size % 8 == 0:
+        max_lm = 2
+    elif frame_size * 300 >= fs and frame_size % 4 == 0:
+        max_lm = 1
+    else:
+        max_lm = 0
+    short_mdct = frame_size >> max_lm
+    if short_mdct * 300 > fs:
+        raise ValueError("short blocks longer than 3.3 ms")
+    overlap = (short_mdct >> 2) << 2
+    resolution = (fs + short_mdct) // (2 * short_mdct)
+    ebands = compute_ebands(fs, short_mdct, resolution)
+    nb = len(ebands) - 1
+    if nb < 1:
+        raise ValueError("degenerate band layout")
+    if (int(ebands[nb]) - int(ebands[nb - 1])) << max_lm > 208:
+        raise ValueError("last band too wide")
+    eff = nb
+    while eff > 0 and int(ebands[eff]) > short_mdct:
+        eff -= 1
     log_n = np.array(
         [log2_frac(int(ebands[i + 1] - ebands[i]), BITRES) for i in range(nb)],
         np.int16,
     )
-    i = np.arange(overlap, dtype=np.float64)
-    inner = np.sin(0.5 * math.pi * (i + 0.5) / overlap)
-    window = np.sin(0.5 * math.pi * inner * inner).astype(np.float32)
     cache = compute_pulse_cache(ebands, log_n, max_lm)
     return CeltMode(
         fs=fs,
         overlap=overlap,
         num_ebands=nb,
-        effective_ebands=nb,
-        preemph=(0.85, 0.0, 1.0, 1.0),
+        effective_ebands=eff,
+        preemph=compute_preemphasis(fs),
         ebands=ebands,
         max_lm=max_lm,
         num_short_mdcts=1 << max_lm,
         short_mdct_size=short_mdct,
         log_n=log_n,
-        window=window,
-        alloc_vectors=np.array(BAND_ALLOCATION, np.uint8),
+        window=_mdct_window(overlap),
+        alloc_vectors=compute_allocation_table(fs, short_mdct, ebands),
         cache=cache,
     )
 
