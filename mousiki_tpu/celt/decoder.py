@@ -206,7 +206,8 @@ class CeltDecoder:
                        dec: RangeDecoder | None = None,
                        accum_pcm: np.ndarray | None = None,
                        return_desc: bool = False,
-                       record_plan: bool = False):
+                       record_plan: bool = False,
+                       trace: dict | None = None):
         """Decode one CELT frame; returns float PCM (frame_size/downsample, CC).
 
         If accum_pcm is given, decoded samples are added into it (used by the
@@ -324,8 +325,25 @@ class CeltDecoder:
         coded_bands = alloc.coded_bands
         balance = alloc.balance
 
+        if trace is not None:
+            # Differential-test hook for the lockstep device decoder
+            # (ops/celt_lockstep.py): capture every symbol-stage output.
+            trace.update({
+                "silence": int(silence), "pf_pitch": postfilter_pitch,
+                "pf_gain": postfilter_gain, "pf_tapset": postfilter_tapset,
+                "transient": int(is_transient), "intra": int(intra_ener),
+                "coarse": old_band_e.copy(), "tf_res": list(tf_res),
+                "spread": spread_decision, "offsets": list(offsets),
+                "trim": alloc_trim, "anti_collapse_rsv": anti_collapse_rsv,
+                "alloc_bits_in": bits, "alloc": alloc,
+                "tell_pre_fine": dec.tell(), "tell_frac_pre_alloc": None,
+            })
+
         unquant_fine_energy(mode, self.start, self.end, old_band_e,
                             alloc.ebits, dec, C)
+        if trace is not None:
+            trace["fine"] = old_band_e.copy()
+            trace["tell_post_fine"] = dec.tell()
 
         for c in range(CC):
             self.decode_mem[c, : DECODE_BUFFER_SIZE - N + overlap // 2] = \
@@ -352,9 +370,19 @@ class CeltDecoder:
         if anti_collapse_rsv > 0:
             anti_collapse_on = dec.dec_bits(1)
 
+        if trace is not None:
+            trace["collapse_masks"] = collapse_masks.copy()
+            trace["seed_post_bands"] = int(self.rng)
+            trace["anti_collapse_on"] = int(anti_collapse_on)
+            trace["tell_post_bands"] = dec.tell()
+
         unquant_energy_finalise(mode, self.start, self.end, old_band_e,
                                 alloc.ebits, alloc.fine_priority,
                                 length * 8 - dec.tell(), dec, C)
+        if trace is not None:
+            trace["final_energy"] = old_band_e.copy()
+            trace["final_tell"] = dec.tell()
+            trace["final_rng"] = dec.rng & 0xFFFFFFFF
 
         if anti_collapse_on:
             if plan is not None:

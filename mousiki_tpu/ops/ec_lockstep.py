@@ -218,6 +218,18 @@ def ec_dec_bit_logp(st: EcLanes, logp: int, active):
     return jnp.where(active, ret, False), _normalize(st, active)
 
 
+def ec_dec_bit_logp_var(st: EcLanes, logp, active):
+    """ec_dec_bit_logp with a per-lane logp (S,) int32."""
+    r = st.rng
+    s = r >> jnp.asarray(logp, jnp.int32).astype(jnp.uint32)
+    ret = st.val < s
+    val = jnp.where(ret, st.val, st.val - s)
+    rng = jnp.where(ret, s, r - s)
+    st = st._replace(val=jnp.where(active, val, st.val),
+                     rng=jnp.where(active, rng, st.rng))
+    return jnp.where(active, ret, False), _normalize(st, active)
+
+
 def ec_dec_icdf(st: EcLanes, icdf, ftb: int, active):
     """icdf: shared (n,) uint table (non-increasing). Returns (ret, st)."""
     tab = jnp.asarray(icdf, jnp.uint32)
