@@ -344,6 +344,8 @@ class CeltDecoder:
         if trace is not None:
             trace["fine"] = old_band_e.copy()
             trace["tell_post_fine"] = dec.tell()
+            trace["rng_post_fine"] = dec.rng
+            trace["val_post_fine"] = dec.val
 
         for c in range(CC):
             self.decode_mem[c, : DECODE_BUFFER_SIZE - N + overlap // 2] = \

@@ -1,0 +1,618 @@
+"""Lockstep CELT decode, pass 2: resolve signal-plan planes from the walk.
+
+The walk (celt_lockstep_walk) consumes the symbol stream and emits node
+records (splits with theta, PVQ leaves with CWRS indices, fill leaves with
+visit ranks).  This pass resolves everything that depends on decoded pulse
+DATA rather than symbols — collapse masks (reference bands.rs
+extract_collapse_mask / the cm folds in quant_band), fold-vs-noise-vs-zero
+fill typing, the LCG seed chain, anti-collapse inputs — and assembles the
+packed plan-plane pytree consumed by `band_exec_jax.execute_packed`.
+
+Everything here is band-static vector math (no entropy ops), so it fuses
+into the same jitted program as the walk and executor.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..celt.modes import BITRES
+from ..celt.plan_pack import TIERS, combos_for_m
+from .band_exec_jax import _lcg_jump, cwrs_walk
+from .celt_lockstep import _tables
+from .celt_lockstep_walk import walk_layout
+
+_BIT_INTERLEAVE = np.array([0, 1, 1, 1, 2, 3, 3, 3, 2, 3, 3, 3, 2, 3, 3, 3],
+                           np.int32)
+_BIT_DEINTERLEAVE = np.array(
+    [0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x3C, 0x3F,
+     0xC0, 0xC3, 0xCC, 0xCF, 0xF0, 0xF3, 0xFC, 0xFF], np.int32)
+
+FILL_SLOTS_LS = 8
+SPREAD_AGGRESSIVE = 3
+
+
+@lru_cache(maxsize=8)
+def _tier_map(lm: int, C: int):
+    """Static mapping global slot -> (tier, tier_slot); returns per-tier
+    index arrays (into the (C*nslot,) global slot axis) plus static n/dst
+    per tier slot."""
+    lay = walk_layout(lm)
+    tb = _tables(lm, C)
+    M = 1 << lm
+    frame = 120 << lm
+    eb = tb.ebands
+    idxs = [[], [], []]
+    ns = [[], [], []]
+    dst = [[], [], []]
+    for ch in range(C):
+        for sl in range(lay.nslot):
+            n = int(lay.s_n[sl])
+            t = 0 if n <= TIERS[0][0] else (1 if n <= TIERS[1][0] else 2)
+            idxs[t].append(ch * lay.nslot + sl)
+            ns[t].append(n)
+            dst[t].append(ch * frame + M * int(eb[int(lay.s_band[sl])])
+                          + int(lay.s_off[sl]))
+    return ([np.asarray(a, np.int32) for a in idxs],
+            [np.asarray(a, np.int32) for a in ns],
+            [np.asarray(a, np.int32) for a in dst])
+
+
+@lru_cache(maxsize=8)
+def _combo_lut(lm: int):
+    """(2, 7) combo-id lookup: [b0 == M][tf+3] per plan_pack.combos_for_m."""
+    combos = combos_for_m(1 << lm)
+    cid = {bt: i for i, bt in enumerate(combos)}
+    out = np.zeros((2, 7), np.int32)
+    for row, b0 in enumerate((1, 1 << lm)):
+        for tf in range(-3, 4):
+            out[row, tf + 3] = cid.get((b0, tf), 0)
+    return out
+
+
+def _scatter_nodes(emits, S, width, C_nslot):
+    """Scatter walk emission records into (S, C_nslot[+1]) node planes."""
+    T = emits.slot.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (T, S))
+    sl = jnp.where(emits.slot >= 0, emits.slot, C_nslot)
+    rr = rows.reshape(-1)
+    cc = sl.reshape(-1)
+
+    def put(init, val):
+        return init.at[rr, cc].set(val.reshape(-1))
+
+    n_split = put(jnp.zeros((S, C_nslot + 1), bool), emits.split)
+    n_leaf = put(jnp.zeros((S, C_nslot + 1), bool),
+                 (emits.slot >= 0) & ~emits.split)
+    n_itheta = put(jnp.zeros((S, C_nslot + 1), jnp.int32), emits.itheta)
+    n_k = put(jnp.zeros((S, C_nslot + 1), jnp.int32), emits.k)
+    n_idx = put(jnp.zeros((S, C_nslot + 1), jnp.uint32), emits.idx)
+    n_gain = put(jnp.zeros((S, C_nslot + 1), jnp.float32), emits.gain)
+    n_rank = put(jnp.full((S, C_nslot + 1), -1, jnp.int32), emits.rank)
+    return (n_split[:, :C_nslot], n_leaf[:, :C_nslot],
+            n_itheta[:, :C_nslot], n_k[:, :C_nslot], n_idx[:, :C_nslot],
+            n_gain[:, :C_nslot], n_rank[:, :C_nslot])
+
+
+def _scatter_bands(emits, S):
+    T = emits.band.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (T, S))
+    bb = jnp.where(emits.band >= 0, emits.band, 21)
+    rr = rows.reshape(-1)
+    cc = bb.reshape(-1)
+    b_band = jnp.zeros((S, 22), jnp.int32).at[rr, cc].set(
+        emits.b_band.reshape(-1))[:, :21]
+    btheta = jnp.full((S, 22), -1, jnp.int32).at[rr, cc].set(
+        emits.btheta.reshape(-1))[:, :21]
+    binv = jnp.zeros((S, 22), bool).at[rr, cc].set(
+        emits.binv.reshape(-1))[:, :21]
+    return b_band, btheta, binv
+
+
+def _collapse_from_iy(iy, n, b_leaf, nmax):
+    """extract_collapse_mask (vq.rs): bit j set iff any pulse in block j.
+
+    iy (R, nmax) i32; n, b_leaf (R,) i32 (b_leaf in 1/2/4/8)."""
+    pos = jnp.arange(nmax, dtype=jnp.int32)[None, :]
+    n0 = n // jnp.maximum(b_leaf, 1)
+    blk = jnp.clip(pos // jnp.maximum(n0, 1)[:, None], 0, 7)
+    nz = (iy != 0) & (pos < n[:, None])
+    hit = jnp.any(nz[:, None, :]
+                  & (blk[:, None, :]
+                     == jnp.arange(8, dtype=jnp.int32)[None, :, None]),
+                  axis=2)
+    bits = jnp.sum(hit.astype(jnp.int32)
+                   << jnp.arange(8, dtype=jnp.int32)[None, :], axis=1)
+    return jnp.where(b_leaf > 1, bits,
+                     jnp.any(nz, axis=1).astype(jnp.int32))
+
+
+def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
+              seed0, ac_on, final_energy, prev1, prev2,
+              start: int = 0, end: int = 21):
+    """Resolve plan planes from walk emissions.
+
+    Returns (p, seed_final, collapse_masks, fill_overflow):
+    p follows band_exec_jax.PLAN_KEYS (pvq_* lists are per-tier with the
+    static node-slot layout).  seed0: (S,) uint32 LCG seed entering the
+    frame (previous frame's EC range value).  final_energy: (S, C, 21)
+    post-finalise energies; prev1/prev2: (S, 2, 21) oldLogE/oldLogE2.
+    """
+    lay = walk_layout(lm)
+    tb = _tables(lm, C)
+    S = emits.slot.shape[1]
+    nsl = lay.nslot
+    M = 1 << lm
+    frame = 120 << lm
+    eb = tb.ebands
+    nbv = jnp.asarray(tb.nbands)
+    edges = jnp.asarray((M * eb).astype(np.int32))        # (22,)
+    nnodes = lay.nnodes
+    base = lay.base
+    transient = hdr.transient
+
+    (n_split, n_leaf, n_itheta, n_k, n_idx, n_gain, n_rank) = \
+        _scatter_nodes(emits, S, 0, C * nsl)
+    b_band, btheta, binv = _scatter_bands(emits, S)
+
+    # ---- per-band B', recombine, time_divide --------------------------
+    b_ent = jnp.where(transient[:, None], M, 1)           # (S, 21)
+    rc = jnp.maximum(tf_res, 0)
+    Bq = b_ent >> rc.astype(jnp.uint32)
+    NBq = (nbv[None, :] // jnp.maximum(b_ent, 1)) << rc.astype(jnp.uint32)
+    tfq = tf_res
+    td = jnp.zeros_like(tf_res)
+    for _ in range(3):
+        go = ((NBq & 1) == 0) & (tfq < 0)
+        Bq = jnp.where(go, Bq << 1, Bq)
+        NBq = jnp.where(go, NBq >> 1, NBq)
+        tfq = jnp.where(go, tfq + 1, tfq)
+        td = jnp.where(go, td + 1, td)
+    band_bp = Bq
+
+    # ---- lowband offset chain -----------------------------------------
+    lo = jnp.zeros(S, jnp.int32)
+    upd = jnp.ones(S, bool)
+    lo_used = jnp.zeros((S, 21), jnp.int32)
+    for i in range(start, end):
+        cond_i = (M * int(eb[i]) - int(tb.nbands[i]) >= M * int(eb[start])
+                  or i == start + 1)
+        if cond_i:
+            lo = jnp.where(upd | (lo == 0), i, lo)
+        lo_used = lo_used.at[:, i].set(lo)
+        upd = b_band[:, i] > (nbv[i] << BITRES)
+
+    # ---- PVQ collapse masks per slot (from the pulse vectors) ----------
+    tier_idx, tier_n, tier_dst = _tier_map(lm, C)
+    sdep_all = np.concatenate([lay.s_depth] * C)
+    sband_all = np.concatenate([lay.s_band] * C)
+    cm_slot = jnp.zeros((S, C * nsl), jnp.int32)
+    for t in range(3):
+        idx = tier_idx[t]
+        if idx.size == 0:
+            continue
+        nmax = TIERS[t][0]
+        act = jnp.take(n_leaf & (n_k > 0), jnp.asarray(idx), axis=1)
+        k = jnp.take(n_k, jnp.asarray(idx), axis=1)
+        ii = jnp.take(n_idx, jnp.asarray(idx), axis=1)
+        nn = jnp.asarray(tier_n[t])[None, :].repeat(S, 0)
+        dep = jnp.asarray(sdep_all[idx])[None, :]
+        bnd = jnp.asarray(sband_all[idx])[None, :]
+        bp = jnp.take_along_axis(band_bp, jnp.broadcast_to(
+            bnd, (S, idx.size)), axis=1)
+        bl = (bp + (1 << dep) - 1) >> dep.astype(jnp.uint32)
+        iy = cwrs_walk(act.reshape(-1), nn.reshape(-1), k.reshape(-1),
+                       ii.reshape(-1), nmax)
+        cm = _collapse_from_iy(iy, nn.reshape(-1), bl.reshape(-1), nmax)
+        cm = cm.reshape(S, idx.size)
+        cm_slot = cm_slot.at[:, jnp.asarray(idx)].set(
+            jnp.where(act, cm, 0))
+
+    # ---- band-sequential fill/cm resolution ----------------------------
+    dual_dec = alloc.dual_stereo
+    intensity = alloc.intensity
+    masksC = jnp.zeros((S, 21, 2), jnp.int32)
+    fill_nonzero = jnp.zeros((S, C * nsl), bool)
+    fill_fold = jnp.zeros((S, C * nsl), bool)
+    arj = jnp.arange(21, dtype=jnp.int32)
+
+    def tree_resolve(i, ch, tree_fill, has_lb, Bp_i, td_i, rc_i):
+        """Returns (band_cm, fill_nonzero_slice, fill_fold_slice)."""
+        nn = int(nnodes[i])
+        b0 = int(base[i])
+        off = ch * nsl + b0
+        spl = lax.slice(n_split, (0, off), (S, off + nn))
+        lef = lax.slice(n_leaf, (0, off), (S, off + nn))
+        it = lax.slice(n_itheta, (0, off), (S, off + nn))
+        kk = lax.slice(n_k, (0, off), (S, off + nn))
+        cmp_ = lax.slice(cm_slot, (0, off), (S, off + nn))
+        # pre-transforms of the fill word (quant_band entry)
+        f = tree_fill
+        Bw = jnp.where(transient, M, 1)
+        rcc = rc_i
+        for _ in range(3):
+            go = rcc > 0
+            f = jnp.where(go, (jnp.asarray(_BIT_INTERLEAVE)[f & 0xF]
+                               | (jnp.asarray(_BIT_INTERLEAVE)[
+                                   jnp.clip(f >> 4, 0, 15)] << 2)), f)
+            rcc = rcc - 1
+            Bw = jnp.where(go, Bw >> 1, Bw)
+        tdc = td_i
+        for _ in range(3):
+            go = tdc > 0
+            f = jnp.where(go, f | (f << Bw.astype(jnp.uint32)), f)
+            Bw = jnp.where(go, Bw << 1, Bw)
+            tdc = tdc - 1
+        # descent
+        fills = [None] * (2 * nn + 2)
+        fills[1] = f
+        for nid in range(1, nn + 1):
+            if 2 * nid + 1 > nn:
+                continue
+            d = int(lay.s_depth[b0 + nid - 1])
+            B_nd = (Bp_i + (1 << d) - 1) >> d
+            fv = fills[nid]
+            f1 = jnp.where(B_nd == 1, (fv & 1) | (fv << 1), fv)
+            Bc = (B_nd + 1) >> 1
+            msk = (1 << Bc) - 1
+            itn = it[:, nid - 1]
+            sm = spl[:, nid - 1]
+            f2 = jnp.where(sm & (itn == 0), f1 & msk, f1)
+            f2 = jnp.where(sm & (itn == 16384), f1 & (msk << Bc
+                                                      .astype(jnp.uint32)),
+                           f2)
+            fills[2 * nid] = f2
+            fills[2 * nid + 1] = f2 >> Bc.astype(jnp.uint32)
+        # leaves + ascent
+        cms = [None] * (2 * nn + 2)
+        fnz = jnp.zeros((S, nn), bool)
+        ffo = jnp.zeros((S, nn), bool)
+        for nid in range(nn, 0, -1):
+            d = int(lay.s_depth[b0 + nid - 1])
+            B_nd = (Bp_i + (1 << d) - 1) >> d
+            cm_mask = (1 << B_nd) - 1
+            lm_ = lef[:, nid - 1]
+            ff = fills[nid] & cm_mask if fills[nid] is not None else \
+                jnp.zeros(S, jnp.int32)
+            kq = kk[:, nid - 1]
+            pvq_m = lm_ & (kq > 0)
+            z_m = lm_ & (kq == 0) & (ff == 0)
+            nz_m = lm_ & (kq == 0) & (ff != 0)
+            cm_leaf = jnp.where(pvq_m, cmp_[:, nid - 1],
+                                jnp.where(nz_m & has_lb, ff,
+                                          jnp.where(nz_m, cm_mask, 0)))
+            if 2 * nid + 1 <= nn:
+                child = cms[2 * nid] | (cms[2 * nid + 1]
+                                        << (B_nd >> 1).astype(jnp.uint32))
+            else:
+                child = jnp.zeros(S, jnp.int32)
+            cms[nid] = jnp.where(lm_, cm_leaf, child)
+            fnz = fnz.at[:, nid - 1].set(nz_m)
+            ffo = ffo.at[:, nid - 1].set(nz_m & has_lb)
+        # root post folds
+        cm = cms[1]
+        Bv = Bp_i
+        tdc = td_i
+        for _ in range(3):
+            go = tdc > 0
+            Bv = jnp.where(go, Bv >> 1, Bv)
+            cm = jnp.where(go, cm | (cm >> Bv.astype(jnp.uint32)), cm)
+            tdc = tdc - 1
+        rcc = rc_i
+        for _ in range(3):
+            go = rcc > 0
+            cm = jnp.where(go, jnp.asarray(_BIT_DEINTERLEAVE)[
+                jnp.clip(cm, 0, 15)], cm)
+            rcc = rcc - 1
+        Bf = Bv << rc_i.astype(jnp.uint32)
+        cm = cm & ((1 << Bf.astype(jnp.uint32)) - 1)
+        return cm, fnz, ffo
+
+    has_lb_x = jnp.zeros((S, 21), bool)
+    eff_lb = jnp.full((S, 21), -1, jnp.int32)
+    for i in range(start, end):
+        N_i = int(tb.nbands[i])
+        Bp_i = band_bp[:, i]
+        td_i = td[:, i]
+        rc_i = rc[:, i]
+        B_ent_i = jnp.where(transient, M, 1)
+        lo_i = lo_used[:, i]
+        can_fold = (lo_i != 0) & ((spread != SPREAD_AGGRESSIVE)
+                                  | (B_ent_i > 1) | (tf_res[:, i] < 0))
+        eff = jnp.maximum(0, edges[jnp.clip(lo_i, 0, 21)] - N_i)
+        fold_start = jnp.sum((edges[None, :21] <= eff[:, None])
+                             .astype(jnp.int32), axis=1) - 1
+        cand = (arj[None, :] >= lo_i[:, None]) & \
+            ((arj[None, :] >= i) | (edges[None, :21] >= (eff + N_i)[:, None]))
+        fold_end = jnp.argmax(cand, axis=1)
+        hi_m = jnp.maximum(fold_end, fold_start + 1)
+        rng_m = (arj[None, :] >= fold_start[:, None]) & \
+            (arj[None, :] < hi_m[:, None])
+        x_or = jnp.zeros(S, jnp.int32)
+        y_or = jnp.zeros(S, jnp.int32)
+        for j in range(max(0, i - 0)):
+            if j >= 21:
+                break
+            x_or = x_or | jnp.where(rng_m[:, j], masksC[:, j, 0], 0)
+            y_or = y_or | jnp.where(rng_m[:, j], masksC[:, j, 1], 0)
+        full = (1 << B_ent_i) - 1
+        x_cm = jnp.where(can_fold, x_or, full)
+        y_cm = jnp.where(can_fold, y_or, full)
+        has_lb = can_fold | (lo_i != 0)
+        # effective lowband exists iff can_fold (else lowband is None)
+        has_lb = can_fold
+        has_lb_x = has_lb_x.at[:, i].set(has_lb)
+        eff_lb = eff_lb.at[:, i].set(jnp.where(has_lb, eff, -1))
+
+        if C == 1:
+            tree_fill = x_cm | y_cm
+            cm1, fnz, ffo = tree_resolve(i, 0, tree_fill, has_lb, Bp_i,
+                                         td_i, rc_i)
+            masksC = masksC.at[:, i, 0].set(cm1)
+            masksC = masksC.at[:, i, 1].set(cm1)
+            sl0 = int(base[i])
+            nn = int(nnodes[i])
+            fill_nonzero = lax.dynamic_update_slice(
+                fill_nonzero, fnz, (0, sl0))
+            fill_fold = lax.dynamic_update_slice(fill_fold, ffo, (0, sl0))
+        else:
+            joint = ~((dual_dec == 1) & (i < intensity))
+            itb = btheta[:, i]
+            fj = x_cm | y_cm
+            mskb = (1 << B_ent_i) - 1
+            fj = jnp.where(joint & (itb == 0), fj & mskb, fj)
+            fj = jnp.where(joint & (itb == 16384),
+                           fj & (mskb << B_ent_i.astype(jnp.uint32)), fj)
+            fx = jnp.where(joint, fj, x_cm)
+            fy = jnp.where(joint, fj >> B_ent_i.astype(jnp.uint32), y_cm)
+            lb_x = has_lb
+            lb_y = jnp.where(joint, False, has_lb)
+            cmx, fnzx, ffox = tree_resolve(i, 0, fx, lb_x, Bp_i, td_i,
+                                           rc_i)
+            cmy, fnzy, ffoy = tree_resolve(i, 1, fy, lb_y, Bp_i, td_i,
+                                           rc_i)
+            bandx = jnp.where(joint, cmx | cmy, cmx)
+            bandy = jnp.where(joint, cmx | cmy, cmy)
+            masksC = masksC.at[:, i, 0].set(bandx)
+            masksC = masksC.at[:, i, 1].set(bandy)
+            sl0 = int(base[i])
+            nn = int(nnodes[i])
+            fill_nonzero = lax.dynamic_update_slice(fill_nonzero, fnzx,
+                                                    (0, sl0))
+            fill_fold = lax.dynamic_update_slice(fill_fold, ffox, (0, sl0))
+            fill_nonzero = lax.dynamic_update_slice(
+                fill_nonzero, fnzy, (0, nsl + sl0))
+            fill_fold = lax.dynamic_update_slice(fill_fold, ffoy,
+                                                 (0, nsl + sl0))
+
+    # ---- seed chain -----------------------------------------------------
+    A_J, C_J = _lcg_jump()
+    A_J = jnp.asarray(A_J)
+    C_J = jnp.asarray(C_J)
+    s_n_all = jnp.asarray(np.concatenate([lay.s_n] * C))
+    RMAX = 640
+    rank_c = jnp.clip(n_rank, -1, RMAX - 1)
+    is_fill_slot = n_rank >= 0
+    draws = jnp.where(is_fill_slot & fill_nonzero, s_n_all[None, :], 0)
+    rows = jnp.arange(S, dtype=jnp.int32)[:, None].repeat(C * nsl, 1)
+    dr = jnp.zeros((S, RMAX + 1), jnp.int32).at[
+        rows.reshape(-1),
+        jnp.where(is_fill_slot, rank_c, RMAX).reshape(-1)].add(
+        draws.reshape(-1))
+    cum = jnp.cumsum(dr[:, :RMAX], axis=1) - dr[:, :RMAX]
+    seed_rank = A_J[jnp.clip(cum, 0, A_J.shape[0] - 1)] \
+        * seed0[:, None] + C_J[jnp.clip(cum, 0, A_J.shape[0] - 1)]
+    seed_slot = jnp.take_along_axis(
+        seed_rank, jnp.clip(rank_c, 0, RMAX - 1), axis=1)
+    total_draws = jnp.sum(draws, axis=1)
+    seed_final = A_J[jnp.clip(total_draws, 0, A_J.shape[0] - 1)] * seed0 \
+        + C_J[jnp.clip(total_draws, 0, A_J.shape[0] - 1)]
+
+    # ---- assemble plan planes ------------------------------------------
+    p = {}
+    p["direct"] = jnp.zeros(S, bool)
+    spread_b = jnp.broadcast_to(spread[:, None], (S, 1))
+    pvq_act, pvq_n, pvq_k, pvq_b, pvq_sp, pvq_g, pvq_i, pvq_d = \
+        [], [], [], [], [], [], [], []
+    for t in range(3):
+        idx = jnp.asarray(tier_idx[t])
+        nslots = int(tier_idx[t].size)
+        act = jnp.take(n_leaf & (n_k > 0), idx, axis=1)
+        dep = jnp.asarray(sdep_all[tier_idx[t]])[None, :]
+        bnd = jnp.broadcast_to(
+            jnp.asarray(sband_all[tier_idx[t]])[None, :], (S, nslots))
+        bp = jnp.take_along_axis(band_bp, bnd, axis=1)
+        bl = (bp + (1 << dep) - 1) >> dep.astype(jnp.uint32)
+        pvq_act.append(act)
+        pvq_n.append(jnp.broadcast_to(jnp.asarray(tier_n[t])[None, :],
+                                      (S, nslots)).astype(jnp.int32))
+        pvq_k.append(jnp.take(n_k, idx, axis=1))
+        pvq_b.append(bl.astype(jnp.int32))
+        pvq_sp.append(jnp.broadcast_to(spread[:, None],
+                                       (S, nslots)).astype(jnp.int32))
+        pvq_g.append(jnp.take(n_gain, idx, axis=1))
+        pvq_i.append(jnp.take(n_idx, idx, axis=1))
+        pvq_d.append(jnp.broadcast_to(jnp.asarray(tier_dst[t])[None, :],
+                                      (S, nslots)).astype(jnp.int32))
+    p["pvq_active"] = pvq_act
+    p["pvq_n"] = pvq_n
+    p["pvq_k"] = pvq_k
+    p["pvq_b"] = pvq_b
+    p["pvq_spread"] = pvq_sp
+    p["pvq_gain"] = pvq_g
+    p["pvq_idx"] = pvq_i
+    p["pvq_dst"] = pvq_d
+
+    # fills: compact each (band, tree) node list into FILL_SLOTS_LS slots
+    F = FILL_SLOTS_LS
+    fill_active = jnp.zeros((S, 21, 2, F), bool)
+    fill_fold_p = jnp.zeros((S, 21, 2, F), bool)
+    fill_off = jnp.zeros((S, 21, 2, F), jnp.int32)
+    fill_n = jnp.zeros((S, 21, 2, F), jnp.int32)
+    fill_gain = jnp.ones((S, 21, 2, F), jnp.float32)
+    fill_seed = jnp.zeros((S, 21, 2, F), jnp.uint32)
+    overflow = jnp.zeros(S, bool)
+    for i in range(start, end):
+        nn = int(nnodes[i])
+        b0 = int(base[i])
+        offs_np = lay.s_off[b0:b0 + nn].astype(np.int32)
+        ns_np = lay.s_n[b0:b0 + nn].astype(np.int32)
+        for ch in range(C):
+            sl0 = ch * nsl + b0
+            act = lax.slice(n_leaf, (0, sl0), (S, sl0 + nn)) \
+                & (lax.slice(n_k, (0, sl0), (S, sl0 + nn)) == 0) \
+                & lax.slice(fill_nonzero, (0, sl0), (S, sl0 + nn))
+            foldv = lax.slice(fill_fold, (0, sl0), (S, sl0 + nn))
+            gv = lax.slice(n_gain, (0, sl0), (S, sl0 + nn))
+            sv = lax.slice(seed_slot, (0, sl0), (S, sl0 + nn))
+            ordpos = jnp.cumsum(act.astype(jnp.int32), axis=1) - 1
+            overflow = overflow | jnp.any(act & (ordpos >= F), axis=1)
+            onehot = (ordpos[:, :, None]
+                      == jnp.arange(F, dtype=jnp.int32)[None, None, :]) \
+                & act[:, :, None]
+            oh_i = onehot.astype(jnp.int32)
+            fill_active = fill_active.at[:, i, ch, :].set(
+                jnp.any(onehot, axis=1))
+            fill_fold_p = fill_fold_p.at[:, i, ch, :].set(
+                jnp.any(onehot & foldv[:, :, None], axis=1))
+            fill_off = fill_off.at[:, i, ch, :].set(
+                jnp.sum(oh_i * jnp.asarray(offs_np)[None, :, None], axis=1))
+            fill_n = fill_n.at[:, i, ch, :].set(
+                jnp.sum(oh_i * jnp.asarray(ns_np)[None, :, None], axis=1))
+            fill_gain = fill_gain.at[:, i, ch, :].set(
+                jnp.sum(jnp.where(onehot, gv[:, :, None], 0.0), axis=1))
+            fill_seed = fill_seed.at[:, i, ch, :].set(
+                jnp.sum(jnp.where(onehot, sv[:, :, None],
+                                  jnp.uint32(0)), axis=1))
+    p["fill_active"] = fill_active
+    p["fill_fold"] = fill_fold_p
+    p["fill_off"] = fill_off
+    p["fill_n"] = fill_n
+    p["fill_gain"] = fill_gain
+    p["fill_seed"] = fill_seed
+
+    # calls
+    clut = jnp.asarray(_combo_lut(lm))
+    combo = clut[transient.astype(jnp.int32)[:, None],
+                 jnp.clip(tf_res + 3, 0, 6)]               # (S, 21)
+    in_rng = ((arj >= start) & (arj < end))[None, :]
+    call_active = jnp.zeros((S, 21, 2), bool)
+    call_has_lb = jnp.zeros((S, 21, 2), bool)
+    call_lb_src = jnp.zeros((S, 21, 2), jnp.int32)
+    call_lb_buf = jnp.zeros((S, 21, 2), jnp.int32)
+    call_blend = jnp.full((S, 21, 2), -1, jnp.int32)
+    call_pre = jnp.zeros((S, 21, 2), jnp.int32)
+    call_post = jnp.zeros((S, 21, 2), jnp.int32)
+    call_nw = jnp.zeros((S, 21, 2), bool)
+    call_nbuf = jnp.zeros((S, 21, 2), jnp.int32)
+    not_last = (arj < end - 1)[None, :]
+    if C == 1:
+        call_active = call_active.at[:, :, 0].set(in_rng)
+        call_has_lb = call_has_lb.at[:, :, 0].set(has_lb_x)
+        call_lb_src = call_lb_src.at[:, :, 0].set(jnp.maximum(eff_lb, 0))
+        call_pre = call_pre.at[:, :, 0].set(combo)
+        call_post = call_post.at[:, :, 0].set(combo)
+        call_nw = call_nw.at[:, :, 0].set(in_rng & not_last)
+    else:
+        dual_b = (dual_dec == 1)[:, None] & (arj[None, :]
+                                             < intensity[:, None])
+        call_active = call_active.at[:, :, 0].set(in_rng)
+        call_active = call_active.at[:, :, 1].set(in_rng)
+        call_has_lb = call_has_lb.at[:, :, 0].set(has_lb_x)
+        call_has_lb = call_has_lb.at[:, :, 1].set(has_lb_x & dual_b)
+        call_lb_src = call_lb_src.at[:, :, 0].set(jnp.maximum(eff_lb, 0))
+        call_lb_src = call_lb_src.at[:, :, 1].set(
+            jnp.where(dual_b, jnp.maximum(eff_lb, 0), 0))
+        call_lb_buf = call_lb_buf.at[:, :, 1].set(
+            jnp.where(dual_b, 1, 0))
+        # blend: after the dual->joint transition the norm buffer below
+        # M*eb[intensity] is the 0.5*(norm+norm2) average
+        avg_m = (dual_dec == 1)[:, None] & (arj[None, :]
+                                            >= intensity[:, None])
+        upto = edges[jnp.clip(intensity, 0, 21)]
+        call_blend = call_blend.at[:, :, 0].set(
+            jnp.where(avg_m & has_lb_x, upto[:, None], -1))
+        call_pre = call_pre.at[:, :, 0].set(combo)
+        call_post = call_post.at[:, :, 0].set(combo)
+        call_pre = call_pre.at[:, :, 1].set(combo)
+        call_post = call_post.at[:, :, 1].set(combo)
+        call_nw = call_nw.at[:, :, 0].set(in_rng & not_last)
+        call_nw = call_nw.at[:, :, 1].set(in_rng & not_last & dual_b)
+        call_nbuf = call_nbuf.at[:, :, 1].set(jnp.where(dual_b, 1, 0))
+    p["call_active"] = call_active
+    p["call_has_lb"] = call_has_lb
+    p["call_lb_src"] = call_lb_src
+    p["call_lb_buf"] = call_lb_buf
+    p["call_blend_upto"] = call_blend
+    p["call_pre"] = call_pre
+    p["call_post"] = call_post
+    p["call_norm_write"] = call_nw
+    p["call_norm_buf"] = call_nbuf
+    p["call_dup"] = jnp.zeros((S, 21, 2, 3), jnp.int32)
+
+    # band stereo ops
+    if C == 2:
+        dual_b = (dual_dec == 1)[:, None] & (arj[None, :]
+                                             < intensity[:, None])
+        joint_b = in_rng & ~dual_b
+        mid_b = jnp.where(btheta == 0, 32767,
+                          jnp.where(btheta == 16384, 0,
+                                    _vec_bitexact_cos(btheta)))
+        p["merge_active"] = joint_b
+        p["merge_mid"] = jnp.where(
+            joint_b, mid_b.astype(jnp.float32) / 32768.0, 0.0)
+        p["merge_inv"] = binv & joint_b
+    else:
+        p["merge_active"] = jnp.zeros((S, 21), bool)
+        p["merge_mid"] = jnp.zeros((S, 21), jnp.float32)
+        p["merge_inv"] = jnp.zeros((S, 21), bool)
+    p["theta2_active"] = jnp.zeros((S, 21), bool)
+    p["theta2_cswap"] = jnp.zeros((S, 21), bool)
+    p["theta2_sign"] = jnp.zeros((S, 21), jnp.float32)
+    p["theta2_mid"] = jnp.zeros((S, 21), jnp.float32)
+    p["theta2_side"] = jnp.zeros((S, 21), jnp.float32)
+    p["theta2_inv"] = jnp.zeros((S, 21), bool)
+    p["n1_active"] = jnp.zeros((S, 21, 2), bool)
+    p["n1_val"] = jnp.zeros((S, 21, 2), jnp.float32)
+
+    # anti-collapse
+    p["ac_on"] = ac_on
+    p["ac_masks"] = masksC
+    p["ac_seed"] = seed_final
+    logE = final_energy
+    pulses = alloc.pulses
+    n0_np = (tb.ebands[1:] - tb.ebands[:-1]).astype(np.int32)
+    depth_b = ((1 + pulses) // jnp.asarray(n0_np)[None, :]) >> lm
+    thresh = 0.5 * jnp.exp2(-0.125 * depth_b.astype(jnp.float32))
+    sqrt_1 = jnp.asarray((1.0 / np.sqrt((n0_np << lm).astype(np.float64)))
+                         .astype(np.float32))
+    ac_r = jnp.zeros((S, 2, 21), jnp.float32)
+    for c in range(C):
+        p1 = prev1[:, c, :]
+        p2 = prev2[:, c, :]
+        if C == 1:
+            p1 = jnp.maximum(p1, prev1[:, 1, :])
+            p2 = jnp.maximum(p2, prev2[:, 1, :])
+        ediff = jnp.maximum(0.0, logE[:, c, :]
+                            - jnp.minimum(p1, p2)).astype(jnp.float32)
+        r = 2.0 * jnp.exp2(-ediff)
+        if lm == 3:
+            r = r * 1.41421356
+        ac_r = ac_r.at[:, c, :].set(jnp.minimum(thresh, r)
+                                    * sqrt_1[None, :])
+    p["ac_r"] = ac_r
+    return p, seed_final, masksC, overflow
+
+
+def _vec_bitexact_cos(x):
+    tmp = (4096 + x * x) >> 13
+    x2 = tmp
+    x2 = (32767 - x2) + ((16384 + x2 * (
+        -7651 + ((16384 + x2 * (8277 + ((16384 + (-626) * x2) >> 15)))
+                 >> 15))) >> 15)
+    return 1 + x2
