@@ -8,8 +8,11 @@ extract_collapse_mask / the cm folds in quant_band), fold-vs-noise-vs-zero
 fill typing, the LCG seed chain, anti-collapse inputs — and assembles the
 packed plan-plane pytree consumed by `band_exec_jax.execute_packed`.
 
-Everything here is band-static vector math (no entropy ops), so it fuses
-into the same jitted program as the walk and executor.
+The per-band tree resolution runs as ONE lax.scan over bands (the padded
+NPB-slot node layout makes every band's tree the same static shape), so
+the compiled body is band-count-independent — executable size matters on
+the tunneled device (oversized programs fall out of the program store and
+get re-uploaded per dispatch).
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from ..celt.modes import BITRES
 from ..celt.plan_pack import TIERS, combos_for_m
 from .band_exec_jax import _lcg_jump, cwrs_walk
 from .celt_lockstep import _tables
-from .celt_lockstep_walk import walk_layout
+from .celt_lockstep_walk import NPB, walk_layout
 
 _BIT_INTERLEAVE = np.array([0, 1, 1, 1, 2, 3, 3, 3, 2, 3, 3, 3, 2, 3, 3, 3],
                            np.int32)
@@ -39,9 +42,8 @@ SPREAD_AGGRESSIVE = 3
 
 @lru_cache(maxsize=8)
 def _tier_map(lm: int, C: int):
-    """Static mapping global slot -> (tier, tier_slot); returns per-tier
-    index arrays (into the (C*nslot,) global slot axis) plus static n/dst
-    per tier slot."""
+    """Static map of VALID node slots -> tiers; returns per-tier index
+    arrays (into the (C*nslot,) padded slot axis) + static n/dst."""
     lay = walk_layout(lm)
     tb = _tables(lm, C)
     M = 1 << lm
@@ -51,13 +53,18 @@ def _tier_map(lm: int, C: int):
     ns = [[], [], []]
     dst = [[], [], []]
     for ch in range(C):
-        for sl in range(lay.nslot):
-            n = int(lay.s_n[sl])
-            t = 0 if n <= TIERS[0][0] else (1 if n <= TIERS[1][0] else 2)
-            idxs[t].append(ch * lay.nslot + sl)
-            ns[t].append(n)
-            dst[t].append(ch * frame + M * int(eb[int(lay.s_band[sl])])
-                          + int(lay.s_off[sl]))
+        for band in range(21):
+            for nid in range(1, int(lay.nnodes[band]) + 1):
+                sl = band * NPB + nid - 1
+                n = int(lay.s_n[sl])
+                if n < 2:
+                    continue
+                t = 0 if n <= TIERS[0][0] else (1 if n <= TIERS[1][0]
+                                                else 2)
+                idxs[t].append(ch * lay.nslot + sl)
+                ns[t].append(n)
+                dst[t].append(ch * frame + M * int(eb[band])
+                              + int(lay.s_off[sl]))
     return ([np.asarray(a, np.int32) for a in idxs],
             [np.asarray(a, np.int32) for a in ns],
             [np.asarray(a, np.int32) for a in dst])
@@ -75,8 +82,8 @@ def _combo_lut(lm: int):
     return out
 
 
-def _scatter_nodes(emits, S, width, C_nslot):
-    """Scatter walk emission records into (S, C_nslot[+1]) node planes."""
+def _scatter_nodes(emits, S, C_nslot):
+    """Scatter walk emission records into (S, C_nslot) node planes."""
     T = emits.slot.shape[0]
     rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (T, S))
     sl = jnp.where(emits.slot >= 0, emits.slot, C_nslot)
@@ -132,32 +139,122 @@ def _collapse_from_iy(iy, n, b_leaf, nmax):
                      jnp.any(nz, axis=1).astype(jnp.int32))
 
 
+def _vec_bitexact_cos(x):
+    tmp = (4096 + x * x) >> 13
+    x2 = tmp
+    x2 = (32767 - x2) + ((16384 + x2 * (
+        -7651 + ((16384 + x2 * (8277 + ((16384 + (-626) * x2) >> 15)))
+                 >> 15))) >> 15)
+    return 1 + x2
+
+
+def _tree_resolve(spl, lef, it, kk, cmp_, tree_fill, has_lb, Bp_i, td_i,
+                  rc_i, transient, M):
+    """Resolve one band's tree for all lanes: fill words down, collapse
+    masks up (bands.rs quant_partition fill/cm flow).  All args (S, NPB)
+    or (S,); returns (band_cm, fill_nonzero (S,NPB), fill_fold)."""
+    S = tree_fill.shape[0]
+    inter = jnp.asarray(_BIT_INTERLEAVE)
+    deinter = jnp.asarray(_BIT_DEINTERLEAVE)
+    # pre-transforms of the fill word (quant_band entry)
+    f = tree_fill
+    Bw = jnp.where(transient, M, 1)
+    rcc = rc_i
+    for _ in range(3):
+        go = rcc > 0
+        f = jnp.where(go, inter[f & 0xF]
+                      | (inter[jnp.clip(f >> 4, 0, 15)] << 2), f)
+        rcc = rcc - 1
+        Bw = jnp.where(go, Bw >> 1, Bw)
+    tdc = td_i
+    for _ in range(3):
+        go = tdc > 0
+        f = jnp.where(go, f | (f << Bw.astype(jnp.uint32)), f)
+        Bw = jnp.where(go, Bw << 1, Bw)
+        tdc = tdc - 1
+    # descent (heap ids 1..31; depth static per id)
+    fills = [None] * 32
+    fills[1] = f
+    for nid in range(1, 16):
+        d = nid.bit_length() - 1
+        B_nd = (Bp_i + (1 << d) - 1) >> d
+        fv = fills[nid]
+        f1 = jnp.where(B_nd == 1, (fv & 1) | (fv << 1), fv)
+        Bc = (B_nd + 1) >> 1
+        msk = (1 << Bc) - 1
+        itn = it[:, nid - 1]
+        sm = spl[:, nid - 1]
+        f2 = jnp.where(sm & (itn == 0), f1 & msk, f1)
+        f2 = jnp.where(sm & (itn == 16384),
+                       f1 & (msk << Bc.astype(jnp.uint32)), f2)
+        fills[2 * nid] = f2
+        fills[2 * nid + 1] = f2 >> Bc.astype(jnp.uint32)
+    # leaves + ascent
+    cms = [None] * 32
+    fnz = jnp.zeros((S, NPB), bool)
+    ffo = jnp.zeros((S, NPB), bool)
+    for nid in range(31, 0, -1):
+        d = nid.bit_length() - 1
+        B_nd = (Bp_i + (1 << d) - 1) >> d
+        cm_mask = (1 << B_nd) - 1
+        lm_ = lef[:, nid - 1]
+        ff = fills[nid] & cm_mask
+        kq = kk[:, nid - 1]
+        pvq_m = lm_ & (kq > 0)
+        nz_m = lm_ & (kq == 0) & (ff != 0)
+        cm_leaf = jnp.where(pvq_m, cmp_[:, nid - 1],
+                            jnp.where(nz_m & has_lb, ff,
+                                      jnp.where(nz_m, cm_mask, 0)))
+        if 2 * nid + 1 <= 31:
+            child = cms[2 * nid] | (cms[2 * nid + 1]
+                                    << (B_nd >> 1).astype(jnp.uint32))
+        else:
+            child = jnp.zeros(S, jnp.int32)
+        cms[nid] = jnp.where(lm_, cm_leaf, child)
+        fnz = fnz.at[:, nid - 1].set(nz_m)
+        ffo = ffo.at[:, nid - 1].set(nz_m & has_lb)
+    # root post folds (quant_band resynth tail)
+    cm = cms[1]
+    Bv = Bp_i
+    tdc = td_i
+    for _ in range(3):
+        go = tdc > 0
+        Bv = jnp.where(go, Bv >> 1, Bv)
+        cm = jnp.where(go, cm | (cm >> Bv.astype(jnp.uint32)), cm)
+        tdc = tdc - 1
+    rcc = rc_i
+    for _ in range(3):
+        go = rcc > 0
+        cm = jnp.where(go, deinter[jnp.clip(cm, 0, 15)], cm)
+        rcc = rcc - 1
+    Bf = Bv << rc_i.astype(jnp.uint32)
+    cm = cm & ((1 << Bf.astype(jnp.uint32)) - 1)
+    return cm, fnz, ffo
+
+
 def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
               seed0, ac_on, final_energy, prev1, prev2,
               start: int = 0, end: int = 21):
     """Resolve plan planes from walk emissions.
 
-    Returns (p, seed_final, collapse_masks, fill_overflow):
-    p follows band_exec_jax.PLAN_KEYS (pvq_* lists are per-tier with the
-    static node-slot layout).  seed0: (S,) uint32 LCG seed entering the
-    frame (previous frame's EC range value).  final_energy: (S, C, 21)
-    post-finalise energies; prev1/prev2: (S, 2, 21) oldLogE/oldLogE2.
+    Returns (p, seed_final, collapse_masks, fill_overflow).  seed0: (S,)
+    uint32 LCG seed entering the frame (previous frame's EC range value).
+    final_energy: (S, C, 21) post-finalise energies; prev1/prev2:
+    (S, 2, 21) oldLogE/oldLogE2 (anti-collapse inputs).
     """
     lay = walk_layout(lm)
     tb = _tables(lm, C)
     S = emits.slot.shape[1]
     nsl = lay.nslot
     M = 1 << lm
-    frame = 120 << lm
     eb = tb.ebands
     nbv = jnp.asarray(tb.nbands)
     edges = jnp.asarray((M * eb).astype(np.int32))        # (22,)
-    nnodes = lay.nnodes
-    base = lay.base
     transient = hdr.transient
+    arj = jnp.arange(21, dtype=jnp.int32)
 
     (n_split, n_leaf, n_itheta, n_k, n_idx, n_gain, n_rank) = \
-        _scatter_nodes(emits, S, 0, C * nsl)
+        _scatter_nodes(emits, S, C * nsl)
     b_band, btheta, binv = _scatter_bands(emits, S)
 
     # ---- per-band B', recombine, time_divide --------------------------
@@ -200,11 +297,12 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
         act = jnp.take(n_leaf & (n_k > 0), jnp.asarray(idx), axis=1)
         k = jnp.take(n_k, jnp.asarray(idx), axis=1)
         ii = jnp.take(n_idx, jnp.asarray(idx), axis=1)
-        nn = jnp.asarray(tier_n[t])[None, :].repeat(S, 0)
+        nn = jnp.broadcast_to(jnp.asarray(tier_n[t])[None, :],
+                              (S, idx.size))
         dep = jnp.asarray(sdep_all[idx])[None, :]
-        bnd = jnp.asarray(sband_all[idx])[None, :]
-        bp = jnp.take_along_axis(band_bp, jnp.broadcast_to(
-            bnd, (S, idx.size)), axis=1)
+        bnd = jnp.broadcast_to(jnp.asarray(sband_all[idx])[None, :],
+                               (S, idx.size))
+        bp = jnp.take_along_axis(band_bp, bnd, axis=1)
         bl = (bp + (1 << dep) - 1) >> dep.astype(jnp.uint32)
         iy = cwrs_walk(act.reshape(-1), nn.reshape(-1), k.reshape(-1),
                        ii.reshape(-1), nmax)
@@ -213,182 +311,107 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
         cm_slot = cm_slot.at[:, jnp.asarray(idx)].set(
             jnp.where(act, cm, 0))
 
-    # ---- band-sequential fill/cm resolution ----------------------------
+    # ---- band scan: fill/cm resolution ----------------------------------
     dual_dec = alloc.dual_stereo
     intensity = alloc.intensity
-    masksC = jnp.zeros((S, 21, 2), jnp.int32)
-    fill_nonzero = jnp.zeros((S, C * nsl), bool)
-    fill_fold = jnp.zeros((S, C * nsl), bool)
-    arj = jnp.arange(21, dtype=jnp.int32)
 
-    def tree_resolve(i, ch, tree_fill, has_lb, Bp_i, td_i, rc_i):
-        """Returns (band_cm, fill_nonzero_slice, fill_fold_slice)."""
-        nn = int(nnodes[i])
-        b0 = int(base[i])
-        off = ch * nsl + b0
-        spl = lax.slice(n_split, (0, off), (S, off + nn))
-        lef = lax.slice(n_leaf, (0, off), (S, off + nn))
-        it = lax.slice(n_itheta, (0, off), (S, off + nn))
-        kk = lax.slice(n_k, (0, off), (S, off + nn))
-        cmp_ = lax.slice(cm_slot, (0, off), (S, off + nn))
-        # pre-transforms of the fill word (quant_band entry)
-        f = tree_fill
-        Bw = jnp.where(transient, M, 1)
-        rcc = rc_i
-        for _ in range(3):
-            go = rcc > 0
-            f = jnp.where(go, (jnp.asarray(_BIT_INTERLEAVE)[f & 0xF]
-                               | (jnp.asarray(_BIT_INTERLEAVE)[
-                                   jnp.clip(f >> 4, 0, 15)] << 2)), f)
-            rcc = rcc - 1
-            Bw = jnp.where(go, Bw >> 1, Bw)
-        tdc = td_i
-        for _ in range(3):
-            go = tdc > 0
-            f = jnp.where(go, f | (f << Bw.astype(jnp.uint32)), f)
-            Bw = jnp.where(go, Bw << 1, Bw)
-            tdc = tdc - 1
-        # descent
-        fills = [None] * (2 * nn + 2)
-        fills[1] = f
-        for nid in range(1, nn + 1):
-            if 2 * nid + 1 > nn:
-                continue
-            d = int(lay.s_depth[b0 + nid - 1])
-            B_nd = (Bp_i + (1 << d) - 1) >> d
-            fv = fills[nid]
-            f1 = jnp.where(B_nd == 1, (fv & 1) | (fv << 1), fv)
-            Bc = (B_nd + 1) >> 1
-            msk = (1 << Bc) - 1
-            itn = it[:, nid - 1]
-            sm = spl[:, nid - 1]
-            f2 = jnp.where(sm & (itn == 0), f1 & msk, f1)
-            f2 = jnp.where(sm & (itn == 16384), f1 & (msk << Bc
-                                                      .astype(jnp.uint32)),
-                           f2)
-            fills[2 * nid] = f2
-            fills[2 * nid + 1] = f2 >> Bc.astype(jnp.uint32)
-        # leaves + ascent
-        cms = [None] * (2 * nn + 2)
-        fnz = jnp.zeros((S, nn), bool)
-        ffo = jnp.zeros((S, nn), bool)
-        for nid in range(nn, 0, -1):
-            d = int(lay.s_depth[b0 + nid - 1])
-            B_nd = (Bp_i + (1 << d) - 1) >> d
-            cm_mask = (1 << B_nd) - 1
-            lm_ = lef[:, nid - 1]
-            ff = fills[nid] & cm_mask if fills[nid] is not None else \
-                jnp.zeros(S, jnp.int32)
-            kq = kk[:, nid - 1]
-            pvq_m = lm_ & (kq > 0)
-            z_m = lm_ & (kq == 0) & (ff == 0)
-            nz_m = lm_ & (kq == 0) & (ff != 0)
-            cm_leaf = jnp.where(pvq_m, cmp_[:, nid - 1],
-                                jnp.where(nz_m & has_lb, ff,
-                                          jnp.where(nz_m, cm_mask, 0)))
-            if 2 * nid + 1 <= nn:
-                child = cms[2 * nid] | (cms[2 * nid + 1]
-                                        << (B_nd >> 1).astype(jnp.uint32))
-            else:
-                child = jnp.zeros(S, jnp.int32)
-            cms[nid] = jnp.where(lm_, cm_leaf, child)
-            fnz = fnz.at[:, nid - 1].set(nz_m)
-            ffo = ffo.at[:, nid - 1].set(nz_m & has_lb)
-        # root post folds
-        cm = cms[1]
-        Bv = Bp_i
-        tdc = td_i
-        for _ in range(3):
-            go = tdc > 0
-            Bv = jnp.where(go, Bv >> 1, Bv)
-            cm = jnp.where(go, cm | (cm >> Bv.astype(jnp.uint32)), cm)
-            tdc = tdc - 1
-        rcc = rc_i
-        for _ in range(3):
-            go = rcc > 0
-            cm = jnp.where(go, jnp.asarray(_BIT_DEINTERLEAVE)[
-                jnp.clip(cm, 0, 15)], cm)
-            rcc = rcc - 1
-        Bf = Bv << rc_i.astype(jnp.uint32)
-        cm = cm & ((1 << Bf.astype(jnp.uint32)) - 1)
-        return cm, fnz, ffo
+    def bm(x):
+        """(S, C*nsl) plane -> band-major (21, S, C, NPB)."""
+        return jnp.moveaxis(
+            x.reshape(S, C, 21, NPB), 2, 0)
 
-    has_lb_x = jnp.zeros((S, 21), bool)
-    eff_lb = jnp.full((S, 21), -1, jnp.int32)
-    for i in range(start, end):
-        N_i = int(tb.nbands[i])
-        Bp_i = band_bp[:, i]
-        td_i = td[:, i]
-        rc_i = rc[:, i]
-        B_ent_i = jnp.where(transient, M, 1)
-        lo_i = lo_used[:, i]
+    xs = {
+        "i": arj,
+        "N_i": nbv,
+        "spl": bm(n_split), "lef": bm(n_leaf), "it": bm(n_itheta),
+        "kk": bm(n_k), "cmp": bm(cm_slot),
+        "Bp": jnp.moveaxis(band_bp, 1, 0), "td": jnp.moveaxis(td, 1, 0),
+        "rc": jnp.moveaxis(rc, 1, 0),
+        "tfv": jnp.moveaxis(tf_res, 1, 0),
+        "lo": jnp.moveaxis(lo_used, 1, 0),
+        "btheta": jnp.moveaxis(btheta, 1, 0),
+    }
+
+    B_ent_v = jnp.where(transient, M, 1)
+
+    def band_body(masksC, bz):
+        i = bz["i"]
+        N_i = bz["N_i"]
+        lo_i = bz["lo"]
+        Bp_i = bz["Bp"]
         can_fold = (lo_i != 0) & ((spread != SPREAD_AGGRESSIVE)
-                                  | (B_ent_i > 1) | (tf_res[:, i] < 0))
+                                  | (B_ent_v > 1) | (bz["tfv"] < 0))
         eff = jnp.maximum(0, edges[jnp.clip(lo_i, 0, 21)] - N_i)
         fold_start = jnp.sum((edges[None, :21] <= eff[:, None])
                              .astype(jnp.int32), axis=1) - 1
         cand = (arj[None, :] >= lo_i[:, None]) & \
-            ((arj[None, :] >= i) | (edges[None, :21] >= (eff + N_i)[:, None]))
+            ((arj[None, :] >= i) | (edges[None, :21]
+                                    >= (eff + N_i)[:, None]))
         fold_end = jnp.argmax(cand, axis=1)
         hi_m = jnp.maximum(fold_end, fold_start + 1)
         rng_m = (arj[None, :] >= fold_start[:, None]) & \
-            (arj[None, :] < hi_m[:, None])
-        x_or = jnp.zeros(S, jnp.int32)
-        y_or = jnp.zeros(S, jnp.int32)
-        for j in range(max(0, i - 0)):
-            if j >= 21:
-                break
-            x_or = x_or | jnp.where(rng_m[:, j], masksC[:, j, 0], 0)
-            y_or = y_or | jnp.where(rng_m[:, j], masksC[:, j, 1], 0)
-        full = (1 << B_ent_i) - 1
+            (arj[None, :] < hi_m[:, None]) & (arj[None, :] < i)
+        # OR of masks over the fold window: masks fit in 8 bits, so a
+        # masked max-of-sums... use a simple log-tree OR over 21 columns
+        xm = jnp.where(rng_m, masksC[:, :, 0], 0)
+        ym = jnp.where(rng_m, masksC[:, :, 1], 0)
+        pad = 32 - 21
+        xm = jnp.pad(xm, ((0, 0), (0, pad)))
+        ym = jnp.pad(ym, ((0, 0), (0, pad)))
+        for sh in (16, 8, 4, 2, 1):
+            xm = xm[:, :sh] | xm[:, sh:2 * sh]
+            ym = ym[:, :sh] | ym[:, sh:2 * sh]
+        x_or = xm[:, 0]
+        y_or = ym[:, 0]
+        full = (1 << B_ent_v) - 1
         x_cm = jnp.where(can_fold, x_or, full)
         y_cm = jnp.where(can_fold, y_or, full)
-        has_lb = can_fold | (lo_i != 0)
-        # effective lowband exists iff can_fold (else lowband is None)
         has_lb = can_fold
-        has_lb_x = has_lb_x.at[:, i].set(has_lb)
-        eff_lb = eff_lb.at[:, i].set(jnp.where(has_lb, eff, -1))
 
         if C == 1:
-            tree_fill = x_cm | y_cm
-            cm1, fnz, ffo = tree_resolve(i, 0, tree_fill, has_lb, Bp_i,
-                                         td_i, rc_i)
-            masksC = masksC.at[:, i, 0].set(cm1)
-            masksC = masksC.at[:, i, 1].set(cm1)
-            sl0 = int(base[i])
-            nn = int(nnodes[i])
-            fill_nonzero = lax.dynamic_update_slice(
-                fill_nonzero, fnz, (0, sl0))
-            fill_fold = lax.dynamic_update_slice(fill_fold, ffo, (0, sl0))
+            cm1, fnz, ffo = _tree_resolve(
+                bz["spl"][:, 0], bz["lef"][:, 0], bz["it"][:, 0],
+                bz["kk"][:, 0], bz["cmp"][:, 0], x_cm | y_cm, has_lb,
+                Bp_i, bz["td"], bz["rc"], transient, M)
+            bandx = bandy = cm1
+            fnz_o = fnz[:, None, :]
+            ffo_o = ffo[:, None, :]
         else:
             joint = ~((dual_dec == 1) & (i < intensity))
-            itb = btheta[:, i]
+            itb = bz["btheta"]
             fj = x_cm | y_cm
-            mskb = (1 << B_ent_i) - 1
+            mskb = (1 << B_ent_v) - 1
             fj = jnp.where(joint & (itb == 0), fj & mskb, fj)
             fj = jnp.where(joint & (itb == 16384),
-                           fj & (mskb << B_ent_i.astype(jnp.uint32)), fj)
+                           fj & (mskb << B_ent_v.astype(jnp.uint32)), fj)
             fx = jnp.where(joint, fj, x_cm)
-            fy = jnp.where(joint, fj >> B_ent_i.astype(jnp.uint32), y_cm)
-            lb_x = has_lb
+            fy = jnp.where(joint, fj >> B_ent_v.astype(jnp.uint32), y_cm)
             lb_y = jnp.where(joint, False, has_lb)
-            cmx, fnzx, ffox = tree_resolve(i, 0, fx, lb_x, Bp_i, td_i,
-                                           rc_i)
-            cmy, fnzy, ffoy = tree_resolve(i, 1, fy, lb_y, Bp_i, td_i,
-                                           rc_i)
+            cmx, fnzx, ffox = _tree_resolve(
+                bz["spl"][:, 0], bz["lef"][:, 0], bz["it"][:, 0],
+                bz["kk"][:, 0], bz["cmp"][:, 0], fx, has_lb, Bp_i,
+                bz["td"], bz["rc"], transient, M)
+            cmy, fnzy, ffoy = _tree_resolve(
+                bz["spl"][:, 1], bz["lef"][:, 1], bz["it"][:, 1],
+                bz["kk"][:, 1], bz["cmp"][:, 1], fy, lb_y, Bp_i,
+                bz["td"], bz["rc"], transient, M)
             bandx = jnp.where(joint, cmx | cmy, cmx)
             bandy = jnp.where(joint, cmx | cmy, cmy)
-            masksC = masksC.at[:, i, 0].set(bandx)
-            masksC = masksC.at[:, i, 1].set(bandy)
-            sl0 = int(base[i])
-            nn = int(nnodes[i])
-            fill_nonzero = lax.dynamic_update_slice(fill_nonzero, fnzx,
-                                                    (0, sl0))
-            fill_fold = lax.dynamic_update_slice(fill_fold, ffox, (0, sl0))
-            fill_nonzero = lax.dynamic_update_slice(
-                fill_nonzero, fnzy, (0, nsl + sl0))
-            fill_fold = lax.dynamic_update_slice(fill_fold, ffoy,
-                                                 (0, nsl + sl0))
+            fnz_o = jnp.stack([fnzx, fnzy], axis=1)
+            ffo_o = jnp.stack([ffox, ffoy], axis=1)
+
+        row = jnp.stack([bandx, bandy], axis=1)            # (S, 2)
+        onei = (arj[None, :] == i)[:, :, None]
+        masksC = jnp.where(onei, row[:, None, :], masksC)
+        return masksC, {"fnz": fnz_o, "ffo": ffo_o, "has_lb": has_lb,
+                        "eff": jnp.where(has_lb, eff, -1)}
+
+    masksC0 = jnp.zeros((S, 21, 2), jnp.int32)
+    masksC, ys = lax.scan(band_body, masksC0, xs)
+    fill_nonzero = jnp.moveaxis(ys["fnz"], 0, 2).reshape(S, C * nsl)
+    fill_fold = jnp.moveaxis(ys["ffo"], 0, 2).reshape(S, C * nsl)
+    has_lb_x = jnp.moveaxis(ys["has_lb"], 0, 1)            # (S, 21)
+    eff_lb = jnp.moveaxis(ys["eff"], 0, 1)
 
     # ---- seed chain -----------------------------------------------------
     A_J, C_J = _lcg_jump()
@@ -416,7 +439,6 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
     # ---- assemble plan planes ------------------------------------------
     p = {}
     p["direct"] = jnp.zeros(S, bool)
-    spread_b = jnp.broadcast_to(spread[:, None], (S, 1))
     pvq_act, pvq_n, pvq_k, pvq_b, pvq_sp, pvq_g, pvq_i, pvq_d = \
         [], [], [], [], [], [], [], []
     for t in range(3):
@@ -448,53 +470,41 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
     p["pvq_idx"] = pvq_i
     p["pvq_dst"] = pvq_d
 
-    # fills: compact each (band, tree) node list into FILL_SLOTS_LS slots
+    # fills: compact each (band, tree) padded node row into FILL_SLOTS_LS
     F = FILL_SLOTS_LS
-    fill_active = jnp.zeros((S, 21, 2, F), bool)
-    fill_fold_p = jnp.zeros((S, 21, 2, F), bool)
-    fill_off = jnp.zeros((S, 21, 2, F), jnp.int32)
-    fill_n = jnp.zeros((S, 21, 2, F), jnp.int32)
-    fill_gain = jnp.ones((S, 21, 2, F), jnp.float32)
-    fill_seed = jnp.zeros((S, 21, 2, F), jnp.uint32)
-    overflow = jnp.zeros(S, bool)
-    for i in range(start, end):
-        nn = int(nnodes[i])
-        b0 = int(base[i])
-        offs_np = lay.s_off[b0:b0 + nn].astype(np.int32)
-        ns_np = lay.s_n[b0:b0 + nn].astype(np.int32)
-        for ch in range(C):
-            sl0 = ch * nsl + b0
-            act = lax.slice(n_leaf, (0, sl0), (S, sl0 + nn)) \
-                & (lax.slice(n_k, (0, sl0), (S, sl0 + nn)) == 0) \
-                & lax.slice(fill_nonzero, (0, sl0), (S, sl0 + nn))
-            foldv = lax.slice(fill_fold, (0, sl0), (S, sl0 + nn))
-            gv = lax.slice(n_gain, (0, sl0), (S, sl0 + nn))
-            sv = lax.slice(seed_slot, (0, sl0), (S, sl0 + nn))
-            ordpos = jnp.cumsum(act.astype(jnp.int32), axis=1) - 1
-            overflow = overflow | jnp.any(act & (ordpos >= F), axis=1)
-            onehot = (ordpos[:, :, None]
-                      == jnp.arange(F, dtype=jnp.int32)[None, None, :]) \
-                & act[:, :, None]
-            oh_i = onehot.astype(jnp.int32)
-            fill_active = fill_active.at[:, i, ch, :].set(
-                jnp.any(onehot, axis=1))
-            fill_fold_p = fill_fold_p.at[:, i, ch, :].set(
-                jnp.any(onehot & foldv[:, :, None], axis=1))
-            fill_off = fill_off.at[:, i, ch, :].set(
-                jnp.sum(oh_i * jnp.asarray(offs_np)[None, :, None], axis=1))
-            fill_n = fill_n.at[:, i, ch, :].set(
-                jnp.sum(oh_i * jnp.asarray(ns_np)[None, :, None], axis=1))
-            fill_gain = fill_gain.at[:, i, ch, :].set(
-                jnp.sum(jnp.where(onehot, gv[:, :, None], 0.0), axis=1))
-            fill_seed = fill_seed.at[:, i, ch, :].set(
-                jnp.sum(jnp.where(onehot, sv[:, :, None],
-                                  jnp.uint32(0)), axis=1))
-    p["fill_active"] = fill_active
-    p["fill_fold"] = fill_fold_p
-    p["fill_off"] = fill_off
-    p["fill_n"] = fill_n
-    p["fill_gain"] = fill_gain
-    p["fill_seed"] = fill_seed
+    act4 = (n_leaf & (n_k == 0) & fill_nonzero).reshape(S, C, 21, NPB)
+    fold4 = fill_fold.reshape(S, C, 21, NPB)
+    gain4 = n_gain.reshape(S, C, 21, NPB)
+    seed4 = seed_slot.reshape(S, C, 21, NPB)
+    offs4 = jnp.asarray(lay.s_off.reshape(21, NPB))
+    ns4 = jnp.asarray(lay.s_n.reshape(21, NPB))
+    ordpos = jnp.cumsum(act4.astype(jnp.int32), axis=3) - 1
+    overflow = jnp.any(act4 & (ordpos >= F), axis=(1, 2, 3))
+    onehot = (ordpos[..., None] == jnp.arange(F, dtype=jnp.int32)) \
+        & act4[..., None]                                  # (S,C,21,NPB,F)
+    oh_i = onehot.astype(jnp.int32)
+    fill_active = jnp.any(onehot, axis=3)                  # (S, C, 21, F)
+    fill_fold_p = jnp.any(onehot & fold4[..., None], axis=3)
+    fill_off = jnp.sum(oh_i * offs4[None, None, :, :, None], axis=3)
+    fill_n = jnp.sum(oh_i * ns4[None, None, :, :, None], axis=3)
+    fill_gain = jnp.sum(jnp.where(onehot, gain4[..., None], 0.0), axis=3)
+    fill_seed = jnp.sum(jnp.where(onehot, seed4[..., None],
+                                  jnp.uint32(0)), axis=3)
+
+    def to_plane(x, fillval=0):
+        """(S, C, 21, F) -> (S, 21, 2, F) with slot axis padded to 2."""
+        x = jnp.moveaxis(x, 1, 2)                          # (S, 21, C, F)
+        if C == 1:
+            pad = jnp.full((S, 21, 1, F), fillval, x.dtype)
+            x = jnp.concatenate([x, pad], axis=2)
+        return x
+
+    p["fill_active"] = to_plane(fill_active, False)
+    p["fill_fold"] = to_plane(fill_fold_p, False)
+    p["fill_off"] = to_plane(fill_off)
+    p["fill_n"] = to_plane(fill_n)
+    p["fill_gain"] = to_plane(fill_gain, 1)
+    p["fill_seed"] = to_plane(fill_seed)
 
     # calls
     clut = jnp.asarray(_combo_lut(lm))
@@ -531,7 +541,7 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
         call_lb_buf = call_lb_buf.at[:, :, 1].set(
             jnp.where(dual_b, 1, 0))
         # blend: after the dual->joint transition the norm buffer below
-        # M*eb[intensity] is the 0.5*(norm+norm2) average
+        # M*eb[intensity] holds the 0.5*(norm+norm2) average
         avg_m = (dual_dec == 1)[:, None] & (arj[None, :]
                                             >= intensity[:, None])
         upto = edges[jnp.clip(intensity, 0, 21)]
@@ -607,12 +617,3 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
                                     * sqrt_1[None, :])
     p["ac_r"] = ac_r
     return p, seed_final, masksC, overflow
-
-
-def _vec_bitexact_cos(x):
-    tmp = (4096 + x * x) >> 13
-    x2 = tmp
-    x2 = (32767 - x2) + ((16384 + x2 * (
-        -7651 + ((16384 + x2 * (8277 + ((16384 + (-626) * x2) >> 15)))
-                 >> 15))) >> 15)
-    return 1 + x2

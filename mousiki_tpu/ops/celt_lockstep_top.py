@@ -93,8 +93,7 @@ def decode_frames(buf, storage, state: LockstepState, *, C: int,
     new_state = LockstepState(
         rng=st.rng, old_ebands=old2, old_log_e=new_ole,
         old_log_e2=new_ole2)
-    err = st.error | (ec.ec_tell(st) > st.storage * 8) | ~jnp.all(
-        jnp.stack([all_done]))
+    err = st.error | (ec.ec_tell(st) > st.storage * 8) | ~carry.done
     return p, energy, hdr, new_state, ~overflow & ~err
 
 

@@ -67,8 +67,13 @@ class WalkLayout(NamedTuple):
     s_off_c: np.ndarray         # child theta offset
 
 
+NPB = 32  # padded slots per band: heap ids 1..31 at slot band*32 + nid-1
+
+
 @lru_cache(maxsize=4)
 def walk_layout(lm: int) -> WalkLayout:
+    """Padded layout: every band gets NPB node slots (index = nid-1), so
+    the plan-emission pass can scan over bands with ONE compiled body."""
     tb = _tables(lm, 1)
     nb = 21
     N = tb.nbands
@@ -80,21 +85,20 @@ def walk_layout(lm: int) -> WalkLayout:
             d += 1
         dmax[i] = d
     nnodes = (1 << (dmax + 1)) - 1
-    base = np.concatenate([[0], np.cumsum(nnodes)[:-1]]).astype(np.int32)
-    nslot = int(np.sum(nnodes))
-    s_band = np.zeros(nslot, np.int32)
+    base = (NPB * np.arange(nb)).astype(np.int32)
+    nslot = NPB * nb
+    s_band = np.repeat(np.arange(nb, dtype=np.int32), NPB)
     s_depth = np.zeros(nslot, np.int32)
     s_n = np.zeros(nslot, np.int32)
     s_off = np.zeros(nslot, np.int32)
     for i in range(nb):
-        for nid in range(1, int(nnodes[i]) + 1):
-            sl = int(base[i]) + nid - 1
+        for nid in range(1, NPB):
+            sl = NPB * i + nid - 1
             d = nid.bit_length() - 1
             pos = nid - (1 << d)
-            s_band[sl] = i
             s_depth[sl] = d
-            s_n[sl] = int(N[i]) >> d
-            s_off[sl] = pos * (int(N[i]) >> d)
+            s_n[sl] = max(int(N[i]) >> d, 0) if d <= 4 else 0
+            s_off[sl] = pos * max(int(N[i]) >> d, 0)
     s_lm = (lm - s_depth).astype(np.int32)
     rows = np.clip(s_lm + 1, 0, 4)
     s_ck = tb.cache_k[rows, s_band]

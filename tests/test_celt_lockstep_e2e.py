@@ -38,15 +38,17 @@ def collect(channels, bitrate, n_frames=16, kind="mix", seed=3,
         sig = oracle.make_test_signal(FRAME * (n_frames + 1), channels,
                                       kind=kind, seed=seed)
     pcm16 = oracle.float_to_i16(sig)
-    pkts, plans, pcms = [], [], []
+    pkts, plans, states = [], [], []
     for f in range(n_frames):
         pkt = enc.encode(pcm16[f * FRAME:(f + 1) * FRAME].reshape(-1))
         p = parse_packet(pkt)
+        states.append((dec.rng, dec.old_ebands.copy(),
+                       dec.old_log_e.copy(), dec.old_log_e2.copy()))
         desc = dec.decode_with_ec(p.frames[0], FRAME, record_plan=True,
                                   return_desc=True)
         pkts.append(p.frames[0])
         plans.append(desc["plan"])
-    return pkts, plans
+    return pkts, plans, states
 
 
 def pack(pkts):
@@ -69,46 +71,47 @@ def pack(pkts):
     (2, 320000, False),
 ])
 def test_xplane_parity(channels, bitrate, transient):
-    """Each lane = one frame of a stream; compare executor X planes."""
-    pkts, plans = collect(channels, bitrate, transient=transient)
-    # rebuild the device-side energy/seed state per frame from the plans'
-    # own sequential decode: run decode_frames frame by frame
+    """Each lane = one frame of a stream (with its captured pre-frame
+    decoder state), decoded as ONE batch; compare executor X planes."""
+    pkts, plans, states = collect(channels, bitrate, transient=transient)
     buf, storage = pack(pkts)
     S = len(pkts)
-    state = top.init_state(S)
-    # sequential: lane s consumes its own packet but needs lane s's state
-    # = after frames 0..s-1.  Decode frame-by-frame on a batch of 1?
-    # Cheaper: decode the whole batch repeatedly, feeding each lane the
-    # state produced by the previous lane's frame.  Simplest exact method:
-    # loop frames, batch size 1.
+    state = top.LockstepState(
+        rng=jnp.asarray(np.array([s[0] for s in states], np.uint32)),
+        old_ebands=jnp.asarray(np.stack([s[1] for s in states]),
+                               jnp.float32),
+        old_log_e=jnp.asarray(np.stack([s[2] for s in states]),
+                              jnp.float32),
+        old_log_e2=jnp.asarray(np.stack([s[3] for s in states]),
+                               jnp.float32))
     mats = plan_combo_mats(channels, FRAME)
-    st1 = top.init_state(1)
+    p, ble, hdr, _st, ok = top.decode_frames(buf, storage, state,
+                                             C=channels)
+    assert bool(np.asarray(ok).all())
+    X = execute_packed(p, jnp.zeros((S, channels, FRAME), jnp.float32),
+                       channels=channels, frame=FRAME, lm=3,
+                       start=0, end=21, mats=mats)
+    Xv = np.asarray(X)
     worst = 0.0
     for f in range(S):
-        p, ble, hdr, st1, ok = top.decode_frames(
-            buf[f:f + 1], storage[f:f + 1], st1, C=channels)
-        assert bool(np.asarray(ok)[0]), f"frame {f} not ok"
-        X = execute_packed(p, jnp.zeros((1, channels, FRAME), jnp.float32),
-                           channels=channels, frame=FRAME, lm=3,
-                           start=0, end=21, mats=mats)
         x_truth = execute_plan(plans[f])
-        err = float(np.abs(np.asarray(X)[0] - x_truth).max())
+        err = float(np.abs(Xv[f] - x_truth).max())
         worst = max(worst, err)
         assert err < 2e-4, f"frame {f}: X err {err}"
     print("worst X err:", worst)
 
 
 @pytest.mark.parametrize("channels,bitrate,transient", [
-    (2, 96000, False),
     (2, 96000, True),
     (1, 64000, False),
 ])
 def test_pcm_parity(channels, bitrate, transient):
-    """Full device decode PCM vs the Python decoder across a stream."""
+    """Full device decode PCM vs the Python decoder across a stream
+    (state carried on device across frames)."""
     from mousiki_tpu.ops.synthesis_jax import init_state as synth_init
     from mousiki_tpu.ops.synthesis_jax import make_consts
-    pkts, plans = collect(channels, bitrate, transient=transient,
-                          n_frames=12)
+    pkts, plans, _states = collect(channels, bitrate, transient=transient,
+                                   n_frames=8)
     dec = CeltDecoder(channels=channels, stream_channels=channels, end=21,
                       disable_inv=channels == 1)
     consts = make_consts(n=FRAME)
