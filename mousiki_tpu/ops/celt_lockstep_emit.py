@@ -232,15 +232,21 @@ def _tree_resolve(spl, lef, it, kk, cmp_, tree_fill, has_lb, Bp_i, td_i,
     return cm, fnz, ffo
 
 
+DEFAULT_CAPS = (160, 48, 12)   # per-tier active-leaf slots (<=256 kbps)
+
+
 def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
               seed0, ac_on, final_energy, prev1, prev2,
-              start: int = 0, end: int = 21):
+              start: int = 0, end: int = 21, caps=DEFAULT_CAPS):
     """Resolve plan planes from walk emissions.
 
     Returns (p, seed_final, collapse_masks, fill_overflow).  seed0: (S,)
     uint32 LCG seed entering the frame (previous frame's EC range value).
     final_energy: (S, C, 21) post-finalise energies; prev1/prev2:
-    (S, 2, 21) oldLogE/oldLogE2 (anti-collapse inputs).
+    (S, 2, 21) oldLogE/oldLogE2 (anti-collapse inputs).  caps: per-tier
+    compact slot capacities — lanes with more active leaves in a tier
+    overflow (ok=False, caller falls back); the default covers <=256 kbps
+    with margin, pass a wider profile for higher rates.
     """
     lay = walk_layout(lm)
     tb = _tables(lm, C)
@@ -284,32 +290,63 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
         lo_used = lo_used.at[:, i].set(lo)
         upd = b_band[:, i] > (nbv[i] << BITRES)
 
-    # ---- PVQ collapse masks per slot (from the pulse vectors) ----------
+    # ---- compact PVQ leaves into serving-profile tier slots -------------
+    # The padded node layout has ~700 tier-0 slot candidates; both the
+    # CWRS walk here (collapse masks) and execute_packed generate code
+    # that scales with tier width, so active leaves are compacted on
+    # device into the same small tier shapes the native serving profile
+    # uses.  Overflowing lanes get ok=False (caller falls back).
     tier_idx, tier_n, tier_dst = _tier_map(lm, C)
     sdep_all = np.concatenate([lay.s_depth] * C)
     sband_all = np.concatenate([lay.s_band] * C)
     cm_slot = jnp.zeros((S, C * nsl), jnp.int32)
+    overflow_t = jnp.zeros(S, bool)
+    rowsS = jnp.arange(S, dtype=jnp.int32)[:, None]
+    comp = []   # per tier: dict of compact planes
     for t in range(3):
         idx = tier_idx[t]
-        if idx.size == 0:
-            continue
+        CAP = caps[t]
         nmax = TIERS[t][0]
+        W = idx.size
         act = jnp.take(n_leaf & (n_k > 0), jnp.asarray(idx), axis=1)
         k = jnp.take(n_k, jnp.asarray(idx), axis=1)
         ii = jnp.take(n_idx, jnp.asarray(idx), axis=1)
-        nn = jnp.broadcast_to(jnp.asarray(tier_n[t])[None, :],
-                              (S, idx.size))
+        gg = jnp.take(n_gain, jnp.asarray(idx), axis=1)
+        nn = jnp.broadcast_to(jnp.asarray(tier_n[t])[None, :], (S, W))
+        dd = jnp.broadcast_to(jnp.asarray(tier_dst[t])[None, :], (S, W))
         dep = jnp.asarray(sdep_all[idx])[None, :]
         bnd = jnp.broadcast_to(jnp.asarray(sband_all[idx])[None, :],
-                               (S, idx.size))
+                               (S, W))
         bp = jnp.take_along_axis(band_bp, bnd, axis=1)
-        bl = (bp + (1 << dep) - 1) >> dep.astype(jnp.uint32)
-        iy = cwrs_walk(act.reshape(-1), nn.reshape(-1), k.reshape(-1),
-                       ii.reshape(-1), nmax)
-        cm = _collapse_from_iy(iy, nn.reshape(-1), bl.reshape(-1), nmax)
-        cm = cm.reshape(S, idx.size)
+        bl = ((bp + (1 << dep) - 1) >> dep.astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        rank = jnp.cumsum(act.astype(jnp.int32), axis=1) - 1
+        overflow_t = overflow_t | jnp.any(act & (rank >= CAP), axis=1)
+        tgt = jnp.where(act & (rank < CAP), rank, CAP)
+        rr = jnp.broadcast_to(rowsS, (S, W)).reshape(-1)
+        cc = tgt.reshape(-1)
+
+        def compact(val, dtype):
+            buf = jnp.zeros((S, CAP + 1), dtype)
+            return buf.at[rr, cc].set(val.reshape(-1))[:, :CAP]
+
+        c_act = compact(act, jnp.bool_)
+        c_n = compact(nn, jnp.int32)
+        c_k = compact(k, jnp.int32)
+        c_idx = compact(ii, jnp.uint32)
+        c_gain = compact(gg, jnp.float32)
+        c_dst = compact(dd, jnp.int32)
+        c_bl = compact(bl, jnp.int32)
+        iy = cwrs_walk(c_act.reshape(-1), c_n.reshape(-1),
+                       c_k.reshape(-1), c_idx.reshape(-1), nmax)
+        cm_c = _collapse_from_iy(iy, c_n.reshape(-1), c_bl.reshape(-1),
+                                 nmax).reshape(S, CAP)
+        cm_back = jnp.take_along_axis(cm_c, jnp.clip(rank, 0, CAP - 1),
+                                      axis=1)
         cm_slot = cm_slot.at[:, jnp.asarray(idx)].set(
-            jnp.where(act, cm, 0))
+            jnp.where(act & (rank < CAP), cm_back, 0))
+        comp.append({"active": c_act, "n": c_n, "k": c_k, "idx": c_idx,
+                     "gain": c_gain, "dst": c_dst, "b": c_bl})
 
     # ---- band scan: fill/cm resolution ----------------------------------
     dual_dec = alloc.dual_stereo
@@ -436,39 +473,19 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
     seed_final = A_J[jnp.clip(total_draws, 0, A_J.shape[0] - 1)] * seed0 \
         + C_J[jnp.clip(total_draws, 0, A_J.shape[0] - 1)]
 
-    # ---- assemble plan planes ------------------------------------------
+    # ---- assemble plan planes (compact tier slots) ----------------------
     p = {}
     p["direct"] = jnp.zeros(S, bool)
-    pvq_act, pvq_n, pvq_k, pvq_b, pvq_sp, pvq_g, pvq_i, pvq_d = \
-        [], [], [], [], [], [], [], []
-    for t in range(3):
-        idx = jnp.asarray(tier_idx[t])
-        nslots = int(tier_idx[t].size)
-        act = jnp.take(n_leaf & (n_k > 0), idx, axis=1)
-        dep = jnp.asarray(sdep_all[tier_idx[t]])[None, :]
-        bnd = jnp.broadcast_to(
-            jnp.asarray(sband_all[tier_idx[t]])[None, :], (S, nslots))
-        bp = jnp.take_along_axis(band_bp, bnd, axis=1)
-        bl = (bp + (1 << dep) - 1) >> dep.astype(jnp.uint32)
-        pvq_act.append(act)
-        pvq_n.append(jnp.broadcast_to(jnp.asarray(tier_n[t])[None, :],
-                                      (S, nslots)).astype(jnp.int32))
-        pvq_k.append(jnp.take(n_k, idx, axis=1))
-        pvq_b.append(bl.astype(jnp.int32))
-        pvq_sp.append(jnp.broadcast_to(spread[:, None],
-                                       (S, nslots)).astype(jnp.int32))
-        pvq_g.append(jnp.take(n_gain, idx, axis=1))
-        pvq_i.append(jnp.take(n_idx, idx, axis=1))
-        pvq_d.append(jnp.broadcast_to(jnp.asarray(tier_dst[t])[None, :],
-                                      (S, nslots)).astype(jnp.int32))
-    p["pvq_active"] = pvq_act
-    p["pvq_n"] = pvq_n
-    p["pvq_k"] = pvq_k
-    p["pvq_b"] = pvq_b
-    p["pvq_spread"] = pvq_sp
-    p["pvq_gain"] = pvq_g
-    p["pvq_idx"] = pvq_i
-    p["pvq_dst"] = pvq_d
+    p["pvq_active"] = [comp[t]["active"] for t in range(3)]
+    p["pvq_n"] = [comp[t]["n"] for t in range(3)]
+    p["pvq_k"] = [comp[t]["k"] for t in range(3)]
+    p["pvq_b"] = [comp[t]["b"] for t in range(3)]
+    p["pvq_spread"] = [
+        jnp.broadcast_to(spread[:, None], (S, caps[t])).astype(jnp.int32)
+        for t in range(3)]
+    p["pvq_gain"] = [comp[t]["gain"] for t in range(3)]
+    p["pvq_idx"] = [comp[t]["idx"] for t in range(3)]
+    p["pvq_dst"] = [comp[t]["dst"] for t in range(3)]
 
     # fills: compact each (band, tree) padded node row into FILL_SLOTS_LS
     F = FILL_SLOTS_LS
@@ -479,7 +496,7 @@ def emit_plan(emits, *, C: int, lm: int, hdr, tf_res, spread, alloc,
     offs4 = jnp.asarray(lay.s_off.reshape(21, NPB))
     ns4 = jnp.asarray(lay.s_n.reshape(21, NPB))
     ordpos = jnp.cumsum(act4.astype(jnp.int32), axis=3) - 1
-    overflow = jnp.any(act4 & (ordpos >= F), axis=(1, 2, 3))
+    overflow = overflow_t | jnp.any(act4 & (ordpos >= F), axis=(1, 2, 3))
     onehot = (ordpos[..., None] == jnp.arange(F, dtype=jnp.int32)) \
         & act4[..., None]                                  # (S,C,21,NPB,F)
     oh_i = onehot.astype(jnp.int32)

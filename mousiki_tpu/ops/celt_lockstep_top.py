@@ -47,7 +47,7 @@ def init_state(S: int) -> LockstepState:
 
 
 def decode_frames(buf, storage, state: LockstepState, *, C: int,
-                  lm: int = 3, n_iter: int | None = None):
+                  lm: int = 3, n_iter: int | None = None, caps=None):
     """Symbol-decode S packed CELT frames fully on device.
 
     Returns (p, ble, hdr, new_state, ok): p = plan planes for
@@ -55,8 +55,11 @@ def decode_frames(buf, storage, state: LockstepState, *, C: int,
     flags (incl. postfilter params), new_state, ok = all lanes completed
     their walk within the iteration budget.
     """
+    from .celt_lockstep_emit import DEFAULT_CAPS
     if n_iter is None:
         n_iter = N_ITER_LM3[C]
+    if caps is None:
+        caps = DEFAULT_CAPS
     S = buf.shape[0]
     active = jnp.ones(S, bool)
     hdr, energy, tf_res, spread, offsets, trim, alloc, st = decode_symbols(
@@ -76,7 +79,7 @@ def decode_frames(buf, storage, state: LockstepState, *, C: int,
     p, seed_final, masks, overflow = emit_plan(
         emits, C=C, lm=lm, hdr=hdr, tf_res=tf_res, spread=spread,
         alloc=alloc, seed0=state.rng, ac_on=ac_on, final_energy=energy,
-        prev1=state.old_log_e, prev2=state.old_log_e2)
+        prev1=state.old_log_e, prev2=state.old_log_e2, caps=tuple(caps))
 
     sil = hdr.silence
     energy = jnp.where(sil[:, None, None], -28.0, energy)
@@ -97,10 +100,10 @@ def decode_frames(buf, storage, state: LockstepState, *, C: int,
     return p, energy, hdr, new_state, ~overflow & ~err
 
 
-@partial(jax.jit, static_argnames=("C", "frame", "n_iter"))
+@partial(jax.jit, static_argnames=("C", "frame", "n_iter", "caps"))
 def lockstep_synthesis_step(consts, sstate, lstate, buf, storage,
                             mats=None, C: int = 2, frame: int = 960,
-                            n_iter: int = None):
+                            n_iter: int = None, caps=None):
     """One fused device step: S packets -> (S, frame/..., C) PCM.
 
     consts/sstate: synthesis_jax make_consts / StreamState; lstate:
@@ -111,7 +114,7 @@ def lockstep_synthesis_step(consts, sstate, lstate, buf, storage,
     lm = {120: 0, 240: 1, 480: 2, 960: 3}[frame]
     S = buf.shape[0]
     p, ble, hdr, new_lstate, ok = decode_frames(
-        buf, storage, lstate, C=C, lm=lm, n_iter=n_iter)
+        buf, storage, lstate, C=C, lm=lm, n_iter=n_iter, caps=caps)
     x_direct = jnp.zeros((S, C, frame), jnp.float32)
     X = execute_packed(p, x_direct, channels=C, frame=frame, lm=lm,
                        start=0, end=21, mats=mats)

@@ -61,16 +61,19 @@ def pack(pkts):
     return jnp.asarray(buf), jnp.asarray(storage)
 
 
-@pytest.mark.parametrize("channels,bitrate,transient", [
-    (1, 64000, False),
-    (1, 96000, True),
-    (2, 96000, False),
-    (2, 96000, True),
-    (2, 64000, False),
-    (1, 16000, False),
-    (2, 320000, False),
+@pytest.mark.parametrize("channels,bitrate,transient,caps", [
+    (1, 64000, False, None),
+    (1, 96000, True, None),
+    (2, 96000, False, None),
+    (2, 96000, True, None),
+    (2, 64000, False, None),
+    (1, 16000, False, None),
+    # 320 kbps overflows the default serving caps; a wider static
+    # profile covers it (production would route such streams to a
+    # second program or the host fallback)
+    (2, 320000, False, (384, 112, 24)),
 ])
-def test_xplane_parity(channels, bitrate, transient):
+def test_xplane_parity(channels, bitrate, transient, caps):
     """Each lane = one frame of a stream (with its captured pre-frame
     decoder state), decoded as ONE batch; compare executor X planes."""
     pkts, plans, states = collect(channels, bitrate, transient=transient)
@@ -86,7 +89,7 @@ def test_xplane_parity(channels, bitrate, transient):
                                jnp.float32))
     mats = plan_combo_mats(channels, FRAME)
     p, ble, hdr, _st, ok = top.decode_frames(buf, storage, state,
-                                             C=channels)
+                                             C=channels, caps=caps)
     assert bool(np.asarray(ok).all())
     X = execute_packed(p, jnp.zeros((S, channels, FRAME), jnp.float32),
                        channels=channels, frame=FRAME, lm=3,
