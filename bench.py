@@ -356,6 +356,12 @@ def main():
         # the axon tunnel, not of TPU serving: r2's "mixed collapse"
         # (5.8x) was exactly this — the gate ran before bench_mixed.
         e2e_x, host_us, host_core_us, device_x = bench_e2e(payloads, S)
+        # VERDICT r2 item 1 reporting: e2e at S=1024 as well, so the
+        # batch-size scaling of the host/transfer split is on record
+        try:
+            e2e_1k, _, _, _ = bench_e2e(payloads, 1024, n_steps=32)
+        except Exception:
+            e2e_1k = None
         mixed_x = bench_mixed(S)
         try:
             encode_x = bench_encode()
@@ -371,6 +377,7 @@ def main():
             "vs_baseline": round(e2e_x / NORTH_STAR, 4),
             "host_us_per_frame": round(host_us, 1),
             "host_core_us_per_frame": round(host_core_us, 1),
+            "value_s1024": round(e2e_1k, 1) if e2e_1k else None,
             "device_only_x": round(device_x, 1),
             "mixed_silk_celt_hybrid_e2e_x": (round(mixed_x, 1)
                                              if mixed_x else None),

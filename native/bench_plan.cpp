@@ -19,6 +19,7 @@
 extern "C" {
 #ifdef PLAN_PROF
 void celt_host_prof_report();
+void celt_host_ec_counts(uint64_t* out6);
 #endif
 void* celt_host_create();
 void celt_host_destroy(void*);
@@ -132,6 +133,16 @@ int main(int argc, char** argv) {
          1e6 / us * 0.02);
 #ifdef PLAN_PROF
   celt_host_prof_report();
+  {
+    uint64_t c[6];
+    celt_host_ec_counts(c);
+    const char* nm[6] = {"decode", "decode_bin", "bit_logp", "icdf",
+                         "bits", "uint"};
+    printf("EC ops/frame:");
+    for (int i = 0; i < 6; i++)
+      printf("  %s %.1f", nm[i], (double)c[i] / n_iter);
+    printf("\n");
+  }
 #endif
   celt_host_destroy(st);
   return 0;

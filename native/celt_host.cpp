@@ -139,13 +139,32 @@ int ec_tell_frac(const EcDec* d) {
   return (int)(nbits - l);
 }
 
+#ifdef PLAN_PROF
+namespace ecprof {
+static uint64_t n_decode, n_decode_bin, n_bit_logp, n_icdf, n_bits, n_uint;
+}
+#define EC_COUNT(x) ecprof::x++
+extern "C" void celt_host_ec_counts(uint64_t* out6) {
+  out6[0] = ecprof::n_decode;
+  out6[1] = ecprof::n_decode_bin;
+  out6[2] = ecprof::n_bit_logp;
+  out6[3] = ecprof::n_icdf;
+  out6[4] = ecprof::n_bits;
+  out6[5] = ecprof::n_uint;
+}
+#else
+#define EC_COUNT(x) ((void)0)
+#endif
+
 uint32_t ec_decode(EcDec* d, uint32_t ft) {
+  EC_COUNT(n_decode);
   d->ext = d->rng / ft;
   uint32_t s = d->val / d->ext;
   return ft - std::min(s + 1, ft);
 }
 
 uint32_t ec_decode_bin(EcDec* d, int bits) {
+  EC_COUNT(n_decode_bin);
   d->ext = d->rng >> bits;
   uint32_t s = d->val / d->ext;
   return (1u << bits) - std::min(s + 1, (uint32_t)1u << bits);
@@ -159,6 +178,7 @@ void ec_dec_update(EcDec* d, uint32_t fl, uint32_t fh, uint32_t ft) {
 }
 
 int ec_dec_bit_logp(EcDec* d, int logp) {
+  EC_COUNT(n_bit_logp);
   uint32_t r = d->rng, dv = d->val, s = r >> logp;
   int ret = dv < s;
   if (!ret) d->val = dv - s;
@@ -168,6 +188,7 @@ int ec_dec_bit_logp(EcDec* d, int logp) {
 }
 
 int ec_dec_icdf(EcDec* d, const uint8_t* icdf, int ftb) {
+  EC_COUNT(n_icdf);
   uint32_t s = d->rng, dv = d->val, r = s >> ftb, t;
   int ret = -1;
   do {
@@ -181,6 +202,7 @@ int ec_dec_icdf(EcDec* d, const uint8_t* icdf, int ftb) {
 }
 
 uint32_t ec_dec_bits(EcDec* d, int bits) {
+  EC_COUNT(n_bits);
   uint32_t window = d->end_window;
   int avail = d->nend_bits;
   if (avail < bits) {
@@ -199,6 +221,7 @@ uint32_t ec_dec_bits(EcDec* d, int bits) {
 }
 
 uint32_t ec_dec_uint(EcDec* d, uint32_t ft) {
+  EC_COUNT(n_uint);
   ft--;
   int ftb = ec_ilog(ft);
   if (ftb > 8) {
@@ -852,6 +875,20 @@ uint32_t alg_unquant(float* X, int N, int K, int spread, int B, EcDec* dec,
 }
 
 // ------------------------------------------------------------------ bands
+// Exact reciprocal division for the small divisors on the theta hot path
+// (qn <= 512, n2 = 2N-1 <= 351): q = n * ceil(2^33/d) >> 33 is exact for
+// n*d < 2^33 (here n <= 16384*512, d <= 512 -> n*d < 2^33 holds for every
+// call site), turning 3 idivs/split into multiplies.
+constexpr int kRecipMax = 512;
+static uint64_t g_recip33[kRecipMax + 1];
+void build_recip_table() {
+  for (int d = 1; d <= kRecipMax; d++)
+    g_recip33[d] = ((1ULL << 33) + d - 1) / d;
+}
+inline uint32_t fast_udiv(uint32_t n, int d) {
+  return (uint32_t)(((uint64_t)n * g_recip33[d]) >> 33);
+}
+
 const int kExp2Table8[8] = {16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048};
 const int kBitInterleave[16] = {0, 1, 1, 1, 2, 3, 3, 3, 2, 3, 3, 3, 2, 3, 3, 3};
 const int kBitDeinterleave[16] = {0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x3C, 0x3F,
@@ -905,7 +942,8 @@ int compute_qn(int N, int b, int offset, int pulse_cap, bool stereo) {
   int n2 = 2 * N - 1;
   if (stereo && N == 2) n2--;
   int num = b + n2 * offset;
-  int qb = num >= 0 ? num / n2 : -((-num) / n2);
+  int qb = num >= 0 ? (int)fast_udiv((uint32_t)num, n2)
+                    : -(int)fast_udiv((uint32_t)(-num), n2);
   qb = std::min(b - pulse_cap - (4 << BITRES), qb);
   qb = std::min(8 << BITRES, qb);
   if (qb < (1 << BITRES >> 1)) return 1;
@@ -1043,7 +1081,7 @@ void compute_theta_impl(EcDec* ec, int i, int intensity, int remaining_bits,
       }
       ec_dec_update(ec, fl, fl + fs, ft);
     }
-    itheta = (itheta * 16384) / qn;
+    itheta = (int)fast_udiv((uint32_t)(itheta * 16384), qn);
   } else if (stereo) {
     if (b[0] > 2 << BITRES && remaining_bits > 2 << BITRES)
       inv = ec_dec_bit_logp(ec, 2);
@@ -2263,6 +2301,7 @@ void* celt_host_create() {
   build_u_table();
   build_lcg_jump();
   build_b2p_table();
+  build_recip_table();
   CeltHost* st = new CeltHost();
   celt_host_reset_impl(st);
   return st;
@@ -3532,7 +3571,7 @@ void enc_compute_theta(EncBandCtx* ctx, SplitCtx* sctx, double* X, double* Y,
       }
       ec_encode(ec, fl, fl + fs, ft);
     }
-    itheta = (itheta * 16384) / qn;
+    itheta = (int)fast_udiv((uint32_t)(itheta * 16384), qn);
     if (stereo) {
       if (itheta == 0)
         intensity_stereo_d(X, Y, ctx->band_e, i, N);
@@ -4898,6 +4937,7 @@ void* celt_enc_host_create(int channels, int complexity, int disable_inv) {
   if (channels < 1 || channels > 2) return nullptr;
   build_u_table();
   build_b2p_table();
+  build_recip_table();
   CeltEncHost* st = new CeltEncHost();
   st->channels = channels;
   st->complexity = complexity;
