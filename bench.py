@@ -132,7 +132,10 @@ def bench_e2e(payloads, S, n_steps=128):
 
     Streams are heterogeneous: stream s decodes frame (i + s) % nf at
     step i, so the device sees uncorrelated per-stream plans/gathers
-    (VERDICT r2 weak 1). Reported rate is the MEDIAN of 4 windows.
+    (VERDICT r2 weak 1). Reported rate is the MEDIAN of 8 windows —
+    this shared-vCPU class of host shows +/-50% scheduling noise on
+    single windows, so the window count (not the window length) is what
+    buys a stable number.
     """
     import statistics
 
@@ -145,25 +148,29 @@ def bench_e2e(payloads, S, n_steps=128):
         for i in range(n):
             yield [payloads[(off + i + s) % nf] for s in range(S)]
 
-    for pcm in pipe.decode_stream(frames(3), 960):   # compile + warm
+    for pcm in pipe.decode_stream(frames(8), 960):   # compile + warm
         pcm.block_until_ready()
 
     rates = []
-    for w in range(4):
+    n_win = 8
+    for w in range(n_win):
         t0 = time.perf_counter()
-        n = n_steps // 4
+        n = max(4, n_steps // n_win)
         for pcm in pipe.decode_stream(frames(n, off=w * n), 960):
             pass
         dt = time.perf_counter() - t0
         rates.append(S * n * 0.02 / dt)
     med = statistics.median(rates)
 
-    # stage breakdown (same pipeline objects)
-    t0 = time.perf_counter()
-    for i in range(10):
-        pipe._native.decode_plan_arenas(
-            [payloads[(i + s) % nf] for s in range(S)], 960)
-    host_us = (time.perf_counter() - t0) / 10 / S * 1e6
+    # stage breakdown (same pipeline objects); min-of-3 batches: a
+    # CPU-bound microbench's best batch is its steal-free cost
+    host_us = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(10):
+            pipe._native.decode_plan_arenas(
+                [payloads[(i + s) % nf] for s in range(S)], 960)
+        host_us = min(host_us, (time.perf_counter() - t0) / 10 / S * 1e6)
 
     # pure native per-core cost (no Python glue): the multi-core scaling
     # story is host_core_us / n_cores — the batch API is one worker per
@@ -181,12 +188,15 @@ def bench_e2e(payloads, S, n_steps=128):
         lens[i] = len(p)
         pos += len(p)
     ip = Ct.POINTER(Ct.c_int32)
-    t0 = time.perf_counter()
-    for _ in range(8):
-        h._lib.celt_host_decode_plan_batch(
-            h._states, blob, offs.ctypes.data_as(ip),
-            lens.ctypes.data_as(ip), S, 960, 2, 0, 21, 0, ptrs, 1)
-    host_core_us = (time.perf_counter() - t0) / (8 * S) * 1e6
+    host_core_us = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            h._lib.celt_host_decode_plan_batch(
+                h._states, blob, offs.ctypes.data_as(ip),
+                lens.ctypes.data_as(ip), S, 960, 2, 0, 21, 0, ptrs, 1)
+        host_core_us = min(host_core_us,
+                           (time.perf_counter() - t0) / (8 * S) * 1e6)
 
     args = pipe._host_decode_plan([payloads[s % nf] for s in range(S)], 960)
     t0 = time.perf_counter()
@@ -222,10 +232,10 @@ def build_mixed_packets(n_frames=24):
         return None
 
 
-def bench_mixed(S, n_steps=60):
+def bench_mixed(S, n_steps=96):
     """Mixed SILK/CELT/hybrid e2e rate through OpusStreamPipeline.
 
-    Median of 2 windows; per-stream frame offsets decorrelate payloads.
+    Median of 4 windows; per-stream frame offsets decorrelate payloads.
     """
     import statistics
 
@@ -243,12 +253,13 @@ def bench_mixed(S, n_steps=60):
         for i in range(n):
             yield [streams[s % 3][(off + i + s) % nf] for s in range(S)]
 
-    for pcm in pipe.decode_stream(frames(2), 960):
+    for pcm in pipe.decode_stream(frames(4), 960):
         pass
     rates = []
-    for w in range(2):
+    n_win = 4
+    for w in range(n_win):
         t0 = time.perf_counter()
-        n = n_steps // 2
+        n = n_steps // n_win
         for pcm in pipe.decode_stream(frames(n, off=w), 960):
             pass
         rates.append(S * n * 0.02 / (time.perf_counter() - t0))
