@@ -369,12 +369,23 @@ class CeltStreamPipeline:
 
 
 class SilkStreamPipeline:
-    """Decode S parallel mono SILK streams: native host symbol+synthesis
-    stage (int16-exact, ~20 us/frame/core) feeding the batched device
-    16 kHz -> 48 kHz up-resampler. The speech-side counterpart of
-    CeltStreamPipeline (SURVEY.md §7 step 4)."""
+    """Decode S parallel mono SILK streams with the batched device
+    16 kHz -> 48 kHz up-resampler on the back. The speech-side counterpart
+    of CeltStreamPipeline (SURVEY.md §7 step 4). Two synthesis placements:
 
-    def __init__(self, n_streams: int, fs_khz: int = 16, frame_ms: int = 20):
+    * ``synthesis="host"`` — native host symbol+synthesis stage
+      (int16-exact, ~20 us/frame/core); only the resampler runs on device.
+    * ``synthesis="device"`` — the SILK plan split (SURVEY §2.9.5): the
+      native host decodes SYMBOLS only (side info + excitation build,
+      silk_host_decode_symbols) and the LTP/LPC core synthesis runs as the
+      batched device kernel ops/silk_synthesis_jax.py, fused with the
+      resampler in one jitted step; out_hist/lpc_hist live on device.
+      Float-level PCM (~1e-3 of full scale vs the bit-exact host).
+      Lossless 20 ms batches (host PLC needs synthesized PCM).
+    """
+
+    def __init__(self, n_streams: int, fs_khz: int = 16, frame_ms: int = 20,
+                 synthesis: str = "host"):
         from .ops.silk_resampler_jax import (init_up48_state, make_up48_plan,
                                              up48_step)
         from .silk import host_native as silk_native
@@ -383,11 +394,16 @@ class SilkStreamPipeline:
             raise RuntimeError("native silk host library unavailable")
         if fs_khz not in (8, 12, 16):
             raise ValueError("SILK internal rate must be 8/12/16 kHz")
+        if synthesis not in ("host", "device"):
+            raise ValueError("synthesis must be 'host' or 'device'")
+        if synthesis == "device" and frame_ms != 20:
+            raise ValueError("device synthesis: 20 ms frames (v1 scope)")
         import jax
 
         self.S = n_streams
         self.fs_khz = fs_khz
         self.frame_ms = frame_ms
+        self.synthesis = synthesis
         self.hosts = [silk_native.NativeSilkHost() for _ in range(n_streams)]
         plan = make_up48_plan(fs_khz * frame_ms, fs_khz)
         # operator as runtime arg, not closure constant (see
@@ -397,11 +413,60 @@ class SilkStreamPipeline:
         self._rs_state = init_up48_state(n_streams)
         self._up48_step = jax.jit(
             lambda x, st, w: up48_step(x, st, meta._replace(wmat=w)))
+        if synthesis == "device":
+            from .ops.silk_synthesis_jax import (SilkFrameParams,
+                                                 init_silk_state,
+                                                 silk_synthesis_step)
+            self._silk_state = init_silk_state(n_streams, fs_khz)
+            self._Params = SilkFrameParams
+            sub = fs_khz * frame_ms // 4
+
+            def fused(params, silk_st, rs_st, w):
+                xq, silk_st = silk_synthesis_step(params, silk_st,
+                                                  nb_subfr=4, subfr_len=sub)
+                out, rs_st = up48_step(xq, rs_st, meta._replace(wmat=w))
+                return out, silk_st, rs_st
+
+            self._fused_step = jax.jit(fused)
+
+    def _step_device(self, payloads: list):
+        import jax.numpy as jnp
+
+        L = self.fs_khz * self.frame_ms
+        S = self.S
+        exc = np.empty((S, L), np.float32)
+        a = np.empty((S, 2, 16), np.float32)
+        b = np.empty((S, 4, 5), np.float32)
+        pitch = np.empty((S, 4), np.int32)
+        gains = np.empty((S, 4), np.float32)
+        voiced = np.empty(S, bool)
+        interp = np.empty(S, bool)
+        ltp_scale = np.empty(S, np.float32)
+        for s, pl in enumerate(payloads):
+            d = self.hosts[s].decode_symbols(pl, self.fs_khz)
+            exc[s] = d["exc"]
+            a[s] = d["a"]
+            b[s] = d["b"]
+            pitch[s] = d["pitch_l"]
+            gains[s] = d["gains"]
+            voiced[s] = d["voiced"]
+            interp[s] = d["interp"]
+            ltp_scale[s] = d["ltp_scale"]
+        params = self._Params(
+            exc=jnp.asarray(exc), a=jnp.asarray(a), b=jnp.asarray(b),
+            pitch_l=jnp.asarray(pitch), gains=jnp.asarray(gains),
+            voiced=jnp.asarray(voiced), ltp_scale=jnp.asarray(ltp_scale),
+            interp=jnp.asarray(interp))
+        out, self._silk_state, self._rs_state = self._fused_step(
+            params, self._silk_state, self._rs_state, self._up_w)
+        return out / 32768.0
 
     def step(self, payloads: list):
         """payloads: S SILK payload byte strings -> (S, 48*frame_ms) f32."""
         import jax.numpy as jnp
 
+        if self.synthesis == "device":
+            return self._step_device(payloads)
         L = self.fs_khz * self.frame_ms
         x = np.empty((self.S, L), np.float32)
         for s, pl in enumerate(payloads):

@@ -51,6 +51,12 @@ def _load():
     lib.silk_host_rng.argtypes = [C.c_void_p]
     lib.silk_host_plc.restype = C.c_int
     lib.silk_host_plc.argtypes = [C.c_void_p, C.POINTER(C.c_int16)]
+    fp = C.POINTER(C.c_float)
+    ip = C.POINTER(C.c_int32)
+    lib.silk_host_decode_symbols.restype = C.c_int
+    lib.silk_host_decode_symbols.argtypes = [
+        C.c_void_p, C.c_char_p, C.c_int, C.c_int,
+        fp, fp, fp, ip, fp, ip, fp]
     _lib = lib
     return lib
 
@@ -98,3 +104,30 @@ class NativeSilkHost:
         rc = self._lib.silk_host_plc(
             self._st, out.ctypes.data_as(C.POINTER(C.c_int16)))
         return out[:rc]
+
+    def decode_symbols(self, payload: bytes, fs_khz: int) -> dict:
+        """Symbol-only decode of one 20 ms mono frame (SILK plan split):
+        the synthesis stays on the device (ops/silk_synthesis_jax.py).
+        Returns the dense SilkFrameParams fields as numpy arrays."""
+        fp = C.POINTER(C.c_float)
+        ip = C.POINTER(C.c_int32)
+        L = fs_khz * 20
+        exc = np.zeros(L, np.float32)
+        a = np.zeros((2, 16), np.float32)
+        b = np.zeros((4, 5), np.float32)
+        pitch = np.zeros(4, np.int32)
+        gains = np.zeros(4, np.float32)
+        iflags = np.zeros(3, np.int32)
+        ltp_scale = np.zeros(1, np.float32)
+        rc = self._lib.silk_host_decode_symbols(
+            self._st, payload, len(payload), fs_khz,
+            exc.ctypes.data_as(fp), a.ctypes.data_as(fp),
+            b.ctypes.data_as(fp), pitch.ctypes.data_as(ip),
+            gains.ctypes.data_as(fp), iflags.ctypes.data_as(ip),
+            ltp_scale.ctypes.data_as(fp))
+        if rc < 0:
+            raise ValueError(f"native silk symbol decode failed (rc={rc})")
+        return {"exc": exc, "a": a, "b": b, "pitch_l": pitch,
+                "gains": gains, "voiced": bool(iflags[0]),
+                "interp": bool(iflags[1]), "vad": bool(iflags[2]),
+                "ltp_scale": float(ltp_scale[0])}

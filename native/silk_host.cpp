@@ -1358,9 +1358,6 @@ void silk_host_reset(void* p) {
 
 // Decode a mono SILK payload (frame_ms in {10,20,40,60}) at the internal
 // rate fs_khz in {8,12,16}. xq_out must hold fs_khz*frame_ms samples.
-// Optional exports for the device synthesis kernel (pass NULL to skip):
-//   params layout per frame: exc[L] f32, a[2*16] f32, b[nb*5] f32,
-//   pitch[nb] i32, gains[nb] f32, voiced i32, ltp_scale f32
 // Returns number of samples, or < 0 on error.
 // As silk_host_decode, but optionally exports the final range-decoder
 // state (ec_out[10] = {offs, rng, val, nbits_total, end_offs, end_window,
@@ -1449,6 +1446,108 @@ int silk_host_decode(void* p, const uint8_t* data, int len, int fs_khz,
                      int frame_ms, int16_t* xq_out) {
   return silk_host_decode_ec(p, data, len, fs_khz, frame_ms, xq_out,
                              nullptr);
+}
+
+// Symbol-only decode for the SILK plan split (SURVEY.md §2.9.5): range
+// decode + side info + excitation build on the host, exporting the dense
+// per-frame parameters the batched device synthesis kernel
+// (mousiki_tpu/ops/silk_synthesis_jax.py SilkFrameParams) consumes; the
+// LTP/LPC synthesis itself is SKIPPED here — the device carries the
+// out_hist/lpc_hist state. Single 20 ms mono frames (nb_subfr = 4), any
+// internal rate. The host keeps every piece of state the NEXT symbol
+// decode needs (gain index, NLSF history, lag_prev, signal type); its
+// out_buf is NOT updated, so host-side PLC/CNG (which extrapolate from
+// synthesized PCM) are unavailable in this mode — lossless-batch scope,
+// mirroring the plan-mode CELT pipeline's v1 scope.
+// Exports: exc_out[L] (exc_q14/2^14), a_out[2*16] (q12/2^12),
+// b_out[4*5] (q14/2^14), pitch_out[4], gains_out[4] (q16/2^16),
+// iflags[3] = {voiced, nlsf_interp, vad}, ltp_scale_out (q14/2^14).
+// Returns frame_length or < 0 on error.
+int silk_host_decode_symbols(void* p, const uint8_t* data, int len,
+                             int fs_khz, float* exc_out, float* a_out,
+                             float* b_out, int32_t* pitch_out,
+                             float* gains_out, int32_t* iflags,
+                             float* ltp_scale_out) {
+  SilkState* st = (SilkState*)p;
+  if (!data || len < 1) return -1;
+  state_set_fs(st, fs_khz, 4);
+  st->nframes_per_packet = 1;
+  st->nframes_decoded = 0;
+
+  const uint8_t* contour_icdf =
+      fs_khz == 8 ? kPITCH_CONTOUR_NB_ICDF : kPITCH_CONTOUR_ICDF;
+  const uint8_t* lag_low = fs_khz == 16 ? kSILK_UNIFORM8_ICDF
+                           : (fs_khz == 12 ? kSILK_UNIFORM6_ICDF
+                                           : kSILK_UNIFORM4_ICDF);
+  EcDec dec;
+  ec_dec_init(&dec, data, (uint32_t)len);
+  st->vad_flags[0] = ec_dec_bit_logp(&dec, 1);
+  st->lbrr_flag = ec_dec_bit_logp(&dec, 1);
+  st->lbrr_flags[0] = 0;
+  if (st->lbrr_flag) {
+    // skip-parse the LBRR frame so the stream position matches
+    st->lbrr_flags[0] = 1;
+    decode_indices(st, &dec, 0, 1, 0, contour_icdf, lag_low, fs_khz >> 1);
+    int pulses[MAX_FRAME + 16];
+    decode_pulses(&dec, st->ix.signal_type, st->ix.quant_offset_type,
+                  st->frame_length, pulses);
+  }
+
+  DecCtrl ctrl;
+  memset(&ctrl, 0, sizeof(ctrl));
+  decode_indices(st, &dec, 0, 0, 0, contour_icdf, lag_low, fs_khz >> 1);
+  int pulses[MAX_FRAME + 16];
+  decode_pulses(&dec, st->ix.signal_type, st->ix.quant_offset_type,
+                st->frame_length, pulses);
+  decode_parameters(st, &ctrl, 0);
+
+  // excitation build (decode_core's first loop: LCG sign dither + offsets)
+  SideInfo& ix = st->ix;
+  int offset_q10 = (int)kSILK_QUANTIZATION_OFFSETS_Q10
+      [ix.signal_type >> 1][ix.quant_offset_type];
+  int32_t rand_seed = ix.seed;
+  for (int i = 0; i < st->frame_length; i++) {
+    rand_seed = silk_rand(rand_seed);
+    int32_t v = I32((int64_t)pulses[i] << 14);
+    if (v > 0) v -= QUANT_LEVEL_ADJUST_Q10 << 4;
+    else if (v < 0) v += QUANT_LEVEL_ADJUST_Q10 << 4;
+    v = I32((int64_t)v + (offset_q10 << 4));
+    if (rand_seed < 0) v = -v;
+    exc_out[i] = (float)(v * (1.0 / 16384.0));
+    rand_seed = I32((int64_t)rand_seed + pulses[i]);
+  }
+  for (int h = 0; h < 2; h++)
+    for (int j = 0; j < MAX_D; j++)
+      a_out[h * MAX_D + j] =
+          (float)(ctrl.pred_coef_q12[h][j] * (1.0 / 4096.0));
+  for (int k = 0; k < 4; k++) {
+    for (int j = 0; j < LTP_ORDER; j++)
+      b_out[k * LTP_ORDER + j] =
+          (float)(ctrl.ltp_coef_q14[k * LTP_ORDER + j] * (1.0 / 16384.0));
+    pitch_out[k] = ctrl.pitch_l[k];
+    gains_out[k] = (float)(ctrl.gains_q16[k] * (1.0 / 65536.0));
+  }
+  iflags[0] = ix.signal_type == 2;
+  iflags[1] = ix.nlsf_interp_coef_q2 < 4;
+  iflags[2] = st->vad_flags[0];
+  // 0 means "not coded" (unvoiced / non-conditional frames): the device
+  // kernel multiplies the rewhitened history by ltp_scale unconditionally,
+  // so export the neutral 1.0 in that case (matches the device-kernel
+  // parity test's mapping of decode_core's k==0 inv_gain*ltp_scale).
+  *ltp_scale_out = ctrl.ltp_scale_q14
+                       ? (float)(ctrl.ltp_scale_q14 * (1.0 / 16384.0))
+                       : 1.0f;
+
+  // state the next symbol decode depends on (decode_one_frame postamble,
+  // minus everything that needs the synthesized PCM)
+  st->prev_signal_type = ix.signal_type;
+  st->loss_cnt = 0;
+  st->first_frame_after_reset = 0;
+  st->lag_prev = ctrl.pitch_l[st->nb_subfr - 1];
+  st->prev_gain_q16 = ctrl.gains_q16[st->nb_subfr - 1];
+  st->nframes_decoded = 1;
+  st->last_rng = dec.rng;
+  return dec.error ? -2 : st->frame_length;
 }
 
 // Decode the LBRR (in-band FEC) frame 0 of a 20 ms packet as the output

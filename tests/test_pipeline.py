@@ -146,6 +146,42 @@ def test_silk_pipeline():
 
 
 @needs_oracle
+def test_silk_pipeline_device_synthesis():
+    """SILK plan split (symbol-only native host + device LTP/LPC core
+    synthesis, ops/silk_synthesis_jax.py) vs the host-synthesis pipeline:
+    identical resampler path, so the comparison is sample-aligned and the
+    only delta is the float core synthesis (SURVEY.md §2.9.5 adoption)."""
+    from mousiki_tpu.bitstream.packet import Mode, parse_packet
+    from mousiki_tpu.opus_encoder import OpusEncoder, APP_VOIP
+    from mousiki_tpu.pipeline import SilkStreamPipeline
+    from mousiki_tpu.silk import host_native as silk_native
+    if not silk_native.available():
+        pytest.skip("native silk host unavailable")
+
+    t = np.arange(48000) / 48000.0
+    sig = np.clip(0.4 * np.sin(2 * np.pi * 150 * t)
+                  * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+                  + 0.05 * np.sin(2 * np.pi * 900 * t), -0.9, 0.9)[:, None]
+    enc = OpusEncoder(48000, 1, APP_VOIP)
+    enc.set_bitrate(24000)
+    enc.force_mode = Mode.SILK
+    pkts = [enc.encode(sig[f * 960:(f + 1) * 960], 960) for f in range(16)]
+    payloads = [parse_packet(p).frames[0] for p in pkts]
+
+    S = 2
+    ph = SilkStreamPipeline(S, synthesis="host")
+    pd = SilkStreamPipeline(S, synthesis="device")
+    got_h, got_d = [], []
+    for pl in payloads:
+        got_h.append(np.asarray(ph.step([pl] * S))[0])
+        got_d.append(np.asarray(pd.step([pl] * S))[0])
+    a = np.concatenate(got_h)
+    b = np.concatenate(got_d)
+    snr = 10 * np.log10((a ** 2).mean() / ((a - b) ** 2).mean() + 1e-12)
+    assert snr > 45.0, snr
+
+
+@needs_oracle
 def test_plan_pipeline_matches_reference():
     """Plan split (symbol-only host + device band reconstruction) must
     match per-stream reference decode, including transient traffic."""
