@@ -741,6 +741,47 @@ class OpusStreamPipeline:
             yield pcm
 
 
+class SilkEncodePipeline:
+    """Batched SILK encode with the device noise-shaping quantizer
+    (SURVEY.md §2.9.7): S per-stream encoders run the reference analysis
+    chain (burg LPC, 3-stage pitch, shaping analysis) on host threads,
+    and every quantizer round executes as ONE batched nsq_frame dispatch
+    on the TPU (ops/silk_nsq_jax.py via parallel/nsq_batch.py). Packets
+    are standard SILK mono Opus frames. The kernel's lanes are
+    independent, so a stream's packets don't depend on its batch — the
+    speech-side counterpart of CeltEncodePipeline.
+
+    Batching engages for WB (16 kHz internal) 20 ms frames — the kernel's
+    static shape; NB/MB analysis falls back to the host quantizer inline.
+    """
+
+    def __init__(self, n_streams: int, bitrate: int = 24000):
+        from .bitstream.packet import Mode
+        from .opus_encoder import APP_VOIP, OpusEncoder
+        from .parallel.nsq_batch import NsqBatchExecutor
+
+        self.S = n_streams
+        self._ex = NsqBatchExecutor(n_streams)
+        self.encs = []
+        for _ in range(n_streams):
+            e = OpusEncoder(48000, 1, APP_VOIP)
+            e.set_bitrate(bitrate)
+            e.force_mode = Mode.SILK
+            e.silk.nsq_fn = self._ex.hook
+            self.encs.append(e)
+
+    def step(self, pcm) -> list:
+        """pcm: (S, 960) or (S, 960, 1) float in [-1, 1] -> S packets."""
+        pcm = np.asarray(pcm, np.float64)
+        if pcm.ndim == 2:
+            pcm = pcm[:, :, None]
+        tasks = [
+            (lambda s=s: self.encs[s].encode(pcm[s], pcm.shape[1]))
+            for s in range(self.S)
+        ]
+        return self._ex.run(tasks)
+
+
 class CeltEncodePipeline:
     """Batched CELT encode: the device front half (preemphasis, tone
     detection, prefilter pitch search + application, transient analysis,

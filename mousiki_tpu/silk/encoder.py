@@ -967,7 +967,12 @@ class SilkEncoder:
             # pulses, decode_core advances the embedded decoder state with
             # the decoder's own arithmetic (zero drift by construction).
             from .noise_shape import nsq_shaped
-            pulses = nsq_shaped(
+            # injectable quantizer: parallel.nsq_batch routes this call to
+            # the batched device NSQ kernel (ops/silk_nsq_jax.py) when the
+            # encoder runs inside SilkEncodePipeline; same signature and
+            # NsqState writeback contract as nsq_shaped
+            nsq_fn = getattr(self, "nsq_fn", None) or nsq_shaped
+            pulses = nsq_fn(
                 x, self.nsq, shape_ctl, signal_type=ix.signal_type,
                 seed=ix.seed, nb_subfr=nb_subfr, frame_length=frame_length,
                 ltp_mem_length=st.ltp_mem_length, lpc_order=d,

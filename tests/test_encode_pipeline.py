@@ -123,3 +123,45 @@ def test_encode_pipeline_packets_decode_in_libopus(channels, bitrate):
         r = compare(32768.0 * ref.astype(np.float32),
                     32768.0 * got.astype(np.float32))
         assert r["err4"] < 0.5, (s, r)
+
+
+def test_silk_encode_pipeline_batched_nsq():
+    """SilkEncodePipeline: S encoder workers with the batched device NSQ
+    (parallel/nsq_batch.py). Packets must (a) be identical to a
+    single-stream pipeline's (kernel lanes are independent), and (b)
+    decode in libopus with sane quality."""
+    from mousiki_tpu.pipeline import SilkEncodePipeline
+
+    S, F = 3, 8
+    sigs = [oracle.make_test_signal(960 * (F + 1), 1, seed=10 + s)
+            for s in range(S)]
+
+    pipe = SilkEncodePipeline(S, bitrate=24000)
+    solo = SilkEncodePipeline(1, bitrate=24000)
+    pkts = [[] for _ in range(S)]
+    solo_pkts = []
+    for f in range(F):
+        pcm = np.stack([sigs[s][f * 960:(f + 1) * 960, 0] for s in range(S)])
+        out = pipe.step(pcm)
+        for s in range(S):
+            pkts[s].append(out[s])
+        solo_pkts.append(solo.step(pcm[:1])[0])
+
+    # lane independence: stream 0 batched == stream 0 alone
+    assert solo_pkts == pkts[0]
+
+    # decodability + quality vs the input in libopus itself
+    for s in range(S):
+        dec = oracle.RefDecoder(48000, 1)
+        got = np.concatenate([dec.decode_float(p, 960)[:, 0]
+                              for p in pkts[s]])
+        want = sigs[s][: len(got), 0]
+        # skip the encoder delay/warmup frame, compare band-limited content
+        a, b = want[960:], got[960:]
+        best = -1e9
+        for lag in range(0, 400):
+            bb = b[lag:][: len(a) - lag]
+            aa = a[: len(bb)]
+            best = max(best, 10 * np.log10(
+                (aa ** 2).mean() / ((aa - bb) ** 2).mean() + 1e-12))
+        assert best > 2.0, best   # WB-coded noise signal: loose sanity gate
