@@ -495,6 +495,11 @@ class SilkEncoder:
         # process_gains_flp / nsq.rs); see silk/noise_shape.py
         self.shape = ShapeState()
         self.nsq = NsqState(0)
+        # fixed-point noise-estimator VAD (reference vad.rs): continuous
+        # speech activity + input tilt + per-band quality driving the
+        # shaping lambda, pitch thresholds and quant-offset decision
+        from .vad import VadState
+        self.vad = VadState()
         # Reference analysis chain + noise-shaping NSQ (enc_analysis.py +
         # noise_shape.py): default ON -- beats libopus on the speech
         # corpus at every rate (QUALITY_SILK.md). SILK_NSQ_SHAPING=0
@@ -523,7 +528,7 @@ class SilkEncoder:
                 None if self.x_hist is None else self.x_hist.copy(),
                 copy.deepcopy(self.lbrr_store), copy.deepcopy(self.lp),
                 self.rate_mult, copy.deepcopy(self.shape),
-                copy.deepcopy(self.nsq),
+                (copy.deepcopy(self.nsq), copy.deepcopy(self.vad)),
                 (self.prev_lag, self.prev_ltp_corr,
                  None if self.prev_nlsf_q15 is None
                  else list(self.prev_nlsf_q15),
@@ -544,7 +549,9 @@ class SilkEncoder:
         self.lbrr_store = copy.deepcopy(lbrr)
         self.lp = copy.deepcopy(lp)
         self.shape = copy.deepcopy(shape)
-        self.nsq = copy.deepcopy(nsq)
+        nsq_state, vad_state = nsq
+        self.nsq = copy.deepcopy(nsq_state)
+        self.vad = copy.deepcopy(vad_state)
 
     def set_fs(self, fs_khz: int, api_fs_hz: int, nb_subfr: int = 4):
         from .resampler import resampler_init
@@ -568,6 +575,8 @@ class SilkEncoder:
             from .noise_shape import NsqState, ShapeState
             self.shape = ShapeState()
             self.nsq = NsqState(self.mirror.ltp_mem_length)
+            from .vad import VadState
+            self.vad = VadState()
             self.prev_lag = 0
             self.prev_ltp_corr = 0.0
             self.prev_nlsf_q15 = None
@@ -780,15 +789,24 @@ class SilkEncoder:
             from . import enc_analysis as EA
             from .noise_shape import (control_snr, noise_shape_analysis,
                                       process_gains)
-            activity = 1.0 if vad_active else 0.1
+            from .vad import compute_speech_activity
+            # fixed-point VAD (vad.rs): continuous activity + tilt +
+            # band quality; the caller's vad_active (DTX) only caps it
+            activity = compute_speech_activity(self.vad, x, self.fs_khz)
+            if not vad_active:
+                activity = min(activity, 0.1)
+            input_tilt = self.vad.input_tilt_q15 / 32768.0
+            input_quality = 0.5 * (
+                self.vad.input_quality_bands_q15[0]
+                + self.vad.input_quality_bands_q15[1]) / 32768.0
             (res_pitch, voiced, pitch_l, lag_ix, cont_ix, ltp_corr,
              pred_gain_pitch) = EA.find_pitch_lags(
                 xfull, frame_length, self.fs_khz, nb_subfr,
                 prev_lag=self.prev_lag,
                 prev_signal_type_voiced=self.prev_voiced,
                 ltp_corr_prev=self.prev_ltp_corr,
-                speech_activity=activity, active=vad_active,
-                first_frame=self.first)
+                speech_activity=activity, input_tilt=input_tilt,
+                active=vad_active, first_frame=self.first)
             signal_type = TYPE_VOICED if voiced else TYPE_UNVOICED
 
             snr_db = control_snr(self.fs_khz, nb_subfr, target_rate_bps)
@@ -797,7 +815,8 @@ class SilkEncoder:
                 voiced=voiced, ltp_corr=ltp_corr,
                 pred_gain=math.sqrt(max(1.0, pred_gain_pitch)),
                 pitch_l=pitch_l, pitch_res=res_pitch[H:],
-                speech_activity=activity, shape=self.shape)
+                speech_activity=activity, shape=self.shape,
+                input_quality=input_quality)
 
             inv_gains = 1.0 / np.maximum(shape_ctl.gains[:nb_subfr], 1e-9)
             if voiced:
@@ -842,7 +861,8 @@ class SilkEncoder:
                                          nb_subfr, d)
             process_gains(shape_ctl, nb_subfr, subfr_length, snr_db,
                           voiced=voiced, lt_pred_cod_gain=lt_gain_db,
-                          res_nrg=res_nrg, speech_activity=activity)
+                          res_nrg=res_nrg, speech_activity=activity,
+                          input_tilt=input_tilt)
 
             a_q12 = nlsf2a(coded_nlsf, d)
             res = self._whiten(xfull, a_q12)

@@ -150,7 +150,13 @@ def run(report_path=None):
                     "scale instead of exhausting the retry ladder into "
                     "a gains-scaled mute (which decoded as a loud "
                     "offset*gain noise burst). SILK_NSQ_SHAPING=0 "
-                    "selects the legacy open-loop quantizer.\n\n")
+                    "selects the legacy open-loop quantizer. The "
+                    "encoder's speech activity, input tilt and per-band "
+                    "input quality now come from the fixed-point "
+                    "noise-estimator VAD (silk/vad.py, reference "
+                    "vad.rs) instead of a binary heuristic; quality is "
+                    "unchanged at 12-32 kbps and the 8 kbps actual rate "
+                    "tracks the target more closely.\n\n")
             f.write("| rate | ours err4 | ours err16 | ours pitch | "
                     "actual kbps | libopus err4 | libopus err16 | "
                     "libopus pitch | actual kbps |\n|---|---|---|---|---|"
