@@ -77,16 +77,20 @@ def load_corpus():
 
 
 def _gate_one(S, payloads, full_pkts):
+    """Gate decode: the SAME production plan path (native host symbol
+    decode -> packed arena -> fused device step), scan-batched into one
+    device dispatch so the tunneled session's per-dispatch readback tax
+    is paid once, not len(payloads) times. S=8 keeps arena H2D small;
+    stream 0 carries the compared signal."""
     from mousiki_tpu.pipeline import CeltStreamPipeline
     from mousiki_tpu.testing import oracle
     from opus_compare import compare
 
-    pipe = CeltStreamPipeline(S, channels=2, use_plan=True)
-    ours = []
-    for p in payloads:
-        pcm = np.asarray(pipe.step([p] * S, 960))
-        ours.append(pcm[0])
-    ours = np.concatenate(ours, axis=0)
+    gs = 8
+    pipe = CeltStreamPipeline(gs, channels=2, use_plan=True)
+    pcm = np.asarray(pipe.decode_frames_scanned([[p] * gs for p in payloads],
+                                                960))
+    ours = pcm[:, 0].reshape(-1, 2)
 
     dec = oracle.RefDecoder(48000, 2)
     ref = np.concatenate([dec.decode_float(p, 960) for p in full_pkts],
@@ -99,8 +103,7 @@ def quality_gate(S, payloads, full_pkts):
     """Decode via the plan pipeline, compare vs libopus float decode —
     on the synthetic perf signal AND on the committed music corpus
     (testdata/corpus.wav: percussive transients, polyphony, stereo
-    noise beds). Uses the same S as the perf run so the jitted step is
-    already compiled (fresh pipeline = fresh stream state)."""
+    noise beds)."""
     from mousiki_tpu.bitstream.packet import parse_packet
     from mousiki_tpu.testing import oracle
     sys.path.insert(0, os.path.join(os.path.dirname(
@@ -326,6 +329,16 @@ def bench_device_only(S):
     return 30 * S * 0.02 / (time.perf_counter() - t0)
 
 
+def _mark(label, t0=[None]):
+    """Phase timing to stderr (the JSON line on stdout stays clean)."""
+    now = time.perf_counter()
+    if t0[0] is not None:
+        print(f"[bench] {_mark.prev}: {now - t0[0]:.1f}s", file=sys.stderr,
+              flush=True)
+    t0[0] = now
+    _mark.prev = label
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -366,23 +379,30 @@ def main():
         # quality gate, which must read PCM back. This is a property of
         # the axon tunnel, not of TPU serving: r2's "mixed collapse"
         # (5.8x) was exactly this — the gate ran before bench_mixed.
+        _mark("e2e_s256")
         e2e_x, host_us, host_core_us, device_x = bench_e2e(payloads, S)
         # VERDICT r2 item 1 reporting: e2e at S=1024 as well, so the
         # batch-size scaling of the host/transfer split is on record
+        _mark("e2e_s1024")
         try:
             e2e_1k, _, _, _ = bench_e2e(payloads, 1024, n_steps=32)
         except Exception:
             e2e_1k = None
+        _mark("mixed")
         mixed_x = bench_mixed(S)
+        _mark("encode")
         try:
             encode_x = bench_encode()
         except Exception:
             encode_x = None
+        _mark("dred")
         try:
             dred_x = bench_deep_recovery()
         except Exception:
             dred_x = None
+        _mark("quality_gate")
         gate = quality_gate(S, payloads, full_pkts)
+        _mark("done")
         result.update({
             "value": round(e2e_x, 1),
             "vs_baseline": round(e2e_x / NORTH_STAR, 4),

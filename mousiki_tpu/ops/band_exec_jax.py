@@ -880,3 +880,30 @@ def plan_synthesis_step_plc(consts, plc_consts, state, plc_state, backing,
     pcm, new_state = synthesis_step(consts, state, desc, channels=channels,
                                     n=frame, lost=lost, freq_plc=freq_plc)
     return pcm, new_state, new_plc
+
+
+@partial(jax.jit, static_argnames=("channels", "frame", "n_streams"))
+def plan_synthesis_scan(consts, plc_consts, state, plc_state, backings,
+                        x_directs, losts, mats=None, channels: int = 2,
+                        frame: int = 960, n_streams: int = None):
+    """lax.scan of plan_synthesis_step_plc over K stacked frames.
+
+    backings: (K, total_words) int32 — K packed plan arenas; x_directs:
+    (K, S, C, frame) direct-fallback spectra; losts: (K, S) bool.
+
+    One device dispatch decodes K frames per stream (state threads through
+    the scan), so offline/readback consumers — the bench quality gate,
+    file decode — pay the tunneled-session per-dispatch cost ONCE instead
+    of K times. Returns ((K, S, frame, channels) pcm, state, plc_state).
+    """
+    def body(carry, inp):
+        st, pst = carry
+        backing, xd, lost = inp
+        pcm, st, pst = plan_synthesis_step_plc(
+            consts, plc_consts, st, pst, backing, xd, lost, mats,
+            channels=channels, frame=frame, n_streams=n_streams)
+        return (st, pst), pcm
+
+    (state, plc_state), pcm = lax.scan(
+        body, (state, plc_state), (backings, x_directs, losts))
+    return pcm, state, plc_state

@@ -367,6 +367,53 @@ class CeltStreamPipeline:
         if pending is not None:
             yield pending
 
+    def decode_frames_scanned(self, frames: list, frame_size: int = 960):
+        """Decode a whole list of frames (each: S payloads) in ONE device
+        dispatch via lax.scan over stacked plan arenas.
+
+        For offline consumers that read the PCM back to the host (the
+        bench quality gate, file decode) this pays the tunneled-session
+        per-dispatch executable-reload cost once instead of len(frames)
+        times. Returns a (K, S, frame, channels) device array.
+        Plan mode, no mesh, 48k family only.
+        """
+        import jax.numpy as jnp
+
+        from .ops.band_exec_jax import plan_synthesis_scan
+
+        assert self.use_plan and self.mesh is None
+        backings, xds, losts, any_direct = [], [], [], False
+        for payloads in frames:
+            arenas, aux, adir, lost = self._host_decode_plan(
+                payloads, frame_size, to_device=False)
+            backings.append(arenas["backing"].copy())
+            xds.append(aux["x_direct"].astype(np.float32, copy=True)
+                       if adir else None)
+            any_direct |= adir
+            losts.append(lost)
+        K = len(backings)
+        if frame_size not in self._plan_consts:
+            from .ops.band_exec_jax import plan_combo_mats
+            self._plan_consts[frame_size] = make_consts(n=frame_size)
+            self._plan_mats[frame_size] = plan_combo_mats(self.channels,
+                                                          frame_size)
+        if frame_size not in self._plc_consts:
+            from .celt.modes import opus_custom_mode
+            from .ops.plc_jax import make_plc_consts
+            self._plc_consts[frame_size] = make_plc_consts(
+                frame_size, opus_custom_mode(48000, 960).window)
+        xd_shape = (self.S, self.channels, frame_size)
+        zeros = np.zeros(xd_shape, np.float32)
+        xds = [x if x is not None else zeros for x in xds]
+        pcm, self.state, self.plc_state = plan_synthesis_scan(
+            self._plan_consts[frame_size],
+            self._plc_consts[frame_size], self.state, self.plc_state,
+            jnp.asarray(np.stack(backings)), jnp.asarray(np.stack(xds)),
+            jnp.asarray(np.stack(losts)), self._plan_mats[frame_size],
+            channels=self.channels, frame=frame_size, n_streams=self.S)
+        assert pcm.shape[0] == K
+        return pcm
+
 
 class SilkStreamPipeline:
     """Decode S parallel mono SILK streams with the batched device

@@ -700,3 +700,24 @@ def test_opus_pipeline_stereo_silk_loss():
     outs = np.stack([np.asarray(pipe.step([p], 960))[0] for p in feed])
     d = float(np.abs(outs - ref).max())
     assert d < 2e-3, d
+
+
+@needs_oracle
+def test_plan_pipeline_scanned_matches_steps():
+    """decode_frames_scanned (one lax.scan dispatch over K stacked plan
+    arenas — the bench quality gate's decode path) must produce exactly
+    the per-step plan pipeline's PCM, including loss (PLC) frames."""
+    from mousiki_tpu.celt import host_native
+    if not host_native.available():
+        pytest.skip("native host lib unavailable")
+    S, F, channels = 4, 8, 2
+    streams = _make_streams(S, F, channels, [64000, 128000])
+    frames = [[streams[s][f] if not (f == 3 and s == 1) else None
+               for s in range(S)] for f in range(F)]
+
+    p1 = CeltStreamPipeline(S, channels=channels, use_plan=True)
+    ref = np.stack([np.asarray(p1.step(fr, 960)) for fr in frames])
+    p2 = CeltStreamPipeline(S, channels=channels, use_plan=True)
+    got = np.asarray(p2.decode_frames_scanned(frames, 960))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-6
