@@ -76,12 +76,13 @@ def load_corpus():
     return x.astype(np.float32) / 32768.0
 
 
-def _gate_one(S, payloads, full_pkts):
+def _gate_one(payloads, full_pkts):
     """Gate decode: the SAME production plan path (native host symbol
     decode -> packed arena -> fused device step), scan-batched into one
     device dispatch so the tunneled session's per-dispatch readback tax
-    is paid once, not len(payloads) times. S=8 keeps arena H2D small;
-    stream 0 carries the compared signal."""
+    is paid once, not len(payloads) times. The gate batch is fixed at
+    gs=8 streams (independent of the perf batch size) to keep the arena
+    H2D small; stream 0 carries the compared signal."""
     from mousiki_tpu.pipeline import CeltStreamPipeline
     from mousiki_tpu.testing import oracle
     from opus_compare import compare
@@ -99,7 +100,7 @@ def _gate_one(S, payloads, full_pkts):
     return r
 
 
-def quality_gate(S, payloads, full_pkts):
+def quality_gate(payloads, full_pkts):
     """Decode via the plan pipeline, compare vs libopus float decode —
     on the synthetic perf signal AND on the committed music corpus
     (testdata/corpus.wav: percussive transients, polyphony, stereo
@@ -109,7 +110,7 @@ def quality_gate(S, payloads, full_pkts):
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
 
-    r = _gate_one(S, payloads, full_pkts)
+    r = _gate_one(payloads, full_pkts)
     out = {"pass": bool(r["ok"]), "err4": round(float(r["err4"]), 4),
            "err16": round(float(r["err16"]), 4),
            "pitch": round(float(r["pitch"]), 4)}
@@ -123,7 +124,7 @@ def quality_gate(S, payloads, full_pkts):
         pkts = [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
                 for f in range(nf)]
         pays = [parse_packet(p).frames[0] for p in pkts]
-        rc = _gate_one(S, pays, pkts)
+        rc = _gate_one(pays, pkts)
         out["corpus_err4"] = round(float(rc["err4"]), 4)
         out["corpus_err16"] = round(float(rc["err16"]), 4)
         out["pass"] = out["pass"] and bool(rc["ok"])
@@ -182,7 +183,7 @@ def bench_e2e(payloads, S, n_steps=128):
     h = pipe._native
     key = ("plan", 960)
     offs, lens = h._bufs[key]
-    _, _, _, _, ptrs = h._plan_db[960]
+    ptrs = h._plan_db[960][1][0][4]
     pls = [payloads[s % nf] for s in range(S)]
     blob = b"".join(pls)
     pos = 0
@@ -401,7 +402,7 @@ def main():
         except Exception:
             dred_x = None
         _mark("quality_gate")
-        gate = quality_gate(S, payloads, full_pkts)
+        gate = quality_gate(payloads, full_pkts)
         _mark("done")
         result.update({
             "value": round(e2e_x, 1),

@@ -471,6 +471,21 @@ class NativeCeltHostBatch:
             self.n_threads)
         return x, ble, iflags, pf_gains, rcs
 
+    def set_plan_buffers(self, n: int) -> None:
+        """Size the plan arena ring (default 1 buffer, reused in place).
+
+        n=2 enables double buffering so a pipeline can overlap the native
+        symbol decode of frame k+1 (worker thread, GIL released inside
+        the C call) with the H2D transfer + device execution of frame k
+        — the two steps then write/read different arenas. Clears any
+        existing arenas (layouts may embed a stale plan profile)."""
+        if n < 1:
+            raise ValueError("need >= 1 plan buffer")
+        if getattr(self, "_plan_nbufs", 1) == n:
+            return
+        self._plan_nbufs = n
+        self._plan_db = {}
+
     def decode_plan_arenas(self, payloads: list, frame_size: int):
         """Symbol-only batch decode emitting packed band plans.
 
@@ -478,17 +493,16 @@ class NativeCeltHostBatch:
         plan_arena_layout) ready for single-shot H2D transfer, plus the
         separate native outputs {x_direct, band_log_e, pf_gain, rcs}.
 
-        The arena set is a SINGLE buffer REUSED across calls: the native
-        decoder re-memsets every flag plane and the device executor masks
-        all value planes by those flags, so stale values in inactive
-        slots are never read, and on the strictly-serialized plan
-        pipelines jnp.asarray copies H2D before the next step overwrites
-        the buffer. (Double-buffering was tried and costs ~4.5 us/frame
-        at S=256: two ~2 MB arenas alternate out of this host's LLC and
-        every step writes cold lines.) Callers that stash arenas across
-        steps must copy. The f32 ble32/pf32 arena planes are filled from
-        the native f64 outputs so the descriptor rides the arena
-        transfer.
+        The arena set is a ring of set_plan_buffers(n) buffers (default
+        1, reused in place): the native decoder re-memsets every flag
+        plane and the device executor masks all value planes by those
+        flags, so stale values in inactive slots are never read. With
+        one buffer, callers rely on jnp.asarray copying H2D before the
+        next step overwrites it (the strictly-serialized pipelines);
+        with two, the overlapped pipeline writes buffer k+1 while buffer
+        k transfers. Callers that stash arenas across steps must copy.
+        The f32 ble32/pf32 arena planes are filled from the native f64
+        outputs so the descriptor rides the arena transfer.
         """
         S, Cch = self.S, self.channels
         assert len(payloads) == S
@@ -498,12 +512,18 @@ class NativeCeltHostBatch:
         offs, lens = self._bufs[key]
         if not hasattr(self, "_plan_db"):
             self._plan_db = {}
+        nbufs = getattr(self, "_plan_nbufs", 1)
         if frame_size not in self._plan_db:
-            arenas, aux, layout = alloc_plan_arenas(S, Cch, frame_size)
-            views = plan_views(arenas, aux, layout)
-            self._plan_db[frame_size] = (arenas, aux, layout, views,
-                                         _plan_ptr_table(views))
-        arenas, aux, layout, views, ptrs = self._plan_db[frame_size]
+            ring = []
+            for _ in range(nbufs):
+                arenas, aux, layout = alloc_plan_arenas(S, Cch, frame_size)
+                views = plan_views(arenas, aux, layout)
+                ring.append((arenas, aux, layout, views,
+                             _plan_ptr_table(views)))
+            self._plan_db[frame_size] = [0, ring]
+        db = self._plan_db[frame_size]
+        arenas, aux, layout, views, ptrs = db[1][db[0]]
+        db[0] = (db[0] + 1) % len(db[1])
         blob = b"".join(p for p in payloads if p is not None)
         pos = 0
         for i, p in enumerate(payloads):

@@ -321,14 +321,16 @@ class CeltStreamPipeline:
         §7.4): device dispatch is asynchronous, so the next host decode runs
         while the chip works; consumers block only when they read a result.
         """
-        if self.use_plan and self.mesh is None:
-            # Plan mode: H2D transfers stay strictly serialized against
-            # device executions (on a tunneled device, transfers racing
-            # enqueued executions degrade the transfer path several-fold
-            # within a few hundred steps), but the PURE-CPU native symbol
-            # decode of frame k+1 overlaps frame k's device execution —
-            # the dispatch is asynchronous and touches no host buffers
-            # after the synchronous jnp.asarray copies (SURVEY §7.4).
+        if self.use_plan and self.mesh is None and not getattr(
+                self, "overlap_host", False):
+            # Single-threaded plan mode (the default): H2D + dispatch
+            # serialized with the native decode of the NEXT frame filling
+            # the single reused arena while the device works. On a 1-core
+            # host this beats the threaded overlap below (measured A/B:
+            # 779x vs 730x at S=256 — the tunnel H2D is itself host-CPU
+            # work, so a second thread only adds switches); on multi-core
+            # hosts set pipe.overlap_host = True.
+            self._native.set_plan_buffers(1)
             it = iter(frames_iter)
             try:
                 host = self._host_decode_plan(next(it), frame_size,
@@ -347,6 +349,43 @@ class CeltStreamPipeline:
             out, self.state = self._plan_step(frame_size, self.state, *args)
             out.block_until_ready()
             yield out
+            return
+
+        if self.use_plan and self.mesh is None:
+            # Plan mode, threaded overlap (opt-in, multi-core hosts — see
+            # the default branch above; SURVEY §7.4): the native symbol
+            # decode of frame k+1 runs on a WORKER thread (the C batch
+            # call releases the GIL) into arena buffer (k+1)%2 while the
+            # main thread transfers buffer k%2 H2D, dispatches, and blocks
+            # on frame k. H2D transfers stay strictly ordered against
+            # device executions in the main thread (on a tunneled device,
+            # transfers racing enqueued executions degrade the transfer
+            # path) — only host CPU work overlaps them. Steady-state wall
+            # is max(native, H2D+device) instead of their sum.
+            from concurrent.futures import ThreadPoolExecutor
+            self._native.set_plan_buffers(2)
+            it = iter(frames_iter)
+            try:
+                first = next(it)
+            except StopIteration:
+                return
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                host = self._host_decode_plan(first, frame_size,
+                                              to_device=False)
+                for payloads in it:
+                    fut = pool.submit(self._host_decode_plan, payloads,
+                                      frame_size, False)
+                    args = self._plan_args_to_device(host, frame_size)
+                    out, self.state = self._plan_step(frame_size, self.state,
+                                                      *args)
+                    out.block_until_ready()
+                    host = fut.result()
+                    yield out
+                args = self._plan_args_to_device(host, frame_size)
+                out, self.state = self._plan_step(frame_size, self.state,
+                                                  *args)
+                out.block_until_ready()
+                yield out
             return
 
         pending = None
@@ -382,6 +421,8 @@ class CeltStreamPipeline:
         from .ops.band_exec_jax import plan_synthesis_scan
 
         assert self.use_plan and self.mesh is None
+        if not frames:
+            raise ValueError("decode_frames_scanned needs >= 1 frame batch")
         backings, xds, losts, any_direct = [], [], [], False
         for payloads in frames:
             arenas, aux, adir, lost = self._host_decode_plan(
@@ -403,12 +444,19 @@ class CeltStreamPipeline:
             self._plc_consts[frame_size] = make_plc_consts(
                 frame_size, opus_custom_mode(48000, 960).window)
         xd_shape = (self.S, self.channels, frame_size)
-        zeros = np.zeros(xd_shape, np.float32)
-        xds = [x if x is not None else zeros for x in xds]
+        if any_direct:
+            zeros = np.zeros(xd_shape, np.float32)
+            xd_dev = jnp.asarray(np.stack(
+                [x if x is not None else zeros for x in xds]))
+        else:
+            # no direct-decoder fallback anywhere: build the (K, S, C, N)
+            # zeros on device instead of staging+transferring host zeros
+            # (~12 MB for a 200-frame gate batch through the tunnel)
+            xd_dev = jnp.zeros((K,) + xd_shape, jnp.float32)
         pcm, self.state, self.plc_state = plan_synthesis_scan(
             self._plan_consts[frame_size],
             self._plc_consts[frame_size], self.state, self.plc_state,
-            jnp.asarray(np.stack(backings)), jnp.asarray(np.stack(xds)),
+            jnp.asarray(np.stack(backings)), xd_dev,
             jnp.asarray(np.stack(losts)), self._plan_mats[frame_size],
             channels=self.channels, frame=frame_size, n_streams=self.S)
         assert pcm.shape[0] == K

@@ -15,6 +15,7 @@
 #include <cstring>
 #include <vector>
 #include <chrono>
+#include <sys/resource.h>
 
 extern "C" {
 #ifdef PLAN_PROF
@@ -121,6 +122,8 @@ int main(int argc, char** argv) {
   for (int i = 0; i < n; i++)
     celt_host_decode_plan(st, pkts[i].data(), (int)pkts[i].size(), 960, 2, 0,
                           21, 0, a.ptrs, 1, 0);
+  struct rusage ru0, ru1;
+  getrusage(RUSAGE_SELF, &ru0);
   auto t0 = std::chrono::steady_clock::now();
   for (int it = 0; it < n_iter; it++) {
     auto& p = pkts[it % n];
@@ -128,9 +131,12 @@ int main(int argc, char** argv) {
                           a.ptrs, 1, 0);
   }
   auto t1 = std::chrono::steady_clock::now();
+  getrusage(RUSAGE_SELF, &ru1);
   double us = std::chrono::duration<double, std::micro>(t1 - t0).count() / n_iter;
-  printf("%.3f us/frame  (%.0f frames/s, %.0fx realtime 20ms)\n", us, 1e6 / us,
-         1e6 / us * 0.02);
+  double cpu_us = ((ru1.ru_utime.tv_sec - ru0.ru_utime.tv_sec) * 1e6 +
+                   (ru1.ru_utime.tv_usec - ru0.ru_utime.tv_usec)) / n_iter;
+  printf("%.3f us/frame wall, %.3f us/frame cpu  (%.0fx realtime 20ms)\n",
+         us, cpu_us, 1e6 / us * 0.02);
 #ifdef PLAN_PROF
   celt_host_prof_report();
   {

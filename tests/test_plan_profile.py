@@ -43,7 +43,7 @@ def _packets(channels, bitrate, n, frame_size=960):
 
 
 def _any_fallback(pipe) -> bool:
-    arenas, _aux, layout = pipe._native._plan_db[960][:3]
+    arenas, _aux, layout = pipe._native._plan_db[960][1][0][:3]
     name, off, shape = layout["direct"]
     return bool(arenas[name][off:off + shape[0]].any())
 
