@@ -101,19 +101,23 @@ _FULL_FILL = 4
 _TIERS = _FULL_TIERS
 _NB = 21
 _FILL = 4
+_POOL = _NB * 2 * _FILL   # per-stream fill pool slots (wire planes)
+_DUP = 2                  # special-hybrid-folding dup slots (native kDupPool)
 
 
-def set_plan_profile(tiers=None, fills=None) -> None:
+def set_plan_profile(tiers=None, fills=None, pool=None) -> None:
     """Set the process-wide plan tier/fill capacities.
 
     tiers: 3 slot counts for the (n<=16, n<=48, n<=176) leaf tiers;
-    fills: fold/noise slots per (band, channel) call. None restores the
-    full profile. Must be called BEFORE creating plan pipelines / native
-    batches (arena layouts and jitted unpack traces bake the profile in;
-    existing NativeCeltHostBatch/NativeOpusHostBatch objects keep stale
-    arenas). Applies to every loaded native host library.
+    fills: fold/noise slots per (band, channel) call (the device dense F
+    axis); pool: per-stream fill POOL slots on the wire (<= 42 * fills;
+    default the dense bound). None restores the full profile. Must be
+    called BEFORE creating plan pipelines / native batches (arena layouts
+    and jitted unpack traces bake the profile in; existing
+    NativeCeltHostBatch/NativeOpusHostBatch objects keep stale arenas).
+    Applies to every loaded native host library.
     """
-    global _TIERS, _FILL
+    global _TIERS, _FILL, _POOL
     t = tuple(int(x) for x in tiers) if tiers is not None \
         else tuple(s for _, s in _FULL_TIERS)
     f = int(fills) if fills is not None else _FULL_FILL
@@ -122,14 +126,19 @@ def set_plan_profile(tiers=None, fills=None) -> None:
         raise ValueError(f"bad tier profile {t}")
     if not 1 <= f <= _FULL_FILL:
         raise ValueError(f"bad fill profile {f}")
+    p = int(pool) if pool is not None else _NB * 2 * f
+    if not 1 <= p <= _NB * 2 * f:
+        raise ValueError(f"bad fill pool {p}")
     _TIERS = tuple((n, t[i]) for i, (n, _) in enumerate(_FULL_TIERS))
     _FILL = f
+    _POOL = p
     for lib in _profile_libs():
         lib.celt_host_set_plan_profile(t[0], t[1], t[2], f)
+        lib.celt_host_set_fill_pool(p)
 
 
 def get_plan_profile():
-    return tuple(s for _, s in _TIERS), _FILL
+    return tuple(s for _, s in _TIERS), _FILL, _POOL
 
 
 def _profile_libs():
@@ -150,78 +159,162 @@ def _apply_profile(lib) -> None:
     try:
         lib.celt_host_set_plan_profile.argtypes = [C.c_int, C.c_int,
                                                    C.c_int, C.c_int]
+        lib.celt_host_set_fill_pool.argtypes = [C.c_int]
     except AttributeError:
         return
-    t, f = get_plan_profile()
+    t, f, p = get_plan_profile()
     lib.celt_host_set_plan_profile(t[0], t[1], t[2], f)
+    lib.celt_host_set_fill_pool(p)
 
-# Plane dtypes mirror native PlanOut (celt_host.cpp): narrow types keep
-# host write traffic and the per-step H2D arena transfer small.
+# Plane dtypes mirror native PlanOut (celt_host.cpp, wire format v2):
+# bit-packed flag planes and pooled sparse records keep host write traffic
+# and the per-step H2D arena transfer small (~3 KB/stream at the serving
+# profile). ops/band_exec_jax.unpack_plan_arenas reconstructs the
+# executor's logical planes on device.
 _PLANE_DTYPES = {
-    "direct": np.uint8, "pvq_active": np.uint8, "pvq_n": np.uint8,
-    "pvq_k": np.uint8, "pvq_b": np.uint8, "pvq_spread": np.uint8,
+    "direct": np.uint8,
+    "pvq_nk": np.uint16,       # n | k << 8
+    "pvq_meta": np.uint8,      # active | log2(b) << 1 | spread << 4
     "pvq_gain": np.float32, "pvq_idx": np.uint32, "pvq_dst": np.int16,
-    "call_active": np.uint8, "call_has_lb": np.uint8,
-    "call_lb_src": np.int16, "call_lb_buf": np.uint8,
-    "call_blend_upto": np.int16, "call_pre": np.uint8,
-    "call_post": np.uint8, "call_norm_write": np.uint8,
-    "call_norm_buf": np.uint8, "fill_active": np.uint8,
-    "fill_fold": np.uint8, "fill_off": np.int16, "fill_n": np.int16,
+    "call_flags": np.uint8,    # active|has_lb<<1|lb_buf<<2|nwr<<3|nbuf<<4
+    "call_combo": np.uint8,    # pre == post combo id
+    "call_lb_src": np.int16, "call_blend_upto": np.int16,
+    "dup_pool": np.int16,      # (S, _DUP, 4): [callid, dst, src, n]
+    "fill_cid": np.uint8,      # active | fold<<1 | callid<<2
+    "fill_off": np.int16, "fill_n": np.int16,
     "fill_gain": np.float32, "fill_seed": np.uint32,
-    "merge_active": np.uint8, "merge_mid": np.float32,
-    "merge_inv": np.uint8, "theta2_active": np.uint8,
-    "theta2_cswap": np.uint8, "theta2_sign": np.float32,
-    "theta2_mid": np.float32, "theta2_side": np.float32,
-    "theta2_inv": np.uint8, "n1_active": np.uint8, "n1_val": np.float32,
+    "bm_flags": np.uint8,      # merge_a|m_inv<<1|t2_a<<2|cswap<<3|
+                               # t_inv<<4|sign_neg<<5
+    "bm_mid": np.float32, "bm_side": np.float32,
+    "n1_as": np.uint8,         # active | neg<<1
     "ac_on": np.uint8, "ac_masks": np.uint8, "ac_r": np.float32,
     "ac_seed": np.uint32, "iflags": np.int32,
     "ble32": np.float32, "pf32": np.float32,
-    "call_dup": np.int16,
+    "lost8": np.uint8,
 }
 
-# Native pointer-table order (61 entries; see celt_host_decode_plan).
+# Native pointer-table order (41 entries; see celt_host_decode_plan).
 _PTR_ORDER = (["direct"]
-              + [("pvq_active", t) for t in range(3)]
-              + [("pvq_n", t) for t in range(3)]
-              + [("pvq_k", t) for t in range(3)]
-              + [("pvq_b", t) for t in range(3)]
-              + [("pvq_spread", t) for t in range(3)]
+              + [("pvq_nk", t) for t in range(3)]
+              + [("pvq_meta", t) for t in range(3)]
               + [("pvq_gain", t) for t in range(3)]
               + [("pvq_idx", t) for t in range(3)]
               + [("pvq_dst", t) for t in range(3)]
-              + ["call_active", "call_has_lb", "call_lb_src",
-                 "call_lb_buf", "call_blend_upto", "call_pre", "call_post",
-                 "call_norm_write", "call_norm_buf", "fill_active",
-                 "fill_fold", "fill_off", "fill_n", "fill_gain", "fill_seed",
-                 "merge_active", "merge_mid", "merge_inv", "theta2_active",
-                 "theta2_cswap", "theta2_sign", "theta2_mid", "theta2_side",
-                 "theta2_inv", "n1_active", "n1_val", "ac_on", "ac_masks",
-                 "ac_r", "ac_seed", "x_direct", "band_log_e", "iflags",
-                 "pf_gain", "rcs", "call_dup"])
+              + ["call_flags", "call_combo", "call_lb_src",
+                 "call_blend_upto", "dup_pool", "fill_cid", "fill_off",
+                 "fill_n", "fill_gain", "fill_seed", "bm_flags", "bm_mid",
+                 "bm_side", "n1_as", "ac_on", "ac_masks", "ac_r", "ac_seed",
+                 "x_direct", "band_log_e", "iflags", "pf_gain", "rcs",
+                 "ble32", "pf32"])
 
 
 def _plane_shapes(S: int, channels: int, frame: int) -> dict:
-    c2, b1, f4 = (S, _NB, 2), (S, _NB), (S, _NB, 2, _FILL)
+    c2, b1, fp = (S, _NB, 2), (S, _NB), (S, _POOL)
     shapes = {
         "direct": (S,),
-        "call_active": c2, "call_has_lb": c2, "call_lb_src": c2,
-        "call_lb_buf": c2, "call_blend_upto": c2, "call_pre": c2,
-        "call_post": c2, "call_norm_write": c2, "call_norm_buf": c2,
-        "fill_active": f4, "fill_fold": f4, "fill_off": f4, "fill_n": f4,
-        "fill_gain": f4, "fill_seed": f4,
-        "merge_active": b1, "merge_mid": b1, "merge_inv": b1,
-        "theta2_active": b1, "theta2_cswap": b1, "theta2_sign": b1,
-        "theta2_mid": b1, "theta2_side": b1, "theta2_inv": b1,
-        "n1_active": c2, "n1_val": c2, "ac_on": (S,), "ac_masks": c2,
+        "call_flags": c2, "call_combo": c2, "call_lb_src": c2,
+        "call_blend_upto": c2, "dup_pool": (S, _DUP, 4),
+        "fill_cid": fp, "fill_off": fp, "fill_n": fp,
+        "fill_gain": fp, "fill_seed": fp,
+        "bm_flags": b1, "bm_mid": b1, "bm_side": b1,
+        "n1_as": c2, "ac_on": (S,), "ac_masks": c2,
         "ac_r": (S, 2, _NB), "ac_seed": (S,), "iflags": (S, 4),
         "ble32": (S, 2, _NB), "pf32": (S,),
-        "call_dup": (S, _NB, 2, 3),
+        # written by the PYTHON caller (not the native decoder): per-stream
+        # lost mask rides the single arena H2D instead of its own transfer
+        # (each fixed transfer through the device tunnel costs ~0.1 ms)
+        "lost8": (S,),
     }
     for t, (_, slots) in enumerate(_TIERS):
-        for k in ("pvq_active", "pvq_n", "pvq_k", "pvq_b", "pvq_spread",
-                  "pvq_gain", "pvq_idx", "pvq_dst"):
+        for k in ("pvq_nk", "pvq_meta", "pvq_gain", "pvq_idx", "pvq_dst"):
             shapes[(k, t)] = (S, slots)
     return shapes
+
+
+def wire_to_logical(views: dict) -> dict:
+    """Reconstruct the executor's LOGICAL plan planes (plan_pack.pack_plans
+    layout) from the v2 wire views — the numpy twin of the device-side
+    unpack in ops/band_exec_jax.unpack_plan_arenas (tests compare these to
+    the Python packer's output)."""
+    S = views["direct"].shape[0]
+    out = {"direct": views["direct"]}
+    out["pvq_active"], out["pvq_n"], out["pvq_k"] = [], [], []
+    out["pvq_b"], out["pvq_spread"] = [], []
+    for t in range(3):
+        nk = views["pvq_nk"][t].astype(np.int32)
+        meta = views["pvq_meta"][t].astype(np.int32)
+        out["pvq_active"].append((meta & 1).astype(np.uint8))
+        out["pvq_n"].append((nk & 0xFF).astype(np.uint8))
+        out["pvq_k"].append((nk >> 8).astype(np.uint8))
+        out["pvq_b"].append(((1 << ((meta >> 1) & 7)) * (meta & 1))
+                            .astype(np.uint8))
+        out["pvq_spread"].append((meta >> 4).astype(np.uint8))
+    out["pvq_gain"] = list(views["pvq_gain"])
+    out["pvq_idx"] = list(views["pvq_idx"])
+    out["pvq_dst"] = list(views["pvq_dst"])
+    cf = views["call_flags"].astype(np.int32)
+    out["call_active"] = (cf & 1).astype(np.uint8)
+    out["call_has_lb"] = ((cf >> 1) & 1).astype(np.uint8)
+    out["call_lb_buf"] = ((cf >> 2) & 1).astype(np.uint8)
+    out["call_norm_write"] = ((cf >> 3) & 1).astype(np.uint8)
+    out["call_norm_buf"] = ((cf >> 4) & 1).astype(np.uint8)
+    out["call_pre"] = views["call_combo"]
+    out["call_post"] = views["call_combo"]
+    out["call_lb_src"] = views["call_lb_src"]
+    out["call_blend_upto"] = views["call_blend_upto"]
+    dup = np.zeros((S, _NB, 2, 3), np.int16)
+    dp = views["dup_pool"]
+    for e in range(_DUP):
+        for s in range(S):
+            if dp[s, e, 3] > 0:
+                cid = int(dp[s, e, 0])
+                dup[s, cid // 2, cid % 2] = dp[s, e, 1:4]
+    out["call_dup"] = dup
+    f4 = (S, _NB, 2, _FILL)
+    fa = np.zeros(f4, np.uint8)
+    ff = np.zeros(f4, np.uint8)
+    foff = np.zeros(f4, np.int16)
+    fn = np.zeros(f4, np.int16)
+    fg = np.zeros(f4, np.float32)
+    fs = np.zeros(f4, np.uint32)
+    cid8 = views["fill_cid"].astype(np.int32)
+    for s in range(S):
+        occ = {}
+        for j in range(_POOL):
+            v = cid8[s, j]
+            if not v & 1:
+                continue
+            cid = v >> 2
+            o = occ.get(cid, 0)
+            occ[cid] = o + 1
+            b, c = cid // 2, cid % 2
+            fa[s, b, c, o] = 1
+            ff[s, b, c, o] = (v >> 1) & 1
+            foff[s, b, c, o] = views["fill_off"][s, j]
+            fn[s, b, c, o] = views["fill_n"][s, j]
+            fg[s, b, c, o] = views["fill_gain"][s, j]
+            fs[s, b, c, o] = views["fill_seed"][s, j]
+    out.update(fill_active=fa, fill_fold=ff, fill_off=foff, fill_n=fn,
+               fill_gain=fg, fill_seed=fs)
+    bf = views["bm_flags"].astype(np.int32)
+    out["merge_active"] = (bf & 1).astype(np.uint8)
+    out["merge_inv"] = ((bf >> 1) & 1).astype(np.uint8)
+    out["theta2_active"] = ((bf >> 2) & 1).astype(np.uint8)
+    out["theta2_cswap"] = ((bf >> 3) & 1).astype(np.uint8)
+    out["theta2_inv"] = ((bf >> 4) & 1).astype(np.uint8)
+    out["theta2_sign"] = np.where((bf >> 5) & 1, -1.0, 1.0).astype(
+        np.float32) * ((bf >> 2) & 1)
+    out["merge_mid"] = views["bm_mid"] * (bf & 1)
+    out["theta2_mid"] = views["bm_mid"] * ((bf >> 2) & 1)
+    out["theta2_side"] = views["bm_side"] * ((bf >> 2) & 1)
+    n1 = views["n1_as"].astype(np.int32)
+    out["n1_active"] = (n1 & 1).astype(np.uint8)
+    out["n1_val"] = np.where((n1 >> 1) & 1, -1.0, 1.0).astype(
+        np.float32) * (n1 & 1)
+    for k in ("ac_on", "ac_masks", "ac_r", "ac_seed", "iflags", "ble32",
+              "pf32"):
+        out[k] = views[k]
+    return out
 
 
 def plan_arena_layout(S: int, channels: int, frame: int):
@@ -526,23 +619,32 @@ class NativeCeltHostBatch:
         db[0] = (db[0] + 1) % len(db[1])
         blob = b"".join(p for p in payloads if p is not None)
         pos = 0
+        lost8 = views["lost8"]
         for i, p in enumerate(payloads):
             offs[i] = pos
-            lens[i] = 0 if p is None else len(p)  # None = lost frame
-            pos += lens[i]
+            if p is None:                         # None = lost frame
+                lens[i] = 0
+                lost8[i] = 1
+            else:
+                lens[i] = len(p)
+                lost8[i] = 0
+                pos += lens[i]
         ip = C.POINTER(C.c_int32)
         self._lib.celt_host_decode_plan_batch(
             self._states, blob, offs.ctypes.data_as(ip),
             lens.ctypes.data_as(ip), S, frame_size, Cch, self.start, self.end,
             1 if self.disable_inv else 0, ptrs, self.n_threads)
-        views["ble32"][:] = aux["band_log_e"]
-        views["pf32"][:] = aux["pf_gain"]
         return arenas, aux, layout
 
     def decode_plan(self, payloads: list, frame_size: int) -> dict:
-        """decode_plan_arenas, presented as the dict-of-planes view."""
+        """decode_plan_arenas, presented as the LOGICAL dict-of-planes
+        (wire format v2 unpacked; test/debug interface — the production
+        path ships the packed arenas and unpacks on device)."""
         arenas, aux, layout = self.decode_plan_arenas(payloads, frame_size)
-        return plan_views(arenas, aux, layout)
+        views = plan_views(arenas, aux, layout)
+        out = wire_to_logical(views)
+        out.update(aux)
+        return out
 
 
 class NativeCeltEncoderBatch:

@@ -729,14 +729,19 @@ def plan_synthesis_step(consts, state, packed, x_direct, band_log_e,
 
 
 def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
-    """Reconstruct the plan-plane dict from the three packed arenas.
+    """Reconstruct the LOGICAL plan-plane dict from the three packed
+    arenas (wire format v2 — bit-packed flags, pooled fills/dups; the
+    numpy twin is host_native.wire_to_logical).
 
     Traced: slicing at static offsets is free for XLA; f32/u32 planes are
-    same-width bitcasts of the int32 arena (no endianness concerns).
-    Returns (p, ble, pf_gain, iflags): p has PLAN_KEYS (narrow dtypes —
-    execute_packed normalizes), ble is (S, 2, 21) f32, pf_gain (S,) f32.
+    same-width bitcasts of the int32 arena (no endianness concerns); the
+    bitfield splits and the two pool scatters are a few fused elementwise
+    ops — the arena shrink (~2x smaller H2D) is worth far more than they
+    cost. Returns (p, ble, pf_gain, iflags): p has PLAN_KEYS (narrow
+    dtypes — execute_packed normalizes), ble is (S, 2, 21) f32.
     """
-    from ..celt.host_native import _PLANE_DTYPES, plan_arena_layout
+    from ..celt.host_native import (_DUP, _FILL, _PLANE_DTYPES, _POOL,
+                                    plan_arena_layout)
 
     arenas = {"a8": a8, "a16": a16, "a32": a32}
 
@@ -761,16 +766,86 @@ def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
             v = lax.bitcast_convert_type(v, jnp.float32)
         elif dt == np.uint32:
             v = lax.bitcast_convert_type(v, jnp.uint32)
-        elif dt == np.uint8:
-            v = v  # already uint8
+        elif dt == np.uint16:
+            v = lax.bitcast_convert_type(v, jnp.uint16)
         return v.reshape(shape)
 
-    p = {}
-    for k in PLAN_KEYS:
-        if k.startswith("pvq_"):
-            p[k] = [plane((k, t)) for t in range(3)]
-        else:
-            p[k] = plane(k)
+    p = {"direct": plane("direct")}
+    p["pvq_active"], p["pvq_n"], p["pvq_k"] = [], [], []
+    p["pvq_b"], p["pvq_spread"] = [], []
+    for t in range(3):
+        nk = plane(("pvq_nk", t)).astype(jnp.int32)
+        meta = plane(("pvq_meta", t)).astype(jnp.int32)
+        p["pvq_active"].append(meta & 1)
+        p["pvq_n"].append(nk & 0xFF)
+        p["pvq_k"].append(nk >> 8)
+        p["pvq_b"].append(jnp.where(meta & 1, 1 << ((meta >> 1) & 7), 0))
+        p["pvq_spread"].append(meta >> 4)
+    p["pvq_gain"] = [plane(("pvq_gain", t)) for t in range(3)]
+    p["pvq_idx"] = [plane(("pvq_idx", t)) for t in range(3)]
+    p["pvq_dst"] = [plane(("pvq_dst", t)) for t in range(3)]
+
+    cf = plane("call_flags").astype(jnp.int32)
+    p["call_active"] = cf & 1
+    p["call_has_lb"] = (cf >> 1) & 1
+    p["call_lb_buf"] = (cf >> 2) & 1
+    p["call_norm_write"] = (cf >> 3) & 1
+    p["call_norm_buf"] = (cf >> 4) & 1
+    combo = plane("call_combo")
+    p["call_pre"] = combo
+    p["call_post"] = combo
+    p["call_lb_src"] = plane("call_lb_src")
+    p["call_blend_upto"] = plane("call_blend_upto")
+
+    rows = jnp.arange(S, dtype=jnp.int32)[:, None]
+    # dup pool -> dense (S, 21, 2, 3); invalid entries drop out of bounds
+    dp = plane("dup_pool").astype(jnp.int32)          # (S, _DUP, 4)
+    didx = jnp.where(dp[:, :, 3] > 0, dp[:, :, 0], 42)
+    dup = jnp.zeros((S, 42, 3), jnp.int32).at[rows, didx].set(
+        dp[:, :, 1:4], mode="drop")
+    p["call_dup"] = dup.reshape(S, 21, 2, 3)
+
+    # fill pool -> dense (S, 21, 2, F): scatter by callid with an
+    # occurrence index among same-call entries (pool order == call order)
+    cid8 = plane("fill_cid").astype(jnp.int32)        # (S, _POOL)
+    fact = cid8 & 1
+    cid = cid8 >> 2
+    tri = jnp.asarray(np.tril(np.ones((_POOL, _POOL), bool), -1))
+    eq = (cid[:, :, None] == cid[:, None, :]) & (fact[:, None, :] == 1)
+    occ = jnp.sum(eq & tri[None], axis=2)             # (S, _POOL)
+    fidx = jnp.where(fact == 1, cid * _FILL + jnp.minimum(occ, _FILL - 1),
+                     42 * _FILL)
+    f4 = (S, 21, 2, _FILL)
+
+    def scat(v, dt):
+        return jnp.zeros((S, 42 * _FILL), dt).at[rows, fidx].set(
+            v.astype(dt), mode="drop").reshape(f4)
+
+    p["fill_active"] = scat(fact, jnp.int32)
+    p["fill_fold"] = scat((cid8 >> 1) & 1, jnp.int32)
+    p["fill_off"] = scat(plane("fill_off"), jnp.int32)
+    p["fill_n"] = scat(plane("fill_n"), jnp.int32)
+    p["fill_gain"] = scat(plane("fill_gain"), jnp.float32)
+    p["fill_seed"] = scat(plane("fill_seed"), jnp.uint32)
+
+    bf = plane("bm_flags").astype(jnp.int32)
+    mid = plane("bm_mid")
+    p["merge_active"] = bf & 1
+    p["merge_inv"] = (bf >> 1) & 1
+    p["merge_mid"] = mid
+    p["theta2_active"] = (bf >> 2) & 1
+    p["theta2_cswap"] = (bf >> 3) & 1
+    p["theta2_inv"] = (bf >> 4) & 1
+    p["theta2_sign"] = jnp.where((bf >> 5) & 1, -1.0, 1.0)
+    p["theta2_mid"] = mid
+    p["theta2_side"] = plane("bm_side")
+
+    n1 = plane("n1_as").astype(jnp.int32)
+    p["n1_active"] = n1 & 1
+    p["n1_val"] = jnp.where((n1 >> 1) & 1, -1.0, 1.0)
+
+    for k in ("ac_on", "ac_masks", "ac_r", "ac_seed", "lost8"):
+        p[k] = plane(k)
     return p, plane("ble32"), plane("pf32"), plane("iflags")
 
 
@@ -827,7 +902,9 @@ def plan_synthesis_step_plc(consts, plc_consts, state, plc_state, backing,
                             frame: int = 960, n_streams: int = None):
     """plan_synthesis_step_backing + per-stream packet-loss concealment.
 
-    lost: (S,) bool. Lost streams ignore their (stale) plan rows and take
+    lost: (S,) bool, or None to read the arena's lost8 plane (written by
+    the host pipeline; riding the arena transfer saves one fixed-cost H2D
+    per step). Lost streams ignore their (stale) plan rows and take
     the device PLC re-entry spectrum (ops/plc_jax.py: pitch-extrapolated
     excitation through the LPC envelope, forward-MDCT'd); their postfilter
     params coast at the current state values. The PLC compute sits under a
@@ -851,6 +928,8 @@ def plan_synthesis_step_plc(consts, plc_consts, state, plc_state, backing,
     p, ble, pf_gain, iflags = unpack_plan_arenas(a32, a16, a8,
                                                  channels=channels,
                                                  frame=frame)
+    if lost is None:
+        lost = p["lost8"] != 0
     X = execute_packed(p, x_direct, channels=channels, frame=frame,
                        lm=lm, start=0, end=21, mats=mats)
 
@@ -904,6 +983,12 @@ def plan_synthesis_scan(consts, plc_consts, state, plc_state, backings,
             channels=channels, frame=frame, n_streams=n_streams)
         return (st, pst), pcm
 
-    (state, plc_state), pcm = lax.scan(
-        body, (state, plc_state), (backings, x_directs, losts))
+    if losts is None:
+        def body0(carry, inp):
+            return body(carry, (inp[0], inp[1], None))
+        (state, plc_state), pcm = lax.scan(
+            body0, (state, plc_state), (backings, x_directs))
+    else:
+        (state, plc_state), pcm = lax.scan(
+            body, (state, plc_state), (backings, x_directs, losts))
     return pcm, state, plc_state

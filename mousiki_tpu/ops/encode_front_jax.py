@@ -394,3 +394,25 @@ def front_step(consts, state, pcm, nbytes, tapset, lsb_depth=24,
         "tf_estimate": tf_estimate,
     }
     return outputs, new_state
+
+
+@partial(jax.jit, static_argnames=("channels", "frame"))
+def front_scan(consts, state, pcms, nbytes, tapset, lsb_depth=24,
+               channels: int = 2, frame: int = 960):
+    """K front_steps in ONE device dispatch (lax.scan over stacked pcm).
+
+    pcms: (K, S, frame, channels); tapset is held fixed across the chunk
+    (the native symbol encoder's tapset decision feeds back with up to K
+    frames of lag — a valid encoder choice, signaled in-stream as usual).
+    Returns (outputs stacked on a leading K axis, final state). One
+    jax.device_get of the result replaces K per-frame readbacks — the
+    dominant cost on a tunneled device (CeltEncodePipeline.step_chunk).
+    """
+    def body(st, pcm):
+        out, st = front_step(consts, st, pcm, nbytes, tapset,
+                             lsb_depth=lsb_depth, channels=channels,
+                             frame=frame)
+        return st, out
+
+    state, outs = jax.lax.scan(body, state, pcms)
+    return outs, state

@@ -199,8 +199,6 @@ class NativeOpusHostBatch:
             silk_fs.ctypes.data_as(ip), silk_stereo.ctypes.data_as(ip),
             fec_blob, fec_offs.ctypes.data_as(ip),
             fec_lens.ctypes.data_as(ip), self.n_threads)
-        views["ble32"][:] = aux["band_log_e"]
-        views["pf32"][:] = aux["pf_gain"]
         return (arenas, aux, layout, silk16, modes, silk_fs, silk_stereo)
 
     def decode_silk_frames(self, s: int, payload: bytes, fs_khz: int,

@@ -146,10 +146,10 @@ class CeltStreamPipeline:
             from .ops.plc_jax import make_plc_consts
             self._plc_consts[frame_size] = make_plc_consts(
                 frame_size, opus_custom_mode(48000, 960).window)
-        backing, xd, lost = args
+        backing, xd = args
         pcm, new_state, self.plc_state = self._plan_step_fn(
             self._plan_consts[frame_size], self._plc_consts[frame_size],
-            state, self.plc_state, backing, xd, lost,
+            state, self.plc_state, backing, xd, None,
             self._plan_mats[frame_size], channels=self.channels,
             frame=frame_size, n_streams=self.S)
         return pcm, new_state
@@ -226,10 +226,11 @@ class CeltStreamPipeline:
             bad = int(np.argmax(rcs < 0))
             raise ValueError(
                 f"stream {bad}: native celt plan decode failed rc={rcs[bad]}")
-        lost = np.fromiter((p is None for p in payloads), bool, len(payloads))
+        # the lost mask rides the arena transfer (lost8 plane, written by
+        # decode_plan_arenas) instead of paying its own fixed-cost H2D
         name, off, shape = layout["direct"]
         any_direct = bool(arenas[name][off:off + shape[0]].any())
-        host = (arenas, aux, any_direct, lost)
+        host = (arenas, aux, any_direct)
         if not to_device:
             return host
         return self._plan_args_to_device(host, frame_size)
@@ -239,7 +240,7 @@ class CeltStreamPipeline:
         device executions; see decode_stream)."""
         import jax.numpy as jnp
 
-        arenas, aux, any_direct, lost = host
+        arenas, aux, any_direct = host
         if frame_size not in self._xd_zeros:
             self._xd_zeros[frame_size] = jnp.zeros(
                 (self.S, self.channels, frame_size), jnp.float32)
@@ -263,7 +264,7 @@ class CeltStreamPipeline:
         backing = arenas["backing"]
         if self._cpu_backend:
             backing = backing.copy()
-        return (jnp.asarray(backing), xd, jnp.asarray(lost))
+        return (jnp.asarray(backing), xd)
 
     def _host_decode_plan_sharded(self, payloads: list, frame_size: int):
         import jax
@@ -315,12 +316,38 @@ class CeltStreamPipeline:
         pcm, self.state = self._step(self.consts, self.state, desc)
         return pcm
 
-    def decode_stream(self, frames_iter, frame_size: int = 960):
+    def decode_stream(self, frames_iter, frame_size: int = 960,
+                      chunk: int = 1):
         """Generator over frames of S payloads, overlapping the host symbol
         stage of frame k+1 with the device synthesis of frame k (SURVEY.md
         §7.4): device dispatch is asynchronous, so the next host decode runs
         while the chip works; consumers block only when they read a result.
+
+        chunk > 1 (plan mode, no mesh): decode `chunk` frames per device
+        dispatch via the scanned step — one stacked-arena H2D + one
+        dispatch per chunk instead of per frame, amortizing the tunnel's
+        fixed per-transfer/per-dispatch costs at the price of
+        chunk * 20 ms of added latency. Yields (S, frame, C) results one
+        frame at a time, exactly as chunk=1 does.
         """
+        if chunk > 1:
+            assert self.use_plan and self.mesh is None
+            it = iter(frames_iter)
+            while True:
+                batch = []
+                for payloads in it:
+                    batch.append(payloads)
+                    if len(batch) >= chunk:
+                        break
+                if not batch:
+                    return
+                pcm = self.decode_frames_scanned(batch, frame_size)
+                pcm.block_until_ready()
+                for k in range(len(batch)):
+                    yield pcm[k]
+                if len(batch) < chunk:
+                    return
+
         if self.use_plan and self.mesh is None and not getattr(
                 self, "overlap_host", False):
             # Single-threaded plan mode (the default): H2D + dispatch
@@ -423,15 +450,14 @@ class CeltStreamPipeline:
         assert self.use_plan and self.mesh is None
         if not frames:
             raise ValueError("decode_frames_scanned needs >= 1 frame batch")
-        backings, xds, losts, any_direct = [], [], [], False
+        backings, xds, any_direct = [], [], False
         for payloads in frames:
-            arenas, aux, adir, lost = self._host_decode_plan(
+            arenas, aux, adir = self._host_decode_plan(
                 payloads, frame_size, to_device=False)
             backings.append(arenas["backing"].copy())
             xds.append(aux["x_direct"].astype(np.float32, copy=True)
                        if adir else None)
             any_direct |= adir
-            losts.append(lost)
         K = len(backings)
         if frame_size not in self._plan_consts:
             from .ops.band_exec_jax import plan_combo_mats
@@ -457,7 +483,7 @@ class CeltStreamPipeline:
             self._plan_consts[frame_size],
             self._plc_consts[frame_size], self.state, self.plc_state,
             jnp.asarray(np.stack(backings)), xd_dev,
-            jnp.asarray(np.stack(losts)), self._plan_mats[frame_size],
+            None, self._plan_mats[frame_size],
             channels=self.channels, frame=frame_size, n_streams=self.S)
         assert pcm.shape[0] == K
         return pcm
@@ -644,12 +670,12 @@ class OpusStreamPipeline:
 
         @jax.jit
         def step_fn(consts, plc_consts, state, plc_state, rs_states,
-                    prev_fs, silk_prev, backing, x_direct, lost, silk16,
+                    prev_fs, silk_prev, backing, x_direct, silk16,
                     silk_fs, sdel, mats, up_ws):
             from .ops.band_exec_jax import plan_synthesis_step_plc
             pcm, new_state, new_plc = plan_synthesis_step_plc(
                 consts, plc_consts, state, plc_state, backing, x_direct,
-                lost, mats, channels=channels, n_streams=n_streams)
+                None, mats, channels=channels, n_streams=n_streams)
             # the SILK decode API feeds its resampler through a 1-sample
             # delay (the s_mid stereo-prediction tail; silk/dec_api.py:330
             # resamples samples_out1[1:]) — mirror it for exact alignment.
@@ -806,8 +832,10 @@ class OpusStreamPipeline:
                              f"failed rc={rcs[bad]}")
         self.last_modes = modes
         # device CELT PLC only for PLC-concealed streams (rc 1), not for
-        # FEC-recovered ones (rc 2: the LBRR frame replaces the loss)
-        lost = rcs == 1
+        # FEC-recovered ones (rc 2: the LBRR frame replaces the loss);
+        # the mask rides the arena transfer (lost8 plane)
+        name, off, _sh = layout["lost8"]
+        arenas[name][off:off + self.S] = (rcs == 1).view(np.int8)
         name, off, shape = layout["direct"]
         any_direct = bool(arenas[name][off:off + shape[0]].any())
         xd = jnp.asarray(aux["x_direct"]) if any_direct else self._xd_zeros
@@ -821,7 +849,7 @@ class OpusStreamPipeline:
          self.silk_prev) = self._step(
             self.consts, self._plc_consts, self.state, self.plc_state,
             self.rs_states, self.prev_fs, self.silk_prev,
-            jnp.asarray(arenas["backing"]), xd, jnp.asarray(lost),
+            jnp.asarray(arenas["backing"]), xd,
             jnp.asarray(rows16), fs_dev, jnp.asarray(silk_stereo != 0),
             self._mats, self._up_ws)
         self.prev_fs = fs_dev
@@ -932,24 +960,28 @@ class CeltEncodePipeline:
             channels=self.channels, frame=self.frame)
         return out
 
+    def _native_back(self, host) -> list:
+        """One frame's native symbol-encode from a fetched front dict."""
+        S = self.S
+        iparams = np.zeros((S, 6), np.int32)
+        iparams[:, 0] = host["silence"]
+        iparams[:, 1] = host["pf_on"]
+        iparams[:, 2] = host["pitch_index"]
+        iparams[:, 3] = host["qg"]
+        iparams[:, 4] = host["is_transient"]
+        iparams[:, 5] = self.nbytes
+        fparams = np.stack([host["tone_freq"], host["toneishness"],
+                            host["tf_estimate"]], axis=1)
+        return self._native.encode(host["freq"], iparams, fparams,
+                                   self.frame)
+
     def step(self, pcm) -> list:
         """pcm: (S, frame, channels) float in [-1, 1] -> S packets."""
         import jax
         out = self.front(pcm)
         host = jax.device_get(out)  # one batched readback
         if self._native is not None:
-            S = self.S
-            iparams = np.zeros((S, 6), np.int32)
-            iparams[:, 0] = host["silence"]
-            iparams[:, 1] = host["pf_on"]
-            iparams[:, 2] = host["pitch_index"]
-            iparams[:, 3] = host["qg"]
-            iparams[:, 4] = host["is_transient"]
-            iparams[:, 5] = self.nbytes
-            fparams = np.stack([host["tone_freq"], host["toneishness"],
-                                host["tf_estimate"]], axis=1)
-            return self._native.encode(host["freq"], iparams, fparams,
-                                       self.frame)
+            return self._native_back(host)
         pkts = []
         for s in range(self.S):
             pre = {k: host[k][s] for k in host}
@@ -957,3 +989,28 @@ class CeltEncodePipeline:
                 np.asarray(pcm[s], np.float64), self.frame, self.nbytes,
                 precomputed=pre))
         return pkts
+
+    def step_chunk(self, pcms) -> list:
+        """Encode K frames per stream in ONE device dispatch + ONE
+        readback (ops/encode_front_jax.front_scan): pcms is
+        (K, S, frame, channels) float in [-1, 1]; returns a list of K
+        lists of S packets. The native tapset feedback is applied once
+        per chunk (up to K frames of lag — a valid, in-stream-signaled
+        encoder choice), which is what makes the chunk a single scan.
+        On a tunneled device the per-readback fixed cost dominates the
+        encode path, so throughput scales ~linearly with K."""
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.encode_front_jax import front_scan
+        assert self._native is not None, "chunked encode needs the native back half"
+        tapset = self._native.tapsets()
+        nby = np.full(self.S, self.nbytes, np.int32)
+        outs, self._state = front_scan(
+            self._consts, self._state, jnp.asarray(pcms, jnp.float32),
+            jnp.asarray(nby), jnp.asarray(tapset),
+            channels=self.channels, frame=self.frame)
+        hosts = jax.device_get(outs)  # one readback for all K frames
+        K = pcms.shape[0]
+        return [self._native_back({k: hosts[k][i] for k in hosts})
+                for i in range(K)]

@@ -30,7 +30,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
 }
 
 // Array layout + dtypes mirror mousiki_tpu/celt/host_native.py
-// (_PTR_ORDER / _PLANE_DTYPES, 61 pointers; see the layout comment above
+// (_PTR_ORDER / _PLANE_DTYPES, 41 pointers; see the layout comment above
 // celt_host_decode_plan in celt_host.cpp).
 static constexpr int kNB = 21, kFill = 4;
 static constexpr int kTier[3] = {224, 48, 16};
@@ -38,66 +38,57 @@ static constexpr int kTier[3] = {224, 48, 16};
 struct PlanArrays {
   std::vector<std::vector<uint8_t>> u8;
   std::vector<std::vector<int16_t>> i16;
+  std::vector<std::vector<uint16_t>> u16;
   std::vector<std::vector<int32_t>> i32;
   std::vector<std::vector<float>> f32;
   std::vector<std::vector<uint32_t>> u32;
   std::vector<std::vector<double>> f64;
-  void* ptrs[61];
+  void* ptrs[41];
 };
+
+// Wire format v2 (see celt_host.cpp celt_host_decode_plan layout comment).
+static constexpr int kPool = kNB * 2 * kFill;
 
 static void build_arrays(PlanArrays& a, int S, int C, int frame) {
   auto u8p = [&](size_t n) { a.u8.emplace_back(n, 0); return (void*)a.u8.back().data(); };
   auto i16p = [&](size_t n) { a.i16.emplace_back(n, 0); return (void*)a.i16.back().data(); };
+  auto u16p = [&](size_t n) { a.u16.emplace_back(n, 0); return (void*)a.u16.back().data(); };
   auto i32p = [&](size_t n) { a.i32.emplace_back(n, 0); return (void*)a.i32.back().data(); };
   auto f32p = [&](size_t n, float v = 0.f) { a.f32.emplace_back(n, v); return (void*)a.f32.back().data(); };
   auto u32p = [&](size_t n) { a.u32.emplace_back(n, 0); return (void*)a.u32.back().data(); };
   auto f64p = [&](size_t n) { a.f64.emplace_back(n, 0.0); return (void*)a.f64.back().data(); };
   int k = 0;
   a.ptrs[k++] = u8p(S);                                          // 0 direct
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 1-3 pvq_active
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 4-6 pvq_n
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 7-9 pvq_k
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 10-12 pvq_b
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 13-15 pvq_spread
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = f32p((size_t)S * kTier[t]);  // 16-18 pvq_gain
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u32p((size_t)S * kTier[t]);  // 19-21 pvq_idx
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = i16p((size_t)S * kTier[t]);  // 22-24 pvq_dst
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 25 call_active
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 26 call_has_lb
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 27 call_lb_src
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 28 call_lb_buf
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 29 call_blend_upto
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 30 call_pre
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 31 call_post
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 32 call_norm_write
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 33 call_norm_buf
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);                // 34 fill_active
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2 * kFill);                // 35 fill_fold
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * kFill);               // 36 fill_off
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * kFill);               // 37 fill_n
-  a.ptrs[k++] = f32p((size_t)S * kNB * 2 * kFill, 1.f);          // 38 fill_gain
-  a.ptrs[k++] = u32p((size_t)S * kNB * 2 * kFill);               // 39 fill_seed
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 40 merge_active
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 41 merge_mid
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 42 merge_inv
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 43 theta2_active
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 44 theta2_cswap
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 45 theta2_sign
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 46 theta2_mid
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 47 theta2_side
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 48 theta2_inv
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 49 n1_active
-  a.ptrs[k++] = f32p((size_t)S * kNB * 2);                       // 50 n1_val
-  a.ptrs[k++] = u8p(S);                                          // 51 ac_on
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 52 ac_masks
-  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 53 ac_r
-  a.ptrs[k++] = u32p(S);                                         // 54 ac_seed
-  a.ptrs[k++] = f32p((size_t)S * C * frame);                     // 55 x_direct
-  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                       // 56 band_log_e
-  a.ptrs[k++] = i32p((size_t)S * 4);                             // 57 iflags
-  a.ptrs[k++] = f64p(S);                                         // 58 pf_gain
-  a.ptrs[k++] = i32p(S);                                         // 59 rcs
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2 * 3);                   // 60 call_dup
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u16p((size_t)S * kTier[t]);  // 1-3 pvq_nk
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 4-6 pvq_meta
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = f32p((size_t)S * kTier[t]);  // 7-9 pvq_gain
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = u32p((size_t)S * kTier[t]);  // 10-12 pvq_idx
+  for (int t = 0; t < 3; t++) a.ptrs[k++] = i16p((size_t)S * kTier[t]);  // 13-15 pvq_dst
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 16 call_flags
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 17 call_combo
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 18 call_lb_src
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 19 call_blend_upto
+  a.ptrs[k++] = i16p((size_t)S * 2 * 4);                         // 20 dup_pool
+  a.ptrs[k++] = u8p((size_t)S * kPool);                          // 21 fill_cid
+  a.ptrs[k++] = i16p((size_t)S * kPool);                         // 22 fill_off
+  a.ptrs[k++] = i16p((size_t)S * kPool);                         // 23 fill_n
+  a.ptrs[k++] = f32p((size_t)S * kPool, 1.f);                    // 24 fill_gain
+  a.ptrs[k++] = u32p((size_t)S * kPool);                         // 25 fill_seed
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 26 bm_flags
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 27 bm_mid
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 28 bm_side
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 29 n1_as
+  a.ptrs[k++] = u8p(S);                                          // 30 ac_on
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 31 ac_masks
+  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 32 ac_r
+  a.ptrs[k++] = u32p(S);                                         // 33 ac_seed
+  a.ptrs[k++] = f32p((size_t)S * C * frame);                     // 34 x_direct
+  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                       // 35 band_log_e
+  a.ptrs[k++] = i32p((size_t)S * 4);                             // 36 iflags
+  a.ptrs[k++] = f64p(S);                                         // 37 pf_gain
+  a.ptrs[k++] = i32p(S);                                         // 38 rcs
+  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 39 ble32
+  a.ptrs[k++] = f32p(S);                                         // 40 pf32
 }
 
 int main(int argc, char** argv) {

@@ -1710,9 +1710,11 @@ namespace {
 // the same profile when sizing the arenas.
 constexpr int kTierN[3] = {16, 48, 176};
 int kTierSlots[3] = {224, 48, 16};
-int kFillSlots = 4;
+int kFillSlots = 4;           // per-call fold/noise cap (device dense F axis)
+int kFillPool = 21 * 2 * 4;   // per-stream fill Pool slots (wire planes)
 constexpr int kPool0 = 1;  // reserved zero cell
 constexpr int kLcgMax = 2048;
+constexpr int kDupPool = 2;  // special-hybrid-folding copies (<= 2 slots)
 
 uint32_t g_lcg_a[kLcgMax];
 uint32_t g_lcg_c[kLcgMax];
@@ -1740,55 +1742,47 @@ inline int combo_id(int b0, int tf, int M) {
 }
 
 // Per-stream views into the packed output arrays (already offset for s).
-// Narrow dtypes are chosen to minimise host write traffic and the H2D
-// arena transfer: every value provably fits (n<=176, K<=240 via
-// get_pulses(40), pool index<=8705, norm index<=1600, combo<=13, M<=8).
+// Wire format v2: bit-packed flag planes and pooled sparse records keep
+// the per-step H2D arena small (~3 KB/stream at the serving profile; the
+// device unpack in ops/band_exec_jax.unpack_plan_arenas reconstructs the
+// executor's logical planes with a handful of shifts/gathers). Every
+// value provably fits (n<=176, K<=255, B<=8, spread<=3, combo<=13,
+// callid = band*2+slot <= 41, norm index <= 1600).
 struct PlanOut {
   uint8_t* direct;
-  uint8_t* pvq_active[3];
-  uint8_t* pvq_n[3];
-  uint8_t* pvq_k[3];
-  uint8_t* pvq_b[3];
-  uint8_t* pvq_spread[3];
+  uint16_t* pvq_nk[3];      // n | k << 8
+  uint8_t* pvq_meta[3];     // active | log2(b) << 1 | spread << 4
   float* pvq_gain[3];
   uint32_t* pvq_idx[3];
   int16_t* pvq_dst[3];      // X-plane offset of each slot's leaf (the
                             // device rebuilds the gather map from these
                             // with a difference-array cumsum)
-  uint8_t* call_active;     // (21, 2)
-  uint8_t* call_has_lb;
+  uint8_t* call_flags;      // (21, 2): active | has_lb<<1 | lb_buf<<2 |
+                            //          norm_write<<3 | norm_buf<<4
+  uint8_t* call_combo;      // (21, 2): pre == post combo id
   int16_t* call_lb_src;
-  uint8_t* call_lb_buf;
   int16_t* call_blend_upto;
-  uint8_t* call_pre;
-  uint8_t* call_post;
-  uint8_t* call_norm_write;
-  uint8_t* call_norm_buf;
-  int16_t* call_dup;        // (21, 2, 3): window-local duplicate op
-                            // (dst_off, src_off, n) emulating
-                            // special_hybrid_folding (bands.rs) — the
-                            // lowband gather window self-copies before use
-  uint8_t* fill_active;     // (21, 2, 4)
-  uint8_t* fill_fold;
-  int16_t* fill_off;
+  int16_t* dup_pool;        // (kDupPool, 4): [callid, dst, src, n] —
+                            // window-local duplicate op emulating
+                            // special_hybrid_folding (bands.rs); at most
+                            // one band (start+1) x 2 slots per frame
+  uint8_t* fill_cid;        // (kFillPool,): active | fold<<1 | callid<<2
+  int16_t* fill_off;        // (kFillPool,)
   int16_t* fill_n;
   float* fill_gain;
   uint32_t* fill_seed;
-  uint8_t* merge_active;    // (21,)
-  float* merge_mid;
-  uint8_t* merge_inv;
-  uint8_t* theta2_active;
-  uint8_t* theta2_cswap;
-  float* theta2_sign;
-  float* theta2_mid;
-  float* theta2_side;
-  uint8_t* theta2_inv;
-  uint8_t* n1_active;       // (21, 2)
-  float* n1_val;
+  uint8_t* bm_flags;        // (21,): merge_active | merge_inv<<1 |
+                            // theta2_active<<2 | cswap<<3 | t_inv<<4 |
+                            // sign_neg<<5   (merge and theta2 exclusive)
+  float* bm_mid;            // (21,): merge_mid or theta2_mid
+  float* bm_side;           // (21,): theta2_side
+  uint8_t* n1_as;           // (21, 2): active | neg<<1
   uint8_t* ac_on;
   uint8_t* ac_masks;        // (21, 2)
   float* ac_r;              // (2, 21)
   uint32_t* ac_seed;
+  float* ble32;             // (2, 21) f32 copy of band_log_e
+  float* pf32;              // scalar f32 copy of pf_gain
 };
 
 struct PlanCtx {
@@ -1806,6 +1800,8 @@ struct PlanCtx {
   int band, slot;     // current top-level call location
   int call_base;      // absolute X-plane offset of the call's band vector
   int fill_used;      // fills recorded for the current call
+  int fill_pool_used; // fills recorded for the whole frame (pool slots)
+  int dup_used;       // dup_pool slots recorded
   bool failed;
   int frame;          // frame_size N (per channel plane)
   int dup_dst, dup_src, dup_n;  // pending special-hybrid-folding copy
@@ -1873,11 +1869,9 @@ uint32_t pq_alg_unquant(PlanCtx* ctx, int dst, int N, int K, int B,
     return cm;
   }
   int j = ctx->tier_used[t]++;
-  o->pvq_active[t][j] = 1;
-  o->pvq_n[t][j] = N;
-  o->pvq_k[t][j] = K;
-  o->pvq_b[t][j] = B;
-  o->pvq_spread[t][j] = ctx->spread;
+  o->pvq_nk[t][j] = (uint16_t)(N | (K << 8));
+  o->pvq_meta[t][j] =
+      (uint8_t)(1 | (__builtin_ctz(B) << 1) | (ctx->spread << 4));
   o->pvq_gain[t][j] = (float)gain;
   o->pvq_idx[t][j] = idx;
   o->pvq_dst[t][j] = (int16_t)dst;
@@ -1966,13 +1960,16 @@ uint32_t pq_partition(PlanCtx* ctx, int dst, int N, int b, int B,
       if (fill) {
         // noise (no lowband) or fold leaf; the executor replays the LCG
         PlanOut* o = ctx->out;
-        if (ctx->fill_used >= kFillSlots) {
+        if (ctx->fill_used >= kFillSlots ||
+            ctx->fill_pool_used >= kFillPool) {
           ctx->failed = true;
           return 0;
         }
-        int fs = (ctx->band * 2 + ctx->slot) * kFillSlots + ctx->fill_used++;
-        o->fill_active[fs] = 1;
-        o->fill_fold[fs] = has_lowband ? 1 : 0;
+        ctx->fill_used++;
+        int fs = ctx->fill_pool_used++;
+        int cid = ctx->band * 2 + ctx->slot;
+        o->fill_cid[fs] =
+            (uint8_t)(1 | (has_lowband ? 2 : 0) | (cid << 2));
         o->fill_off[fs] = dst - ctx->call_base;
         o->fill_n[fs] = N;
         o->fill_gain[fs] = (float)gain;
@@ -1998,16 +1995,13 @@ uint32_t pq_band_n1(PlanCtx* ctx, int dst, bool stereo, bool norm_write,
       ctx->remaining_bits -= 1 << BITRES;
     }
     int ch = c == 0 ? ctx->slot : 1;  // X in the call's slot, Y in ch 1
-    o->n1_active[ctx->band * 2 + ch] = 1;
-    o->n1_val[ctx->band * 2 + ch] = sign ? -1.0f : 1.0f;
+    o->n1_as[ctx->band * 2 + ch] = (uint8_t)(1 | (sign ? 2 : 0));
   }
-  o->call_active[ctx->band * 2 + ctx->slot] = 1;
-  o->call_pre[ctx->band * 2 + ctx->slot] = 0;
-  o->call_post[ctx->band * 2 + ctx->slot] = 0;
-  if (norm_write) {
-    o->call_norm_write[ctx->band * 2 + ctx->slot] = 1;
-    o->call_norm_buf[ctx->band * 2 + ctx->slot] = norm_buf;
-  }
+  int cs = ctx->band * 2 + ctx->slot;
+  o->call_flags[cs] |= 1;  // active; combo stays 0 (identity)
+  o->call_combo[cs] = 0;
+  if (norm_write)
+    o->call_flags[cs] |= (uint8_t)(8 | (norm_buf ? 16 : 0));
   (void)dst;
   return 1;
 }
@@ -2028,18 +2022,19 @@ uint32_t pq_band(PlanCtx* ctx, int dst, int N, int b, int B,
 
   PlanOut* o = ctx->out;
   int cs = ctx->band * 2 + ctx->slot;
-  o->call_active[cs] = 1;
+  uint8_t fl = 1;  // active
   ctx->call_base = dst;
   ctx->fill_used = 0;
   if (has_lowband) {
-    o->call_has_lb[cs] = 1;
-    o->call_lb_buf[cs] = lb_buf;
+    fl |= (uint8_t)(2 | (lb_buf ? 4 : 0));
     o->call_lb_src[cs] = lb_src;
     o->call_blend_upto[cs] = lb_buf == 0 ? avg_upto : -1;
-    if (ctx->dup_n > 0) {
-      o->call_dup[cs * 3 + 0] = (int16_t)(ctx->dup_dst - lb_src);
-      o->call_dup[cs * 3 + 1] = (int16_t)(ctx->dup_src - lb_src);
-      o->call_dup[cs * 3 + 2] = (int16_t)ctx->dup_n;
+    if (ctx->dup_n > 0 && ctx->dup_used < kDupPool) {
+      int16_t* dp = o->dup_pool + 4 * ctx->dup_used++;
+      dp[0] = (int16_t)cs;
+      dp[1] = (int16_t)(ctx->dup_dst - lb_src);
+      dp[2] = (int16_t)(ctx->dup_src - lb_src);
+      dp[3] = (int16_t)ctx->dup_n;
     }
   }
   int combo = combo_id(B_entry, tf_change, M);
@@ -2047,12 +2042,9 @@ uint32_t pq_band(PlanCtx* ctx, int dst, int N, int b, int B,
     ctx->failed = true;
     return 0;
   }
-  o->call_pre[cs] = combo;
-  o->call_post[cs] = combo;
-  if (norm_write) {
-    o->call_norm_write[cs] = 1;
-    o->call_norm_buf[cs] = norm_buf;
-  }
+  o->call_combo[cs] = (uint8_t)combo;
+  if (norm_write) fl |= (uint8_t)(8 | (norm_buf ? 16 : 0));
+  o->call_flags[cs] |= fl;
 
   // fill bookkeeping mirrors quant_band's lowband transforms
   for (int k = 0; k < recombine; k++)
@@ -2124,12 +2116,10 @@ uint32_t pq_band_stereo(PlanCtx* ctx, int dst_x, int dst_y, int N, int b,
     cm = pq_band(ctx, c ? dst_y : dst_x, N, mbits, B, has_lowband, 0, lb_src,
                  LM, norm_write, 0, 1.0, orig_fill, avg_upto, M);
     int bi = ctx->i;
-    o->theta2_active[bi] = 1;
-    o->theta2_cswap[bi] = c ? 1 : 0;
-    o->theta2_sign[bi] = (float)sign;
-    o->theta2_mid[bi] = (float)mid;
-    o->theta2_side[bi] = (float)side;
-    o->theta2_inv[bi] = inv ? 1 : 0;
+    o->bm_flags[bi] = (uint8_t)(4 | (c ? 8 : 0) | (inv ? 16 : 0) |
+                                (sign < 0 ? 32 : 0));
+    o->bm_mid[bi] = (float)mid;
+    o->bm_side[bi] = (float)side;
   } else {
     int bd = b - delta;
     int half = bd >= 0 ? bd / 2 : -((-bd + 1) / 2);
@@ -2159,9 +2149,8 @@ uint32_t pq_band_stereo(PlanCtx* ctx, int dst_x, int dst_y, int N, int b,
                     norm_write, 0, 1.0, fill, avg_upto, M);
     }
     int bi = ctx->i;
-    o->merge_active[bi] = 1;
-    o->merge_mid[bi] = (float)mid;
-    o->merge_inv[bi] = inv ? 1 : 0;
+    o->bm_flags[bi] = (uint8_t)(1 | (inv ? 2 : 0));
+    o->bm_mid[bi] = (float)mid;
   }
   return cm;
 }
@@ -2185,6 +2174,8 @@ uint32_t pq_all_bands(int start, int end, uint8_t* collapse_masks,
   ctx.disable_inv = disable_inv;
   ctx.out = out;
   ctx.tier_used[0] = ctx.tier_used[1] = ctx.tier_used[2] = 0;
+  ctx.fill_pool_used = 0;
+  ctx.dup_used = 0;
   ctx.failed = false;
   ctx.frame = frame;
   int avg_upto = -1;
@@ -2533,29 +2524,35 @@ void celt_host_set_plan_profile(int t0, int t1, int t2, int fills) {
   for (int t = 0; t < 3; t++)
     kTierSlots[t] = v[t] < 1 ? 1 : (v[t] > mx[t] ? mx[t] : v[t]);
   kFillSlots = fills < 1 ? 1 : (fills > 4 ? 4 : fills);
+  kFillPool = 21 * 2 * kFillSlots;
+}
+
+// Cap the per-stream fill POOL below the dense 21*2*fills bound (serving
+// profiles: typical 20 ms frames use <= 2 fills total; overflow falls back
+// to the direct decoder like a tier overflow). Call AFTER set_plan_profile.
+void celt_host_set_fill_pool(int pool) {
+  int mx = 21 * 2 * kFillSlots;
+  kFillPool = pool < 1 ? 1 : (pool > mx ? mx : pool);
 }
 
 // Plan-mode decode: symbols only; band signal math is recorded as a packed
 // plan for the device executor (mousiki_tpu/ops/band_exec_jax.py). `arrs`
-// is the packed-array pointer table for ALL S streams — 61 entries, in this
-// fixed order with these dtypes (must match the PlanOut views below and
-// mousiki_tpu/celt/host_native.py _PTR_ORDER/_PLANE_DTYPES):
-//   0 direct u8(S)  1-3 pvq_active u8(S,slots_t)  4-6 pvq_n u8
-//   7-9 pvq_k u8  10-12 pvq_b u8  13-15 pvq_spread u8  16-18 pvq_gain f32
-//   19-21 pvq_idx u32  22-24 pvq_dst i16(S,slots_t)
-//   25 call_active u8(S,21,2)
-//   26 call_has_lb u8  27 call_lb_src i16  28 call_lb_buf u8
-//   29 call_blend_upto i16  30 call_pre u8  31 call_post u8
-//   32 call_norm_write u8  33 call_norm_buf u8  34 fill_active u8(S,21,2,4)
-//   35 fill_fold u8  36 fill_off i16  37 fill_n i16  38 fill_gain f32
-//   39 fill_seed u32  40 merge_active u8(S,21)  41 merge_mid f32
-//   42 merge_inv u8  43 theta2_active u8  44 theta2_cswap u8
-//   45 theta2_sign f32  46 theta2_mid f32  47 theta2_side f32
-//   48 theta2_inv u8  49 n1_active u8(S,21,2)  50 n1_val f32
-//   51 ac_on u8(S)  52 ac_masks u8(S,21,2)  53 ac_r f32(S,2,21)
-//   54 ac_seed u32(S)  55 x_direct f32(S,C,frame)  56 band_log_e f64(S,2,21)
-//   57 iflags i32(S,4)  58 pf_gain f64(S)  59 rcs i32(S)
-//   60 call_dup i16(S,21,2,3)
+// is the packed-array pointer table for ALL S streams — wire format v2,
+// 41 entries, in this fixed order with these dtypes (must match the
+// PlanOut views below and mousiki_tpu/celt/host_native.py
+// _PTR_ORDER/_PLANE_DTYPES):
+//   0 direct u8(S)  1-3 pvq_nk u16(S,slots_t)  4-6 pvq_meta u8
+//     (active | log2(b)<<1 | spread<<4)
+//   7-9 pvq_gain f32  10-12 pvq_idx u32  13-15 pvq_dst i16(S,slots_t)
+//   16 call_flags u8(S,21,2)  17 call_combo u8  18 call_lb_src i16
+//   19 call_blend_upto i16  20 dup_pool i16(S,2,4)
+//   21 fill_cid u8(S,P)  22 fill_off i16  23 fill_n i16  24 fill_gain f32
+//   25 fill_seed u32  26 bm_flags u8(S,21)  27 bm_mid f32  28 bm_side f32
+//   29 n1_as u8(S,21,2)
+//   30 ac_on u8(S)  31 ac_masks u8(S,21,2)  32 ac_r f32(S,2,21)
+//   33 ac_seed u32(S)  34 x_direct f32(S,C,frame)  35 band_log_e f64(S,2,21)
+//   36 iflags i32(S,4)  37 pf_gain f64(S)  38 rcs i32(S)
+//   39 ble32 f32(S,2,21)  40 pf32 f32(S)
 int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
                                  int frame_size, int C, int start, int end,
                                  int disable_inv, void** arrs, int S, int s,
@@ -2642,69 +2639,52 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
     o.direct = (uint8_t*)arrs[0] + cs;
     for (int t = 0; t < 3; t++) {
       size_t so = cs * kTierSlots[t];
-      o.pvq_active[t] = (uint8_t*)arrs[1 + t] + so;
-      o.pvq_n[t] = (uint8_t*)arrs[4 + t] + so;
-      o.pvq_k[t] = (uint8_t*)arrs[7 + t] + so;
-      o.pvq_b[t] = (uint8_t*)arrs[10 + t] + so;
-      o.pvq_spread[t] = (uint8_t*)arrs[13 + t] + so;
-      o.pvq_gain[t] = (float*)arrs[16 + t] + so;
-      o.pvq_idx[t] = (uint32_t*)arrs[19 + t] + so;
-      o.pvq_dst[t] = (int16_t*)arrs[22 + t] + so;
+      o.pvq_nk[t] = (uint16_t*)arrs[1 + t] + so;
+      o.pvq_meta[t] = (uint8_t*)arrs[4 + t] + so;
+      o.pvq_gain[t] = (float*)arrs[7 + t] + so;
+      o.pvq_idx[t] = (uint32_t*)arrs[10 + t] + so;
+      o.pvq_dst[t] = (int16_t*)arrs[13 + t] + so;
     }
     size_t c2 = cs * NB * 2;
-    o.call_active = (uint8_t*)arrs[25] + c2;
-    o.call_has_lb = (uint8_t*)arrs[26] + c2;
-    o.call_lb_src = (int16_t*)arrs[27] + c2;
-    o.call_lb_buf = (uint8_t*)arrs[28] + c2;
-    o.call_blend_upto = (int16_t*)arrs[29] + c2;
-    o.call_pre = (uint8_t*)arrs[30] + c2;
-    o.call_post = (uint8_t*)arrs[31] + c2;
-    o.call_norm_write = (uint8_t*)arrs[32] + c2;
-    o.call_norm_buf = (uint8_t*)arrs[33] + c2;
-    size_t f4 = cs * NB * 2 * kFillSlots;
-    o.fill_active = (uint8_t*)arrs[34] + f4;
-    o.fill_fold = (uint8_t*)arrs[35] + f4;
-    o.fill_off = (int16_t*)arrs[36] + f4;
-    o.fill_n = (int16_t*)arrs[37] + f4;
-    o.fill_gain = (float*)arrs[38] + f4;
-    o.fill_seed = (uint32_t*)arrs[39] + f4;
+    o.call_flags = (uint8_t*)arrs[16] + c2;
+    o.call_combo = (uint8_t*)arrs[17] + c2;
+    o.call_lb_src = (int16_t*)arrs[18] + c2;
+    o.call_blend_upto = (int16_t*)arrs[19] + c2;
+    o.dup_pool = (int16_t*)arrs[20] + cs * kDupPool * 4;
+    size_t fp = cs * kFillPool;
+    o.fill_cid = (uint8_t*)arrs[21] + fp;
+    o.fill_off = (int16_t*)arrs[22] + fp;
+    o.fill_n = (int16_t*)arrs[23] + fp;
+    o.fill_gain = (float*)arrs[24] + fp;
+    o.fill_seed = (uint32_t*)arrs[25] + fp;
     size_t b1 = cs * NB;
-    o.merge_active = (uint8_t*)arrs[40] + b1;
-    o.merge_mid = (float*)arrs[41] + b1;
-    o.merge_inv = (uint8_t*)arrs[42] + b1;
-    o.theta2_active = (uint8_t*)arrs[43] + b1;
-    o.theta2_cswap = (uint8_t*)arrs[44] + b1;
-    o.theta2_sign = (float*)arrs[45] + b1;
-    o.theta2_mid = (float*)arrs[46] + b1;
-    o.theta2_side = (float*)arrs[47] + b1;
-    o.theta2_inv = (uint8_t*)arrs[48] + b1;
-    o.n1_active = (uint8_t*)arrs[49] + c2;
-    o.n1_val = (float*)arrs[50] + c2;
-    o.ac_on = (uint8_t*)arrs[51] + cs;
-    o.ac_masks = (uint8_t*)arrs[52] + c2;
-    o.ac_r = (float*)arrs[53] + cs * 2 * NB;
-    o.ac_seed = (uint32_t*)arrs[54] + cs;
-    o.call_dup = (int16_t*)arrs[60] + c2 * 3;
+    o.bm_flags = (uint8_t*)arrs[26] + b1;
+    o.bm_mid = (float*)arrs[27] + b1;
+    o.bm_side = (float*)arrs[28] + b1;
+    o.n1_as = (uint8_t*)arrs[29] + c2;
+    o.ac_on = (uint8_t*)arrs[30] + cs;
+    o.ac_masks = (uint8_t*)arrs[31] + c2;
+    o.ac_r = (float*)arrs[32] + cs * 2 * NB;
+    o.ac_seed = (uint32_t*)arrs[33] + cs;
+    o.ble32 = (float*)arrs[39] + cs * 2 * NB;
+    o.pf32 = (float*)arrs[40] + cs;
   }
-  float* x_direct = (float*)arrs[55] + (size_t)s * C * frame_size;
-  double* band_log_e = (double*)arrs[56] + (size_t)s * 2 * NB;
-  int32_t* iflags = (int32_t*)arrs[57] + (size_t)s * 4;
-  double* pf_gain = (double*)arrs[58] + s;
+  float* x_direct = (float*)arrs[34] + (size_t)s * C * frame_size;
+  double* band_log_e = (double*)arrs[35] + (size_t)s * 2 * NB;
+  int32_t* iflags = (int32_t*)arrs[36] + (size_t)s * 4;
+  double* pf_gain = (double*)arrs[37] + s;
 
   // zero the active flags (other fields are written when flagged)
   {
     PROF_SCOPE(MEMSET);
     memset(o.direct, 0, 1);
-    for (int t = 0; t < 3; t++) memset(o.pvq_active[t], 0, kTierSlots[t]);
-    memset(o.call_active, 0, NB * 2);
-    memset(o.call_has_lb, 0, NB * 2);
-    memset(o.call_norm_write, 0, NB * 2);
-    memset(o.fill_active, 0, NB * 2 * kFillSlots);
-    memset(o.merge_active, 0, NB);
-    memset(o.theta2_active, 0, NB);
-    memset(o.n1_active, 0, NB * 2);
+    for (int t = 0; t < 3; t++) memset(o.pvq_meta[t], 0, kTierSlots[t]);
+    memset(o.call_flags, 0, NB * 2);
+    memset(o.fill_cid, 0, kFillPool);
+    memset(o.bm_flags, 0, NB);
+    memset(o.n1_as, 0, NB * 2);
     memset(o.ac_on, 0, 1);
-    memset(o.call_dup, 0, NB * 2 * 3 * sizeof(int16_t));
+    memset(o.dup_pool, 0, kDupPool * 4 * sizeof(int16_t));
   }
   PROF_FRAME();
 
@@ -2861,9 +2841,12 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
     st->loss_count = snap_loss;
     if (ec_in) return -4;  // resumed (hybrid) streams cannot re-init the ec
     o.direct[0] = 1;
-    return celt_host_decode(p, data, len, frame_size, C, start, end,
-                            disable_inv, x_direct, band_log_e, iflags,
-                            pf_gain);
+    int rc = celt_host_decode(p, data, len, frame_size, C, start, end,
+                              disable_inv, x_direct, band_log_e, iflags,
+                              pf_gain);
+    for (int i = 0; i < 2 * NB; i++) o.ble32[i] = (float)band_log_e[i];
+    o.pf32[0] = (float)pf_gain[0];
+    return rc;
   }
 
   int anti_collapse_on = 0;
@@ -2943,6 +2926,8 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   iflags[2] = postfilter_pitch;
   iflags[3] = postfilter_tapset;
   *pf_gain = postfilter_gain;
+  for (int i = 0; i < 2 * NB; i++) o.ble32[i] = (float)band_log_e[i];
+  o.pf32[0] = (float)postfilter_gain;
 
   if (ec_tell(dec) > 8 * length) return -2;
   return dec->error ? -3 : 0;
@@ -3011,7 +2996,7 @@ void celt_host_decode_plan_batch(void** states, const uint8_t* blob,
                                  int S, int frame_size, int C, int start,
                                  int end, int disable_inv, void** arrs,
                                  int n_threads) {
-  int32_t* rcs = (int32_t*)arrs[59];
+  int32_t* rcs = (int32_t*)arrs[38];
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = 1;

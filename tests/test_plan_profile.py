@@ -18,7 +18,7 @@ from mousiki_tpu.testing import oracle
 pytestmark = pytest.mark.skipif(not host_native.available(),
                                 reason="native celt host unavailable")
 
-SERVING = ((144, 40, 8), 2)
+SERVING = ((144, 40, 8), 2, 8)
 
 
 @pytest.fixture
@@ -49,8 +49,8 @@ def _any_fallback(pipe) -> bool:
 
 
 def test_profile_roundtrip_and_layout(serving_profile):
-    tiers, fills = host_native.get_plan_profile()
-    assert tiers == SERVING[0] and fills == SERVING[1]
+    tiers, fills, pool = host_native.get_plan_profile()
+    assert (tiers, fills, pool) == SERVING
     _, sizes_srv = host_native.plan_arena_layout(1, 2, 960)
     host_native.set_plan_profile()
     _, sizes_full = host_native.plan_arena_layout(1, 2, 960)
