@@ -284,23 +284,28 @@ def bench_mixed(S, n_steps=96):
     return statistics.median(rates)
 
 
-def bench_encode(S=128, n_steps=12):
-    """CeltEncodePipeline: device front (preemph/pitch/transient/MDCT) +
-    native C++ symbol back half (PVQ search + range coding). Runs AFTER
-    the decode phases: its per-step D2H readbacks switch the tunneled
-    session to executable-reupload mode, so the fixed ~40 ms readback
-    tax dominates — batch size amortizes it."""
+def bench_encode(S=128, n_steps=24, K=8):
+    """CeltEncodePipeline in chunked serving mode: K frames per stream
+    per device dispatch (ops/encode_front_jax.front_scan) + native C++
+    symbol back half (PVQ search + range coding). Runs AFTER the decode
+    phases: encode readbacks switch the tunneled session to
+    executable-reupload mode, so the fixed per-dispatch+readback tax
+    (~40 ms) dominates per-frame stepping — the K-frame chunk pays it
+    once per K frames (160 ms of audio at K=8)."""
     from mousiki_tpu.pipeline import CeltEncodePipeline
     from mousiki_tpu.testing import oracle
-    sig = oracle.make_test_signal(960 * (n_steps + 2), 2, seed=7)
+    sig = oracle.make_test_signal(960 * (n_steps + K + 2), 2, seed=7)
     pipe = CeltEncodePipeline(S, channels=2, bitrate=128000)
-    pcm0 = np.stack([sig[:960]] * S)
-    pipe.step(pcm0)  # compile + warm
+
+    def chunk(i0):
+        return np.stack([np.stack(
+            [sig[(i0 + k + s % 2) * 960:(i0 + k + s % 2 + 1) * 960]
+             for s in range(S)]) for k in range(K)])
+
+    pipe.step_chunk(chunk(0))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        pcm = np.stack([sig[(i + s % 2) * 960:(i + s % 2 + 1) * 960]
-                        for s in range(S)])
-        pipe.step(pcm)
+    for i in range(0, n_steps, K):
+        pipe.step_chunk(chunk(i))
     return S * n_steps * 0.02 / (time.perf_counter() - t0)
 
 

@@ -24,6 +24,12 @@ void celt_host_ec_counts(uint64_t* out6);
 #endif
 void* celt_host_create();
 void celt_host_destroy(void*);
+#ifdef EC_RECORD
+void celt_host_ec_record_begin(void* vec);
+void celt_host_ec_record_end();
+uint32_t celt_host_ec_replay(const uint8_t* data, int len, const void* ops,
+                             int n_ops);
+#endif
 int celt_host_decode_plan(void* p, const uint8_t* data, int len,
                           int frame_size, int C, int start, int end,
                           int disable_inv, void** arrs, int S, int s);
@@ -139,6 +145,40 @@ int main(int argc, char** argv) {
     for (int i = 0; i < 6; i++)
       printf("  %s %.1f", nm[i], (double)c[i] / n_iter);
     printf("\n");
+  }
+#endif
+#ifdef EC_RECORD
+  // Record each frame's primitive EC op sequence, then time replaying
+  // ONLY the entropy ops: the serial range-decode floor of the plan stage.
+  {
+    struct Op { uint8_t kind; const uint8_t* icdf; uint32_t a, b, c; };
+    std::vector<std::vector<Op>> logs(n);
+    void* st2 = celt_host_create();
+    for (int i = 0; i < n; i++) {
+      celt_host_ec_record_begin(&logs[i]);
+      celt_host_decode_plan(st2, pkts[i].data(), (int)pkts[i].size(), 960, 2,
+                            0, 21, 0, a.ptrs, 1, 0);
+      celt_host_ec_record_end();
+    }
+    celt_host_destroy(st2);
+    double n_ops = 0;
+    for (auto& l : logs) n_ops += (double)l.size();
+    uint32_t sink = 0;
+    for (int i = 0; i < n; i++)  // warm
+      sink ^= celt_host_ec_replay(pkts[i].data(), (int)pkts[i].size(),
+                                  logs[i].data(), (int)logs[i].size());
+    auto r0 = std::chrono::steady_clock::now();
+    for (int it = 0; it < n_iter; it++) {
+      auto& p = pkts[it % n];
+      auto& l = logs[it % n];
+      sink ^= celt_host_ec_replay(p.data(), (int)p.size(), l.data(),
+                                  (int)l.size());
+    }
+    auto r1 = std::chrono::steady_clock::now();
+    double rus =
+        std::chrono::duration<double, std::micro>(r1 - r0).count() / n_iter;
+    printf("EC replay: %.3f us/frame (%.1f primitive ops/frame, sink %u)\n",
+           rus, n_ops / n, sink);
   }
 #endif
   celt_host_destroy(st);

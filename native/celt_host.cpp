@@ -44,6 +44,14 @@ struct Scope {
 };
 }  // namespace planprof
 #define PROF_SCOPE(ph) planprof::Scope _prof_scope_##ph(planprof::ph)
+#ifdef PLAN_PROF_LITE
+// per-frame scopes only: the per-call THETA/PULSES rdtsc fencing costs
+// ~60 cycles/scope and doubles the measured frame time; the lite mode
+// keeps the top-level split honest
+#define PROF_SCOPE_SUB(ph) ((void)0)
+#else
+#define PROF_SCOPE_SUB(ph) PROF_SCOPE(ph)
+#endif
 #define PROF_FRAME() planprof::frames++
 extern "C" void celt_host_prof_report() {
   double f = planprof::frames ? (double)planprof::frames : 1.0;
@@ -55,6 +63,7 @@ extern "C" void celt_host_prof_report() {
 }
 #else
 #define PROF_SCOPE(ph) ((void)0)
+#define PROF_SCOPE_SUB(ph) ((void)0)
 #define PROF_FRAME() ((void)0)
 #endif
 
@@ -126,17 +135,33 @@ void ec_dec_init(EcDec* d, const uint8_t* buf, uint32_t storage) {
 
 inline int ec_tell(const EcDec* d) { return d->nbits_total - ec_ilog(d->rng); }
 
-int ec_tell_frac(const EcDec* d) {
+// ec_tell_frac's 3-step square-and-extract refinement is a pure function
+// of the 16-bit normalized top of rng — precompute it (32 KB, L2-hot;
+// the loop is a ~20-cycle dependent chain on the theta path, 2 calls per
+// split).
+static uint8_t g_tellfrac[1 << 15];
+void build_tellfrac_table() {
+  static bool done = false;
+  if (done) return;
+  for (uint32_t i = 0; i < (1u << 15); i++) {
+    uint32_t r = i + (1u << 15);
+    int l = 0;
+    for (int k = 0; k < BITRES; k++) {
+      r = (r * r) >> 15;
+      int b = (int)(r >> 16);
+      l = (l << 1) | b;
+      r >>= b;
+    }
+    g_tellfrac[i] = (uint8_t)l;
+  }
+  done = true;
+}
+
+inline int ec_tell_frac(const EcDec* d) {
   uint32_t nbits = (uint32_t)d->nbits_total << BITRES;
   int l = ec_ilog(d->rng);
   uint32_t r = d->rng >> (l - 16);
-  for (int i = 0; i < BITRES; i++) {
-    r = (r * r) >> 15;
-    int b = (int)(r >> 16);
-    l = (l << 1) | b;
-    r >>= b;
-  }
-  return (int)(nbits - l);
+  return (int)(nbits - (((uint32_t)l << BITRES) | g_tellfrac[r - (1u << 15)]));
 }
 
 #ifdef PLAN_PROF
@@ -156,8 +181,33 @@ extern "C" void celt_host_ec_counts(uint64_t* out6) {
 #define EC_COUNT(x) ((void)0)
 #endif
 
+// Optional EC-op recorder (build with -DEC_RECORD): captures the exact
+// primitive range-decoder op sequence of a plan decode so a harness can
+// replay ONLY the entropy ops on the same payload — this measures the
+// irreducible serial EC cost apart from the band-walk bookkeeping.
+// Production builds compile the hooks away.
+#ifdef EC_RECORD
+#include <vector>
+namespace ecrec {
+struct Op {
+  uint8_t kind;  // 0 decode 1 decode_bin 2 update 3 bit_logp 4 icdf 5 bits
+  const uint8_t* icdf;
+  uint32_t a, b, c;
+};
+static std::vector<Op>* log_ = nullptr;
+}  // namespace ecrec
+#define EC_REC(k, ic, A, B, C_) \
+  do { \
+    if (ecrec::log_) ecrec::log_->push_back({(uint8_t)(k), (ic), \
+        (uint32_t)(A), (uint32_t)(B), (uint32_t)(C_)}); \
+  } while (0)
+#else
+#define EC_REC(k, ic, A, B, C_) ((void)0)
+#endif
+
 uint32_t ec_decode(EcDec* d, uint32_t ft) {
   EC_COUNT(n_decode);
+  EC_REC(0, nullptr, ft, 0, 0);
   d->ext = d->rng / ft;
   uint32_t s = d->val / d->ext;
   return ft - std::min(s + 1, ft);
@@ -165,12 +215,14 @@ uint32_t ec_decode(EcDec* d, uint32_t ft) {
 
 uint32_t ec_decode_bin(EcDec* d, int bits) {
   EC_COUNT(n_decode_bin);
+  EC_REC(1, nullptr, bits, 0, 0);
   d->ext = d->rng >> bits;
   uint32_t s = d->val / d->ext;
   return (1u << bits) - std::min(s + 1, (uint32_t)1u << bits);
 }
 
 void ec_dec_update(EcDec* d, uint32_t fl, uint32_t fh, uint32_t ft) {
+  EC_REC(2, nullptr, fl, fh, ft);
   uint32_t s = d->ext * (ft - fh);
   d->val -= s;
   d->rng = fl > 0 ? d->ext * (fh - fl) : d->rng - s;
@@ -179,6 +231,7 @@ void ec_dec_update(EcDec* d, uint32_t fl, uint32_t fh, uint32_t ft) {
 
 int ec_dec_bit_logp(EcDec* d, int logp) {
   EC_COUNT(n_bit_logp);
+  EC_REC(3, nullptr, logp, 0, 0);
   uint32_t r = d->rng, dv = d->val, s = r >> logp;
   int ret = dv < s;
   if (!ret) d->val = dv - s;
@@ -189,6 +242,7 @@ int ec_dec_bit_logp(EcDec* d, int logp) {
 
 int ec_dec_icdf(EcDec* d, const uint8_t* icdf, int ftb) {
   EC_COUNT(n_icdf);
+  EC_REC(4, icdf, ftb, 0, 0);
   uint32_t s = d->rng, dv = d->val, r = s >> ftb, t;
   int ret = -1;
   do {
@@ -203,6 +257,7 @@ int ec_dec_icdf(EcDec* d, const uint8_t* icdf, int ftb) {
 
 uint32_t ec_dec_bits(EcDec* d, int bits) {
   EC_COUNT(n_bits);
+  EC_REC(5, nullptr, bits, 0, 0);
   uint32_t window = d->end_window;
   int avail = d->nend_bits;
   if (avail < bits) {
@@ -932,7 +987,9 @@ int bitexact_log2tan(int isin, int icos) {
 }
 
 inline uint32_t isqrt32(uint32_t v) {
-  uint32_t r = (uint32_t)sqrt((double)v);
+  // theta-path arguments are < 8*(qn/2+1)^2+1 <= ~133k, exact in f32;
+  // sqrtf is ~20 cycles cheaper than the double path, fixups keep it exact
+  uint32_t r = (uint32_t)sqrtf((float)v);
   while (r > 0 && (uint64_t)r * r > v) r--;
   while ((uint64_t)(r + 1) * (r + 1) <= v) r++;
   return r;
@@ -1038,7 +1095,7 @@ struct SplitCtx {
 void compute_theta_impl(EcDec* ec, int i, int intensity, int remaining_bits,
                         bool disable_inv, SplitCtx* sctx, int N, int* b,
                         int B, int B0, int LM, bool stereo, uint32_t* fill) {
-  PROF_SCOPE(THETA);
+  PROF_SCOPE_SUB(THETA);
   int inv = 0, itheta = 0;
 
   int pulse_cap = (int)kLogN[i] + LM * (1 << BITRES);
@@ -1851,7 +1908,7 @@ void cwrs_iy(uint32_t idx, int* iy, int n, int k) {
 
 uint32_t pq_alg_unquant(PlanCtx* ctx, int dst, int N, int K, int B,
                         double gain) {
-  PROF_SCOPE(PULSES);
+  PROF_SCOPE_SUB(PULSES);
   uint32_t idx = ec_dec_uint(ctx->ec, pvq_v(N, K));
   uint32_t cm;
   if (B <= 1) {
@@ -2288,11 +2345,40 @@ uint32_t pq_all_bands(int start, int end, uint8_t* collapse_masks,
 // ------------------------------------------------------------------ C API
 extern "C" {
 
+#ifdef EC_RECORD
+// Harness API (bench_plan.cpp -DEC_RECORD): route ops into `log`, then
+// replay n_ops recorded primitives on a fresh decoder over `data`.
+void celt_host_ec_record_begin(void* vec) {
+  ecrec::log_ = (std::vector<ecrec::Op>*)vec;
+}
+void celt_host_ec_record_end() { ecrec::log_ = nullptr; }
+uint32_t celt_host_ec_replay(const uint8_t* data, int len, const void* ops_v,
+                             int n_ops) {
+  const ecrec::Op* ops = (const ecrec::Op*)ops_v;
+  EcDec dec;
+  ec_dec_init(&dec, data, (uint32_t)len);
+  uint32_t acc = 0;
+  for (int i = 0; i < n_ops; i++) {
+    const ecrec::Op& o = ops[i];
+    switch (o.kind) {
+      case 0: acc += ec_decode(&dec, o.a); break;
+      case 1: acc += ec_decode_bin(&dec, (int)o.a); break;
+      case 2: ec_dec_update(&dec, o.a, o.b, o.c); break;
+      case 3: acc += (uint32_t)ec_dec_bit_logp(&dec, (int)o.a); break;
+      case 4: acc += (uint32_t)ec_dec_icdf(&dec, o.icdf, (int)o.a); break;
+      case 5: acc += ec_dec_bits(&dec, (int)o.a); break;
+    }
+  }
+  return acc ^ dec.rng;
+}
+#endif
+
 void* celt_host_create() {
   build_u_table();
   build_lcg_jump();
   build_b2p_table();
   build_recip_table();
+  build_tellfrac_table();
   CeltHost* st = new CeltHost();
   celt_host_reset_impl(st);
   return st;
@@ -4923,6 +5009,7 @@ void* celt_enc_host_create(int channels, int complexity, int disable_inv) {
   build_u_table();
   build_b2p_table();
   build_recip_table();
+  build_tellfrac_table();
   CeltEncHost* st = new CeltEncHost();
   st->channels = channels;
   st->complexity = complexity;

@@ -41,3 +41,27 @@ def pytest_configure(config):
         "markers",
         "tpu: device-kernel tests worth re-running on the real TPU "
         "backend (MOUSIKI_TPU_TESTS=1 pytest -m tpu)")
+
+
+@pytest.fixture(autouse=True)
+def _reap_xla_executables(request):
+    """Drop JAX's compiled-executable caches after each heavyweight
+    lockstep test.
+
+    The lockstep research decoders compile enormous CPU executables
+    (hundreds of MB of LLVM JIT code per parametrization, ~30 of them);
+    keeping every one alive for the rest of the session eventually
+    crashes a later XLA CPU compile inside LLVM (segfault in
+    backend_compile_and_load — observed deterministically at the 93rd
+    test of the full run, right after the three lockstep files).
+    Releasing the executables between tests keeps the per-process JIT
+    code footprint bounded. Scoped to the lockstep files only: the rest
+    of the suite benefits from cross-test jit cache reuse.
+    """
+    yield
+    if "lockstep" in request.node.nodeid:
+        try:
+            import jax
+            jax.clear_caches()
+        except ImportError:
+            pass
