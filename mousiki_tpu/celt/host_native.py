@@ -166,16 +166,19 @@ def _apply_profile(lib) -> None:
     lib.celt_host_set_plan_profile(t[0], t[1], t[2], f)
     lib.celt_host_set_fill_pool(p)
 
-# Plane dtypes mirror native PlanOut (celt_host.cpp, wire format v2):
-# bit-packed flag planes and pooled sparse records keep host write traffic
-# and the per-step H2D arena transfer small (~3 KB/stream at the serving
-# profile). ops/band_exec_jax.unpack_plan_arenas reconstructs the
-# executor's logical planes on device.
+# Plane dtypes mirror native PlanOut (celt_host.cpp, wire format v3):
+# bit-packed flag planes, pooled sparse records, and ONE sequential
+# 16-byte record per PVQ leaf (the device scatters records into the
+# executor's tier planes with a cumsum at unpack — v2's tier-SoA layout
+# cost ~2 us/frame of scattered host stores).
+# ops/band_exec_jax.unpack_plan_arenas reconstructs the executor's
+# logical planes on device.
 _PLANE_DTYPES = {
     "direct": np.uint8,
-    "pvq_nk": np.uint16,       # n | k << 8
-    "pvq_meta": np.uint8,      # active | log2(b) << 1 | spread << 4
-    "pvq_gain": np.float32, "pvq_idx": np.uint32, "pvq_dst": np.int16,
+    "pvq_rec": np.uint32,      # (R, 4): w0 = n | k<<8 | log2(b)<<16 |
+                               # spread<<19 | tier<<21 | active<<23;
+                               # w1 = gain f32 bits; w2 = idx; w3 = dst
+    "pvq_cnt": np.uint16,      # records written per stream
     "call_flags": np.uint8,    # active|has_lb<<1|lb_buf<<2|nwr<<3|nbuf<<4
     "call_combo": np.uint8,    # pre == post combo id
     "call_lb_src": np.int16, "call_blend_upto": np.int16,
@@ -193,25 +196,22 @@ _PLANE_DTYPES = {
     "lost8": np.uint8,
 }
 
-# Native pointer-table order (41 entries; see celt_host_decode_plan).
-_PTR_ORDER = (["direct"]
-              + [("pvq_nk", t) for t in range(3)]
-              + [("pvq_meta", t) for t in range(3)]
-              + [("pvq_gain", t) for t in range(3)]
-              + [("pvq_idx", t) for t in range(3)]
-              + [("pvq_dst", t) for t in range(3)]
-              + ["call_flags", "call_combo", "call_lb_src",
-                 "call_blend_upto", "dup_pool", "fill_cid", "fill_off",
-                 "fill_n", "fill_gain", "fill_seed", "bm_flags", "bm_mid",
-                 "bm_side", "n1_as", "ac_on", "ac_masks", "ac_r", "ac_seed",
-                 "x_direct", "band_log_e", "iflags", "pf_gain", "rcs",
-                 "ble32", "pf32"])
+# Native pointer-table order (28 entries; see celt_host_decode_plan).
+_PTR_ORDER = (["direct", "pvq_rec", "pvq_cnt",
+               "call_flags", "call_combo", "call_lb_src",
+               "call_blend_upto", "dup_pool", "fill_cid", "fill_off",
+               "fill_n", "fill_gain", "fill_seed", "bm_flags", "bm_mid",
+               "bm_side", "n1_as", "ac_on", "ac_masks", "ac_r", "ac_seed",
+               "x_direct", "band_log_e", "iflags", "pf_gain", "rcs",
+               "ble32", "pf32"])
 
 
 def _plane_shapes(S: int, channels: int, frame: int) -> dict:
     c2, b1, fp = (S, _NB, 2), (S, _NB), (S, _POOL)
+    R = sum(s for _, s in _TIERS)
     shapes = {
         "direct": (S,),
+        "pvq_rec": (S, R, 4), "pvq_cnt": (S,),
         "call_flags": c2, "call_combo": c2, "call_lb_src": c2,
         "call_blend_upto": c2, "dup_pool": (S, _DUP, 4),
         "fill_cid": fp, "fill_off": fp, "fill_n": fp,
@@ -225,33 +225,58 @@ def _plane_shapes(S: int, channels: int, frame: int) -> dict:
         # (each fixed transfer through the device tunnel costs ~0.1 ms)
         "lost8": (S,),
     }
-    for t, (_, slots) in enumerate(_TIERS):
-        for k in ("pvq_nk", "pvq_meta", "pvq_gain", "pvq_idx", "pvq_dst"):
-            shapes[(k, t)] = (S, slots)
     return shapes
 
 
 def wire_to_logical(views: dict) -> dict:
     """Reconstruct the executor's LOGICAL plan planes (plan_pack.pack_plans
-    layout) from the v2 wire views — the numpy twin of the device-side
+    layout) from the v3 wire views — the numpy twin of the device-side
     unpack in ops/band_exec_jax.unpack_plan_arenas (tests compare these to
     the Python packer's output)."""
     S = views["direct"].shape[0]
     out = {"direct": views["direct"]}
     out["pvq_active"], out["pvq_n"], out["pvq_k"] = [], [], []
     out["pvq_b"], out["pvq_spread"] = [], []
-    for t in range(3):
-        nk = views["pvq_nk"][t].astype(np.int32)
-        meta = views["pvq_meta"][t].astype(np.int32)
-        out["pvq_active"].append((meta & 1).astype(np.uint8))
-        out["pvq_n"].append((nk & 0xFF).astype(np.uint8))
-        out["pvq_k"].append((nk >> 8).astype(np.uint8))
-        out["pvq_b"].append(((1 << ((meta >> 1) & 7)) * (meta & 1))
-                            .astype(np.uint8))
-        out["pvq_spread"].append((meta >> 4).astype(np.uint8))
-    out["pvq_gain"] = list(views["pvq_gain"])
-    out["pvq_idx"] = list(views["pvq_idx"])
-    out["pvq_dst"] = list(views["pvq_dst"])
+    out["pvq_gain"], out["pvq_idx"], out["pvq_dst"] = [], [], []
+    rec = views["pvq_rec"]                      # (S, R, 4) uint32
+    cnt = views["pvq_cnt"].astype(np.int32)     # (S,)
+    R = rec.shape[1]
+    w0 = rec[..., 0].astype(np.int64)
+    valid = np.arange(R)[None, :] < cnt[:, None]
+    tier = np.where(valid, (w0 >> 21) & 3, -1)
+    gain_all = rec[..., 1].copy().view(np.float32)
+    dst_all = rec[..., 3].astype(np.int32)
+    for t, (_, slots) in enumerate(_TIERS):
+        sel = tier == t
+        # slot index within the tier = running count of same-tier records
+        pos = np.cumsum(sel, axis=1) - 1
+        act = np.zeros((S, slots), np.uint8)
+        n = np.zeros((S, slots), np.uint8)
+        k = np.zeros((S, slots), np.uint8)
+        b = np.zeros((S, slots), np.uint8)
+        spread = np.zeros((S, slots), np.uint8)
+        gain = np.zeros((S, slots), np.float32)
+        idx = np.zeros((S, slots), np.uint32)
+        dst = np.zeros((S, slots), np.int16)
+        rows, cols = np.nonzero(sel)
+        j = pos[rows, cols]
+        w = w0[rows, cols]
+        act[rows, j] = 1
+        n[rows, j] = w & 0xFF
+        k[rows, j] = (w >> 8) & 0xFF
+        b[rows, j] = 1 << ((w >> 16) & 7)
+        spread[rows, j] = (w >> 19) & 3
+        gain[rows, j] = gain_all[rows, cols]
+        idx[rows, j] = rec[rows, cols, 2]
+        dst[rows, j] = dst_all[rows, cols]
+        out["pvq_active"].append(act)
+        out["pvq_n"].append(n)
+        out["pvq_k"].append(k)
+        out["pvq_b"].append(b)
+        out["pvq_spread"].append(spread)
+        out["pvq_gain"].append(gain)
+        out["pvq_idx"].append(idx)
+        out["pvq_dst"].append(dst)
     cf = views["call_flags"].astype(np.int32)
     out["call_active"] = (cf & 1).astype(np.uint8)
     out["call_has_lb"] = ((cf >> 1) & 1).astype(np.uint8)

@@ -730,18 +730,21 @@ def plan_synthesis_step(consts, state, packed, x_direct, band_log_e,
 
 def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
     """Reconstruct the LOGICAL plan-plane dict from the three packed
-    arenas (wire format v2 — bit-packed flags, pooled fills/dups; the
+    arenas (wire format v3 — bit-packed flags, pooled fills/dups, and
+    sequential 16-byte PVQ leaf records that are tier-scattered HERE,
+    on device, so the host writes one contiguous record stream; the
     numpy twin is host_native.wire_to_logical).
 
     Traced: slicing at static offsets is free for XLA; f32/u32 planes are
     same-width bitcasts of the int32 arena (no endianness concerns); the
-    bitfield splits and the two pool scatters are a few fused elementwise
-    ops — the arena shrink (~2x smaller H2D) is worth far more than they
-    cost. Returns (p, ble, pf_gain, iflags): p has PLAN_KEYS (narrow
-    dtypes — execute_packed normalizes), ble is (S, 2, 21) f32.
+    bitfield splits, the record cumsum, and the pool scatters are a few
+    fused elementwise ops — the host-store/arena savings are worth far
+    more than they cost. Returns (p, ble, pf_gain, iflags): p has
+    PLAN_KEYS (narrow dtypes — execute_packed normalizes), ble is
+    (S, 2, 21) f32.
     """
     from ..celt.host_native import (_DUP, _FILL, _PLANE_DTYPES, _POOL,
-                                    plan_arena_layout)
+                                    _TIERS, plan_arena_layout)
 
     arenas = {"a8": a8, "a16": a16, "a32": a32}
 
@@ -773,17 +776,34 @@ def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
     p = {"direct": plane("direct")}
     p["pvq_active"], p["pvq_n"], p["pvq_k"] = [], [], []
     p["pvq_b"], p["pvq_spread"] = [], []
-    for t in range(3):
-        nk = plane(("pvq_nk", t)).astype(jnp.int32)
-        meta = plane(("pvq_meta", t)).astype(jnp.int32)
-        p["pvq_active"].append(meta & 1)
-        p["pvq_n"].append(nk & 0xFF)
-        p["pvq_k"].append(nk >> 8)
-        p["pvq_b"].append(jnp.where(meta & 1, 1 << ((meta >> 1) & 7), 0))
-        p["pvq_spread"].append(meta >> 4)
-    p["pvq_gain"] = [plane(("pvq_gain", t)) for t in range(3)]
-    p["pvq_idx"] = [plane(("pvq_idx", t)) for t in range(3)]
-    p["pvq_dst"] = [plane(("pvq_dst", t)) for t in range(3)]
+    p["pvq_gain"], p["pvq_idx"], p["pvq_dst"] = [], [], []
+    # sequential leaf records -> tier planes (one scatter per tier; the
+    # slot index within a tier is a cumsum over same-tier records, which
+    # reproduces the host's emission order exactly)
+    rec = plane("pvq_rec")                          # (S, R, 4) uint32
+    cnt = plane("pvq_cnt").astype(jnp.int32)        # (S,)
+    R = rec.shape[1]
+    w0r = rec[..., 0].astype(jnp.int32)
+    validr = jnp.arange(R, dtype=jnp.int32)[None, :] < cnt[:, None]
+    tierr = jnp.where(validr, (w0r >> 21) & 3, -1)
+    rrows = jnp.arange(S, dtype=jnp.int32)[:, None]
+    for t, (_, slots) in enumerate(_TIERS):
+        sel = tierr == t
+        pos = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
+        j = jnp.where(sel, pos, slots)              # invalid -> dropped
+        rt = jnp.zeros((S, slots, 4), jnp.uint32).at[rrows, j].set(
+            rec, mode="drop")
+        w0 = rt[..., 0].astype(jnp.int32)
+        act = (w0 >> 23) & 1
+        p["pvq_active"].append(act)
+        p["pvq_n"].append(w0 & 0xFF)
+        p["pvq_k"].append((w0 >> 8) & 0xFF)
+        p["pvq_b"].append(jnp.where(act == 1, 1 << ((w0 >> 16) & 7), 0))
+        p["pvq_spread"].append((w0 >> 19) & 3)
+        p["pvq_gain"].append(
+            lax.bitcast_convert_type(rt[..., 1], jnp.float32))
+        p["pvq_idx"].append(rt[..., 2])
+        p["pvq_dst"].append(rt[..., 3].astype(jnp.int32))
 
     cf = plane("call_flags").astype(jnp.int32)
     p["call_active"] = cf & 1

@@ -36,7 +36,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
 }
 
 // Array layout + dtypes mirror mousiki_tpu/celt/host_native.py
-// (_PTR_ORDER / _PLANE_DTYPES, 41 pointers; see the layout comment above
+// (_PTR_ORDER / _PLANE_DTYPES, 28 pointers; see the layout comment above
 // celt_host_decode_plan in celt_host.cpp).
 static constexpr int kNB = 21, kFill = 4;
 static constexpr int kTier[3] = {224, 48, 16};
@@ -49,10 +49,10 @@ struct PlanArrays {
   std::vector<std::vector<float>> f32;
   std::vector<std::vector<uint32_t>> u32;
   std::vector<std::vector<double>> f64;
-  void* ptrs[41];
+  void* ptrs[28];
 };
 
-// Wire format v2 (see celt_host.cpp celt_host_decode_plan layout comment).
+// Wire format v3 (see celt_host.cpp celt_host_decode_plan layout comment).
 static constexpr int kPool = kNB * 2 * kFill;
 
 static void build_arrays(PlanArrays& a, int S, int C, int frame) {
@@ -63,38 +63,36 @@ static void build_arrays(PlanArrays& a, int S, int C, int frame) {
   auto f32p = [&](size_t n, float v = 0.f) { a.f32.emplace_back(n, v); return (void*)a.f32.back().data(); };
   auto u32p = [&](size_t n) { a.u32.emplace_back(n, 0); return (void*)a.u32.back().data(); };
   auto f64p = [&](size_t n) { a.f64.emplace_back(n, 0.0); return (void*)a.f64.back().data(); };
+  const size_t kRec = (size_t)(kTier[0] + kTier[1] + kTier[2]);
   int k = 0;
   a.ptrs[k++] = u8p(S);                                          // 0 direct
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u16p((size_t)S * kTier[t]);  // 1-3 pvq_nk
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u8p((size_t)S * kTier[t]);   // 4-6 pvq_meta
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = f32p((size_t)S * kTier[t]);  // 7-9 pvq_gain
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = u32p((size_t)S * kTier[t]);  // 10-12 pvq_idx
-  for (int t = 0; t < 3; t++) a.ptrs[k++] = i16p((size_t)S * kTier[t]);  // 13-15 pvq_dst
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 16 call_flags
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 17 call_combo
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 18 call_lb_src
-  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 19 call_blend_upto
-  a.ptrs[k++] = i16p((size_t)S * 2 * 4);                         // 20 dup_pool
-  a.ptrs[k++] = u8p((size_t)S * kPool);                          // 21 fill_cid
-  a.ptrs[k++] = i16p((size_t)S * kPool);                         // 22 fill_off
-  a.ptrs[k++] = i16p((size_t)S * kPool);                         // 23 fill_n
-  a.ptrs[k++] = f32p((size_t)S * kPool, 1.f);                    // 24 fill_gain
-  a.ptrs[k++] = u32p((size_t)S * kPool);                         // 25 fill_seed
-  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 26 bm_flags
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 27 bm_mid
-  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 28 bm_side
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 29 n1_as
-  a.ptrs[k++] = u8p(S);                                          // 30 ac_on
-  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 31 ac_masks
-  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 32 ac_r
-  a.ptrs[k++] = u32p(S);                                         // 33 ac_seed
-  a.ptrs[k++] = f32p((size_t)S * C * frame);                     // 34 x_direct
-  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                       // 35 band_log_e
-  a.ptrs[k++] = i32p((size_t)S * 4);                             // 36 iflags
-  a.ptrs[k++] = f64p(S);                                         // 37 pf_gain
-  a.ptrs[k++] = i32p(S);                                         // 38 rcs
-  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 39 ble32
-  a.ptrs[k++] = f32p(S);                                         // 40 pf32
+  a.ptrs[k++] = u32p((size_t)S * kRec * 4);                      // 1 pvq_rec
+  a.ptrs[k++] = u16p(S);                                         // 2 pvq_cnt
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 3 call_flags
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 4 call_combo
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 5 call_lb_src
+  a.ptrs[k++] = i16p((size_t)S * kNB * 2);                       // 6 call_blend_upto
+  a.ptrs[k++] = i16p((size_t)S * 2 * 4);                         // 7 dup_pool
+  a.ptrs[k++] = u8p((size_t)S * kPool);                          // 8 fill_cid
+  a.ptrs[k++] = i16p((size_t)S * kPool);                         // 9 fill_off
+  a.ptrs[k++] = i16p((size_t)S * kPool);                         // 10 fill_n
+  a.ptrs[k++] = f32p((size_t)S * kPool, 1.f);                    // 11 fill_gain
+  a.ptrs[k++] = u32p((size_t)S * kPool);                         // 12 fill_seed
+  a.ptrs[k++] = u8p((size_t)S * kNB);                            // 13 bm_flags
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 14 bm_mid
+  a.ptrs[k++] = f32p((size_t)S * kNB);                           // 15 bm_side
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 16 n1_as
+  a.ptrs[k++] = u8p(S);                                          // 17 ac_on
+  a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 18 ac_masks
+  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 19 ac_r
+  a.ptrs[k++] = u32p(S);                                         // 20 ac_seed
+  a.ptrs[k++] = f32p((size_t)S * C * frame);                     // 21 x_direct
+  a.ptrs[k++] = f64p((size_t)S * 2 * kNB);                       // 22 band_log_e
+  a.ptrs[k++] = i32p((size_t)S * 4);                             // 23 iflags
+  a.ptrs[k++] = f64p(S);                                         // 24 pf_gain
+  a.ptrs[k++] = i32p(S);                                         // 25 rcs
+  a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 26 ble32
+  a.ptrs[k++] = f32p(S);                                         // 27 pf32
 }
 
 int main(int argc, char** argv) {
@@ -163,6 +161,23 @@ int main(int argc, char** argv) {
     celt_host_destroy(st2);
     double n_ops = 0;
     for (auto& l : logs) n_ops += (double)l.size();
+    {  // ft histogram for the division-bound ops (kind 0 = ec_decode)
+      std::vector<std::pair<uint32_t, int>> hist;
+      int pow2 = 0, other = 0;
+      for (auto& l : logs)
+        for (auto& op : l)
+          if (op.kind == 0) {
+            if ((op.a & (op.a - 1)) == 0) { pow2++; continue; }
+            other++;
+            bool found = false;
+            for (auto& h : hist)
+              if (h.first == op.a) { h.second++; found = true; break; }
+            if (!found) hist.push_back({op.a, 1});
+          }
+      printf("ec_decode ft: pow2 %.1f/frame, other %.1f/frame, "
+             "%zu distinct non-pow2\n",
+             (double)pow2 / n, (double)other / n, hist.size());
+    }
     uint32_t sink = 0;
     for (int i = 0; i < n; i++)  // warm
       sink ^= celt_host_ec_replay(pkts[i].data(), (int)pkts[i].size(),

@@ -1799,21 +1799,24 @@ inline int combo_id(int b0, int tf, int M) {
 }
 
 // Per-stream views into the packed output arrays (already offset for s).
-// Wire format v2: bit-packed flag planes and pooled sparse records keep
-// the per-step H2D arena small (~3 KB/stream at the serving profile; the
-// device unpack in ops/band_exec_jax.unpack_plan_arenas reconstructs the
-// executor's logical planes with a handful of shifts/gathers). Every
-// value provably fits (n<=176, K<=255, B<=8, spread<=3, combo<=13,
-// callid = band*2+slot <= 41, norm index <= 1600).
+// Wire format v3: bit-packed flag planes, pooled sparse records, and ONE
+// sequential 16-byte record per PVQ leaf (the v2 tier-SoA layout cost
+// ~2 us/frame in scattered stores across 15 cache-distant planes; v3
+// leaves land as a single contiguous write stream and the DEVICE does
+// the tier scatter with a cumsum at unpack —
+// ops/band_exec_jax.unpack_plan_arenas). Every value provably fits
+// (n<=176, K<=255, B<=8, spread<=3, combo<=13, callid = band*2+slot
+// <= 41, norm index <= 1600).
 struct PlanOut {
   uint8_t* direct;
-  uint16_t* pvq_nk[3];      // n | k << 8
-  uint8_t* pvq_meta[3];     // active | log2(b) << 1 | spread << 4
-  float* pvq_gain[3];
-  uint32_t* pvq_idx[3];
-  int16_t* pvq_dst[3];      // X-plane offset of each slot's leaf (the
+  uint32_t* pvq_rec;        // (R, 4) sequential leaf records, R = sum of
+                            // tier slots. w0 = n | k<<8 | log2(b)<<16 |
+                            // spread<<19 | tier<<21 | 1<<23 (active);
+                            // w1 = gain f32 bits; w2 = cwrs index;
+                            // w3 = dst (X-plane offset of the leaf — the
                             // device rebuilds the gather map from these
                             // with a difference-array cumsum)
+  uint16_t* pvq_cnt;        // (1,) number of records written
   uint8_t* call_flags;      // (21, 2): active | has_lb<<1 | lb_buf<<2 |
                             //          norm_write<<3 | norm_buf<<4
   uint8_t* call_combo;      // (21, 2): pre == post combo id
@@ -1854,6 +1857,7 @@ struct PlanCtx {
   // plan state
   PlanOut* out;
   int tier_used[3];
+  int rec_used;       // sequential leaf records written (pvq_rec)
   int band, slot;     // current top-level call location
   int call_base;      // absolute X-plane offset of the call's band vector
   int fill_used;      // fills recorded for the current call
@@ -1925,13 +1929,15 @@ uint32_t pq_alg_unquant(PlanCtx* ctx, int dst, int N, int K, int B,
     ctx->failed = true;
     return cm;
   }
-  int j = ctx->tier_used[t]++;
-  o->pvq_nk[t][j] = (uint16_t)(N | (K << 8));
-  o->pvq_meta[t][j] =
-      (uint8_t)(1 | (__builtin_ctz(B) << 1) | (ctx->spread << 4));
-  o->pvq_gain[t][j] = (float)gain;
-  o->pvq_idx[t][j] = idx;
-  o->pvq_dst[t][j] = (int16_t)dst;
+  ctx->tier_used[t]++;
+  uint32_t* rec = o->pvq_rec + 4 * (size_t)ctx->rec_used++;
+  rec[0] = (uint32_t)N | ((uint32_t)K << 8) |
+           ((uint32_t)__builtin_ctz(B) << 16) |
+           ((uint32_t)ctx->spread << 19) | ((uint32_t)t << 21) | (1u << 23);
+  float g = (float)gain;
+  memcpy(&rec[1], &g, 4);
+  rec[2] = idx;
+  rec[3] = (uint32_t)dst;
   return cm;
 }
 
@@ -2231,6 +2237,7 @@ uint32_t pq_all_bands(int start, int end, uint8_t* collapse_masks,
   ctx.disable_inv = disable_inv;
   ctx.out = out;
   ctx.tier_used[0] = ctx.tier_used[1] = ctx.tier_used[2] = 0;
+  ctx.rec_used = 0;
   ctx.fill_pool_used = 0;
   ctx.dup_used = 0;
   ctx.failed = false;
@@ -2334,6 +2341,7 @@ uint32_t pq_all_bands(int start, int end, uint8_t* collapse_masks,
     balance += pulses[i] + tell;
     update_lowband = b > (N << BITRES);
   }
+  out->pvq_cnt[0] = (uint16_t)ctx.rec_used;
   *failed = ctx.failed;
   return ctx.seed;
 }
@@ -2623,22 +2631,20 @@ void celt_host_set_fill_pool(int pool) {
 
 // Plan-mode decode: symbols only; band signal math is recorded as a packed
 // plan for the device executor (mousiki_tpu/ops/band_exec_jax.py). `arrs`
-// is the packed-array pointer table for ALL S streams — wire format v2,
-// 41 entries, in this fixed order with these dtypes (must match the
+// is the packed-array pointer table for ALL S streams — wire format v3,
+// 28 entries, in this fixed order with these dtypes (must match the
 // PlanOut views below and mousiki_tpu/celt/host_native.py
-// _PTR_ORDER/_PLANE_DTYPES):
-//   0 direct u8(S)  1-3 pvq_nk u16(S,slots_t)  4-6 pvq_meta u8
-//     (active | log2(b)<<1 | spread<<4)
-//   7-9 pvq_gain f32  10-12 pvq_idx u32  13-15 pvq_dst i16(S,slots_t)
-//   16 call_flags u8(S,21,2)  17 call_combo u8  18 call_lb_src i16
-//   19 call_blend_upto i16  20 dup_pool i16(S,2,4)
-//   21 fill_cid u8(S,P)  22 fill_off i16  23 fill_n i16  24 fill_gain f32
-//   25 fill_seed u32  26 bm_flags u8(S,21)  27 bm_mid f32  28 bm_side f32
-//   29 n1_as u8(S,21,2)
-//   30 ac_on u8(S)  31 ac_masks u8(S,21,2)  32 ac_r f32(S,2,21)
-//   33 ac_seed u32(S)  34 x_direct f32(S,C,frame)  35 band_log_e f64(S,2,21)
-//   36 iflags i32(S,4)  37 pf_gain f64(S)  38 rcs i32(S)
-//   39 ble32 f32(S,2,21)  40 pf32 f32(S)
+// _PTR_ORDER/_PLANE_DTYPES). R = sum of the three tier slot capacities.
+//   0 direct u8(S)  1 pvq_rec u32(S,R,4)  2 pvq_cnt u16(S)
+//   3 call_flags u8(S,21,2)  4 call_combo u8  5 call_lb_src i16
+//   6 call_blend_upto i16  7 dup_pool i16(S,2,4)
+//   8 fill_cid u8(S,P)  9 fill_off i16  10 fill_n i16  11 fill_gain f32
+//   12 fill_seed u32  13 bm_flags u8(S,21)  14 bm_mid f32  15 bm_side f32
+//   16 n1_as u8(S,21,2)
+//   17 ac_on u8(S)  18 ac_masks u8(S,21,2)  19 ac_r f32(S,2,21)
+//   20 ac_seed u32(S)  21 x_direct f32(S,C,frame)  22 band_log_e f64(S,2,21)
+//   23 iflags i32(S,4)  24 pf_gain f64(S)  25 rcs i32(S)
+//   26 ble32 f32(S,2,21)  27 pf32 f32(S)
 int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
                                  int frame_size, int C, int start, int end,
                                  int disable_inv, void** arrs, int S, int s,
@@ -2723,48 +2729,44 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   {
     size_t cs = (size_t)s;
     o.direct = (uint8_t*)arrs[0] + cs;
-    for (int t = 0; t < 3; t++) {
-      size_t so = cs * kTierSlots[t];
-      o.pvq_nk[t] = (uint16_t*)arrs[1 + t] + so;
-      o.pvq_meta[t] = (uint8_t*)arrs[4 + t] + so;
-      o.pvq_gain[t] = (float*)arrs[7 + t] + so;
-      o.pvq_idx[t] = (uint32_t*)arrs[10 + t] + so;
-      o.pvq_dst[t] = (int16_t*)arrs[13 + t] + so;
-    }
+    size_t R = (size_t)(kTierSlots[0] + kTierSlots[1] + kTierSlots[2]);
+    o.pvq_rec = (uint32_t*)arrs[1] + cs * R * 4;
+    o.pvq_cnt = (uint16_t*)arrs[2] + cs;
     size_t c2 = cs * NB * 2;
-    o.call_flags = (uint8_t*)arrs[16] + c2;
-    o.call_combo = (uint8_t*)arrs[17] + c2;
-    o.call_lb_src = (int16_t*)arrs[18] + c2;
-    o.call_blend_upto = (int16_t*)arrs[19] + c2;
-    o.dup_pool = (int16_t*)arrs[20] + cs * kDupPool * 4;
+    o.call_flags = (uint8_t*)arrs[3] + c2;
+    o.call_combo = (uint8_t*)arrs[4] + c2;
+    o.call_lb_src = (int16_t*)arrs[5] + c2;
+    o.call_blend_upto = (int16_t*)arrs[6] + c2;
+    o.dup_pool = (int16_t*)arrs[7] + cs * kDupPool * 4;
     size_t fp = cs * kFillPool;
-    o.fill_cid = (uint8_t*)arrs[21] + fp;
-    o.fill_off = (int16_t*)arrs[22] + fp;
-    o.fill_n = (int16_t*)arrs[23] + fp;
-    o.fill_gain = (float*)arrs[24] + fp;
-    o.fill_seed = (uint32_t*)arrs[25] + fp;
+    o.fill_cid = (uint8_t*)arrs[8] + fp;
+    o.fill_off = (int16_t*)arrs[9] + fp;
+    o.fill_n = (int16_t*)arrs[10] + fp;
+    o.fill_gain = (float*)arrs[11] + fp;
+    o.fill_seed = (uint32_t*)arrs[12] + fp;
     size_t b1 = cs * NB;
-    o.bm_flags = (uint8_t*)arrs[26] + b1;
-    o.bm_mid = (float*)arrs[27] + b1;
-    o.bm_side = (float*)arrs[28] + b1;
-    o.n1_as = (uint8_t*)arrs[29] + c2;
-    o.ac_on = (uint8_t*)arrs[30] + cs;
-    o.ac_masks = (uint8_t*)arrs[31] + c2;
-    o.ac_r = (float*)arrs[32] + cs * 2 * NB;
-    o.ac_seed = (uint32_t*)arrs[33] + cs;
-    o.ble32 = (float*)arrs[39] + cs * 2 * NB;
-    o.pf32 = (float*)arrs[40] + cs;
+    o.bm_flags = (uint8_t*)arrs[13] + b1;
+    o.bm_mid = (float*)arrs[14] + b1;
+    o.bm_side = (float*)arrs[15] + b1;
+    o.n1_as = (uint8_t*)arrs[16] + c2;
+    o.ac_on = (uint8_t*)arrs[17] + cs;
+    o.ac_masks = (uint8_t*)arrs[18] + c2;
+    o.ac_r = (float*)arrs[19] + cs * 2 * NB;
+    o.ac_seed = (uint32_t*)arrs[20] + cs;
+    o.ble32 = (float*)arrs[26] + cs * 2 * NB;
+    o.pf32 = (float*)arrs[27] + cs;
   }
-  float* x_direct = (float*)arrs[34] + (size_t)s * C * frame_size;
-  double* band_log_e = (double*)arrs[35] + (size_t)s * 2 * NB;
-  int32_t* iflags = (int32_t*)arrs[36] + (size_t)s * 4;
-  double* pf_gain = (double*)arrs[37] + s;
+  float* x_direct = (float*)arrs[21] + (size_t)s * C * frame_size;
+  double* band_log_e = (double*)arrs[22] + (size_t)s * 2 * NB;
+  int32_t* iflags = (int32_t*)arrs[23] + (size_t)s * 4;
+  double* pf_gain = (double*)arrs[24] + s;
 
-  // zero the active flags (other fields are written when flagged)
+  // zero the active flags (other fields are written when flagged; PVQ
+  // leaf records need no zeroing — the device masks by pvq_cnt)
   {
     PROF_SCOPE(MEMSET);
     memset(o.direct, 0, 1);
-    for (int t = 0; t < 3; t++) memset(o.pvq_meta[t], 0, kTierSlots[t]);
+    o.pvq_cnt[0] = 0;
     memset(o.call_flags, 0, NB * 2);
     memset(o.fill_cid, 0, kFillPool);
     memset(o.bm_flags, 0, NB);
@@ -3082,7 +3084,7 @@ void celt_host_decode_plan_batch(void** states, const uint8_t* blob,
                                  int S, int frame_size, int C, int start,
                                  int end, int disable_inv, void** arrs,
                                  int n_threads) {
-  int32_t* rcs = (int32_t*)arrs[38];
+  int32_t* rcs = (int32_t*)arrs[25];
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = 1;

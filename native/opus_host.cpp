@@ -149,7 +149,7 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, void* silk_side,
   return 0;
 }
 
-// Batched variant: arrs is the 41-pointer CELT plan table (rcs at [38]);
+// Batched variant: arrs is the 28-pointer CELT plan table (rcs at [25]);
 // silk16_all is (S, 320) int16; modes is (S,) int32.
 void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
                                  void** silk_sides, int32_t* ssts,
@@ -161,7 +161,7 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
                                  const uint8_t* fec_blob,
                                  const int32_t* fec_offs,
                                  const int32_t* fec_lens, int n_threads) {
-  int32_t* rcs = (int32_t*)arrs[38];
+  int32_t* rcs = (int32_t*)arrs[25];
   int plane = C == 2 ? 640 : 320;
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
