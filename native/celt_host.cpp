@@ -205,11 +205,41 @@ static std::vector<Op>* log_ = nullptr;
 #define EC_REC(k, ic, A, B, C_) ((void)0)
 #endif
 
+// Exact floor division rng/ft without the hardware divider (ICL div r32 is
+// ~15 cycles on the serial EC dependency chain; this is ~5).  Granlund-
+// Montgomery round-up reciprocal: with L = ceil(log2 ft) and
+// m = floor(2^(31+L)/ft) + 1 (fits u32 for non-trivial ft),
+// floor(n*m >> (31+L)) == floor(n/ft) for every n <= 2^31.  rng <= 2^31
+// always (EC_CODE_TOP), and every ec_decode call site uses ft < 2^16
+// (max is compute_theta's triangular ft <= 16641); larger ft falls back
+// to the divider.  Table is 512 KB but only the handful of distinct ft
+// values a stream uses stay hot.
+struct FtDiv { uint32_t m; uint32_t sh; };
+static FtDiv g_ftdiv[1 << 16];
+void build_ftdiv_table() {
+  for (uint32_t d = 2; d < (1u << 16); d++) {
+    uint32_t L = (uint32_t)ec_ilog(d - 1);  // ceil(log2 d)
+    g_ftdiv[d].m = (uint32_t)((((uint64_t)1 << (31 + L)) / d) + 1);
+    g_ftdiv[d].sh = 31 + L;
+  }
+  // d=1: the round-up form overshoots at n = 2^31 exactly (rng starts
+  // there); the identity reciprocal is exact for all n <= 2^31.
+  g_ftdiv[1].m = 1u << 31;
+  g_ftdiv[1].sh = 31;
+}
+
 uint32_t ec_decode(EcDec* d, uint32_t ft) {
   EC_COUNT(n_decode);
   EC_REC(0, nullptr, ft, 0, 0);
-  d->ext = d->rng / ft;
-  uint32_t s = d->val / d->ext;
+  uint32_t ext;
+  if (__builtin_expect(ft < (1u << 16), 1)) {
+    const FtDiv f = g_ftdiv[ft];
+    ext = (uint32_t)(((uint64_t)d->rng * f.m) >> f.sh);
+  } else {
+    ext = d->rng / ft;
+  }
+  d->ext = ext;
+  uint32_t s = d->val / ext;
   return ft - std::min(s + 1, ft);
 }
 
@@ -2386,6 +2416,7 @@ void* celt_host_create() {
   build_lcg_jump();
   build_b2p_table();
   build_recip_table();
+  build_ftdiv_table();
   build_tellfrac_table();
   CeltHost* st = new CeltHost();
   celt_host_reset_impl(st);
@@ -5011,6 +5042,7 @@ void* celt_enc_host_create(int channels, int complexity, int disable_inv) {
   build_u_table();
   build_b2p_table();
   build_recip_table();
+  build_ftdiv_table();
   build_tellfrac_table();
   CeltEncHost* st = new CeltEncHost();
   st->channels = channels;
