@@ -166,19 +166,25 @@ def bench_e2e(payloads, S, n_steps=128):
         rates.append(S * n * 0.02 / dt)
     med = statistics.median(rates)
 
-    # chunked serving mode: 4 frames per device dispatch (one stacked
-    # arena H2D + one scanned executable per 80 ms of audio) — amortizes
-    # the tunnel's fixed per-transfer/per-dispatch costs
-    for pcm in pipe.decode_stream(frames(8), 960, chunk=4):   # compile
-        pass
-    rates_c = []
-    for w in range(n_win):
-        t0 = time.perf_counter()
-        n = max(4, n_steps // n_win)
-        for pcm in pipe.decode_stream(frames(n, off=w * n), 960, chunk=4):
-            pass
-        rates_c.append(S * n * 0.02 / (time.perf_counter() - t0))
-    med_chunk = statistics.median(rates_c)
+    # chunked serving modes: `chunk` frames per device dispatch (one
+    # stacked arena H2D + one scanned executable per chunk*20 ms of
+    # audio) — amortizes the tunnel's fixed per-transfer/per-dispatch
+    # costs at the price of chunk*20 ms of added latency
+    med_chunks = {}
+    for ck in (4, 8):
+        for pcm in pipe.decode_stream(frames(ck * 2), 960, chunk=ck):
+            pass  # compile
+        rates_c = []
+        for w in range(n_win):
+            t0 = time.perf_counter()
+            n = max(ck, n_steps // n_win)
+            for pcm in pipe.decode_stream(frames(n, off=w * n), 960,
+                                          chunk=ck):
+                pass
+            rates_c.append(S * n * 0.02 / (time.perf_counter() - t0))
+        med_chunks[ck] = statistics.median(rates_c)
+    med_chunk = med_chunks[4]
+    med_chunk8 = med_chunks[8]
 
     # stage breakdown (same pipeline objects); min-of-3 batches: a
     # CPU-bound microbench's best batch is its steal-free cost
@@ -222,7 +228,7 @@ def bench_e2e(payloads, S, n_steps=128):
         pcm, pipe.state = pipe._plan_step(960, pipe.state, *args)
     pcm.block_until_ready()
     device_x = 10 * S * 0.02 / (time.perf_counter() - t0)
-    return med, med_chunk, host_us, host_core_us, device_x
+    return med, med_chunk, med_chunk8, host_us, host_core_us, device_x
 
 
 def build_mixed_packets(n_frames=24):
@@ -402,13 +408,13 @@ def main():
         # the axon tunnel, not of TPU serving: r2's "mixed collapse"
         # (5.8x) was exactly this — the gate ran before bench_mixed.
         _mark("e2e_s256")
-        (e2e_x, e2e_chunk_x, host_us, host_core_us,
+        (e2e_x, e2e_chunk_x, e2e_chunk8_x, host_us, host_core_us,
          device_x) = bench_e2e(payloads, S)
         # VERDICT r2 item 1 reporting: e2e at S=1024 as well, so the
         # batch-size scaling of the host/transfer split is on record
         _mark("e2e_s1024")
         try:
-            e2e_1k, _, _, _, _ = bench_e2e(payloads, 1024, n_steps=32)
+            e2e_1k, _, _, _, _, _ = bench_e2e(payloads, 1024, n_steps=32)
         except Exception:
             e2e_1k = None
         _mark("mixed")
@@ -429,12 +435,13 @@ def main():
         # headline: the better of the two serving modes — per-frame
         # streaming (20 ms latency) vs 4-frame chunked dispatch (80 ms);
         # both are honest end-to-end packets->PCM rates, labeled below
-        best = max(e2e_x, e2e_chunk_x)
+        best = max(e2e_x, e2e_chunk_x, e2e_chunk8_x)
         result.update({
             "value": round(best, 1),
             "vs_baseline": round(best / NORTH_STAR, 4),
             "value_stream_20ms": round(e2e_x, 1),
             "value_chunk4_80ms": round(e2e_chunk_x, 1),
+            "value_chunk8_160ms": round(e2e_chunk8_x, 1),
             "host_us_per_frame": round(host_us, 1),
             "host_core_us_per_frame": round(host_core_us, 1),
             "value_s1024": round(e2e_1k, 1) if e2e_1k else None,
