@@ -131,7 +131,7 @@ def quality_gate(payloads, full_pkts):
     return out
 
 
-def bench_e2e(payloads, S, n_steps=128):
+def bench_e2e(payloads, S, n_steps=128, measure_chunks=True):
     """Steady-state end-to-end rate through the plan pipeline.
 
     Streams are heterogeneous: stream s decodes frame (i + s) % nf at
@@ -170,8 +170,8 @@ def bench_e2e(payloads, S, n_steps=128):
     # stacked arena H2D + one scanned executable per chunk*20 ms of
     # audio) — amortizes the tunnel's fixed per-transfer/per-dispatch
     # costs at the price of chunk*20 ms of added latency
-    med_chunks = {}
-    for ck in (4, 8):
+    med_chunks = {4: 0.0, 8: 0.0}
+    for ck in (4, 8) if measure_chunks else ():
         for pcm in pipe.decode_stream(frames(ck * 2), 960, chunk=ck):
             pass  # compile
         rates_c = []
@@ -414,7 +414,9 @@ def main():
         # batch-size scaling of the host/transfer split is on record
         _mark("e2e_s1024")
         try:
-            e2e_1k, _, _, _, _, _ = bench_e2e(payloads, 1024, n_steps=32)
+            e2e_1k, _, _, _, _, _ = bench_e2e(payloads, 1024,
+                                             n_steps=32,
+                                             measure_chunks=False)
         except Exception:
             e2e_1k = None
         _mark("mixed")
