@@ -450,15 +450,17 @@ class CeltStreamPipeline:
         assert self.use_plan and self.mesh is None
         if not frames:
             raise ValueError("decode_frames_scanned needs >= 1 frame batch")
-        backings, xds, any_direct = [], [], False
-        for payloads in frames:
-            arenas, aux, adir = self._host_decode_plan(
-                payloads, frame_size, to_device=False)
-            backings.append(arenas["backing"].copy())
-            xds.append(aux["x_direct"].astype(np.float32, copy=True)
-                       if adir else None)
-            any_direct |= adir
-        K = len(backings)
+        # K arenas decoded natively into ONE contiguous (K, words) backing:
+        # the scan input transfers as-is, no per-frame copy + stack
+        backing2d, aux_list, any_direct = self._native.decode_plan_chunk(
+            frames, frame_size)
+        for k, aux in enumerate(aux_list):
+            rcs = aux["rcs"]
+            if np.any(rcs < 0):
+                bad = int(np.argmax(rcs < 0))
+                raise ValueError(f"chunk frame {k} stream {bad}: native "
+                                 f"celt plan decode failed rc={rcs[bad]}")
+        K = len(frames)
         if frame_size not in self._plan_consts:
             from .ops.band_exec_jax import plan_combo_mats
             self._plan_consts[frame_size] = make_consts(n=frame_size)
@@ -471,9 +473,8 @@ class CeltStreamPipeline:
                 frame_size, opus_custom_mode(48000, 960).window)
         xd_shape = (self.S, self.channels, frame_size)
         if any_direct:
-            zeros = np.zeros(xd_shape, np.float32)
             xd_dev = jnp.asarray(np.stack(
-                [x if x is not None else zeros for x in xds]))
+                [aux["x_direct"] for aux in aux_list]))
         else:
             # no direct-decoder fallback anywhere: build the (K, S, C, N)
             # zeros on device instead of staging+transferring host zeros
@@ -482,7 +483,8 @@ class CeltStreamPipeline:
         pcm, self.state, self.plc_state = plan_synthesis_scan(
             self._plan_consts[frame_size],
             self._plc_consts[frame_size], self.state, self.plc_state,
-            jnp.asarray(np.stack(backings)), xd_dev,
+            jnp.asarray(backing2d.copy() if self._cpu_backend
+                        else backing2d), xd_dev,
             None, self._plan_mats[frame_size],
             channels=self.channels, frame=frame_size, n_streams=self.S)
         assert pcm.shape[0] == K
