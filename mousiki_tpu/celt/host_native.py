@@ -175,9 +175,10 @@ def _apply_profile(lib) -> None:
 # logical planes on device.
 _PLANE_DTYPES = {
     "direct": np.uint8,
-    "pvq_rec": np.uint32,      # (R, 4): w0 = n | k<<8 | log2(b)<<16 |
-                               # spread<<19 | tier<<21 | active<<23;
-                               # w1 = gain f32 bits; w2 = idx; w3 = dst
+    "pvq_rec": np.uint32,      # (R, 3): w0 = n | k<<8 | log2(b)<<16 |
+                               # tier<<19 | dst<<21 (active == k>0 after
+                               # the tier scatter); w1 = gain f32 bits;
+                               # w2 = idx
     "pvq_cnt": np.uint16,      # records written per stream
     "call_flags": np.uint8,    # active|has_lb<<1|lb_buf<<2|nwr<<3|nbuf<<4
     "call_combo": np.uint8,    # pre == post combo id
@@ -193,6 +194,7 @@ _PLANE_DTYPES = {
     "ac_on": np.uint8, "ac_masks": np.uint8, "ac_r": np.float32,
     "ac_seed": np.uint32, "iflags": np.int32,
     "ble32": np.float32, "pf32": np.float32,
+    "spread8": np.uint8,       # frame-wide PVQ spread (one per stream)
     "lost8": np.uint8,
 }
 
@@ -203,7 +205,7 @@ _PTR_ORDER = (["direct", "pvq_rec", "pvq_cnt",
                "fill_n", "fill_gain", "fill_seed", "bm_flags", "bm_mid",
                "bm_side", "n1_as", "ac_on", "ac_masks", "ac_r", "ac_seed",
                "x_direct", "band_log_e", "iflags", "pf_gain", "rcs",
-               "ble32", "pf32"])
+               "ble32", "pf32", "spread8"])
 
 
 def _plane_shapes(S: int, channels: int, frame: int) -> dict:
@@ -211,7 +213,7 @@ def _plane_shapes(S: int, channels: int, frame: int) -> dict:
     R = sum(s for _, s in _TIERS)
     shapes = {
         "direct": (S,),
-        "pvq_rec": (S, R, 4), "pvq_cnt": (S,),
+        "pvq_rec": (S, R, 3), "pvq_cnt": (S,),
         "call_flags": c2, "call_combo": c2, "call_lb_src": c2,
         "call_blend_upto": c2, "dup_pool": (S, _DUP, 4),
         "fill_cid": fp, "fill_off": fp, "fill_n": fp,
@@ -219,7 +221,7 @@ def _plane_shapes(S: int, channels: int, frame: int) -> dict:
         "bm_flags": b1, "bm_mid": b1, "bm_side": b1,
         "n1_as": c2, "ac_on": (S,), "ac_masks": c2,
         "ac_r": (S, 2, _NB), "ac_seed": (S,), "iflags": (S, 4),
-        "ble32": (S, 2, _NB), "pf32": (S,),
+        "ble32": (S, 2, _NB), "pf32": (S,), "spread8": (S,),
         # written by the PYTHON caller (not the native decoder): per-stream
         # lost mask rides the single arena H2D instead of its own transfer
         # (each fixed transfer through the device tunnel costs ~0.1 ms)
@@ -238,14 +240,14 @@ def wire_to_logical(views: dict) -> dict:
     out["pvq_active"], out["pvq_n"], out["pvq_k"] = [], [], []
     out["pvq_b"], out["pvq_spread"] = [], []
     out["pvq_gain"], out["pvq_idx"], out["pvq_dst"] = [], [], []
-    rec = views["pvq_rec"]                      # (S, R, 4) uint32
+    rec = views["pvq_rec"]                      # (S, R, 3) uint32
     cnt = views["pvq_cnt"].astype(np.int32)     # (S,)
     R = rec.shape[1]
     w0 = rec[..., 0].astype(np.int64)
     valid = np.arange(R)[None, :] < cnt[:, None]
-    tier = np.where(valid, (w0 >> 21) & 3, -1)
+    tier = np.where(valid, (w0 >> 19) & 3, -1)
     gain_all = rec[..., 1].copy().view(np.float32)
-    dst_all = rec[..., 3].astype(np.int32)
+    spread_s = views["spread8"]                 # (S,) frame-wide
     for t, (_, slots) in enumerate(_TIERS):
         sel = tier == t
         # slot index within the tier = running count of same-tier records
@@ -254,7 +256,6 @@ def wire_to_logical(views: dict) -> dict:
         n = np.zeros((S, slots), np.uint8)
         k = np.zeros((S, slots), np.uint8)
         b = np.zeros((S, slots), np.uint8)
-        spread = np.zeros((S, slots), np.uint8)
         gain = np.zeros((S, slots), np.float32)
         idx = np.zeros((S, slots), np.uint32)
         dst = np.zeros((S, slots), np.int16)
@@ -265,10 +266,11 @@ def wire_to_logical(views: dict) -> dict:
         n[rows, j] = w & 0xFF
         k[rows, j] = (w >> 8) & 0xFF
         b[rows, j] = 1 << ((w >> 16) & 7)
-        spread[rows, j] = (w >> 19) & 3
         gain[rows, j] = gain_all[rows, cols]
         idx[rows, j] = rec[rows, cols, 2]
-        dst[rows, j] = dst_all[rows, cols]
+        dst[rows, j] = (w >> 21) & 0x7FF
+        spread = np.broadcast_to(spread_s[:, None],
+                                 (S, slots)).astype(np.uint8) * act
         out["pvq_active"].append(act)
         out["pvq_n"].append(n)
         out["pvq_k"].append(k)

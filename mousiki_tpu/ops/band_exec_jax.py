@@ -780,30 +780,33 @@ def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
     # sequential leaf records -> tier planes (one scatter per tier; the
     # slot index within a tier is a cumsum over same-tier records, which
     # reproduces the host's emission order exactly)
-    rec = plane("pvq_rec")                          # (S, R, 4) uint32
+    rec = plane("pvq_rec")                          # (S, R, 3) uint32
     cnt = plane("pvq_cnt").astype(jnp.int32)        # (S,)
+    spread_s = plane("spread8").astype(jnp.int32)   # (S,) frame-wide
     R = rec.shape[1]
-    w0r = rec[..., 0].astype(jnp.int32)
+    w0r = rec[..., 0]                               # uint32 (dst in 21..31)
     validr = jnp.arange(R, dtype=jnp.int32)[None, :] < cnt[:, None]
-    tierr = jnp.where(validr, (w0r >> 21) & 3, -1)
+    tierr = jnp.where(validr, ((w0r >> 19) & 3).astype(jnp.int32), -1)
     rrows = jnp.arange(S, dtype=jnp.int32)[:, None]
     for t, (_, slots) in enumerate(_TIERS):
         sel = tierr == t
         pos = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
         j = jnp.where(sel, pos, slots)              # invalid -> dropped
-        rt = jnp.zeros((S, slots, 4), jnp.uint32).at[rrows, j].set(
+        rt = jnp.zeros((S, slots, 3), jnp.uint32).at[rrows, j].set(
             rec, mode="drop")
-        w0 = rt[..., 0].astype(jnp.int32)
-        act = (w0 >> 23) & 1
+        w0 = rt[..., 0]                             # uint32
+        k = ((w0 >> 8) & 0xFF).astype(jnp.int32)
+        act = (k > 0).astype(jnp.int32)             # scatter hit == active
         p["pvq_active"].append(act)
-        p["pvq_n"].append(w0 & 0xFF)
-        p["pvq_k"].append((w0 >> 8) & 0xFF)
-        p["pvq_b"].append(jnp.where(act == 1, 1 << ((w0 >> 16) & 7), 0))
-        p["pvq_spread"].append((w0 >> 19) & 3)
+        p["pvq_n"].append((w0 & 0xFF).astype(jnp.int32))
+        p["pvq_k"].append(k)
+        p["pvq_b"].append(jnp.where(
+            act == 1, 1 << ((w0 >> 16) & 7).astype(jnp.int32), 0))
+        p["pvq_spread"].append(spread_s[:, None] * act)
         p["pvq_gain"].append(
             lax.bitcast_convert_type(rt[..., 1], jnp.float32))
         p["pvq_idx"].append(rt[..., 2])
-        p["pvq_dst"].append(rt[..., 3].astype(jnp.int32))
+        p["pvq_dst"].append(((w0 >> 21) & 0x7FF).astype(jnp.int32))
 
     cf = plane("call_flags").astype(jnp.int32)
     p["call_active"] = cf & 1

@@ -36,7 +36,7 @@ int celt_host_decode_plan(void* p, const uint8_t* data, int len,
 }
 
 // Array layout + dtypes mirror mousiki_tpu/celt/host_native.py
-// (_PTR_ORDER / _PLANE_DTYPES, 28 pointers; see the layout comment above
+// (_PTR_ORDER / _PLANE_DTYPES, 29 pointers; see the layout comment above
 // celt_host_decode_plan in celt_host.cpp).
 static constexpr int kNB = 21, kFill = 4;
 static constexpr int kTier[3] = {224, 48, 16};
@@ -49,7 +49,7 @@ struct PlanArrays {
   std::vector<std::vector<float>> f32;
   std::vector<std::vector<uint32_t>> u32;
   std::vector<std::vector<double>> f64;
-  void* ptrs[28];
+  void* ptrs[29];
 };
 
 // Wire format v3 (see celt_host.cpp celt_host_decode_plan layout comment).
@@ -66,7 +66,7 @@ static void build_arrays(PlanArrays& a, int S, int C, int frame) {
   const size_t kRec = (size_t)(kTier[0] + kTier[1] + kTier[2]);
   int k = 0;
   a.ptrs[k++] = u8p(S);                                          // 0 direct
-  a.ptrs[k++] = u32p((size_t)S * kRec * 4);                      // 1 pvq_rec
+  a.ptrs[k++] = u32p((size_t)S * kRec * 3);                      // 1 pvq_rec
   a.ptrs[k++] = u16p(S);                                         // 2 pvq_cnt
   a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 3 call_flags
   a.ptrs[k++] = u8p((size_t)S * kNB * 2);                        // 4 call_combo
@@ -93,6 +93,7 @@ static void build_arrays(PlanArrays& a, int S, int C, int frame) {
   a.ptrs[k++] = i32p(S);                                         // 25 rcs
   a.ptrs[k++] = f32p((size_t)S * 2 * kNB);                       // 26 ble32
   a.ptrs[k++] = f32p(S);                                         // 27 pf32
+  a.ptrs[k++] = u8p(S);                                          // 28 spread8
 }
 
 int main(int argc, char** argv) {

@@ -1839,13 +1839,15 @@ inline int combo_id(int b0, int tf, int M) {
 // <= 41, norm index <= 1600).
 struct PlanOut {
   uint8_t* direct;
-  uint32_t* pvq_rec;        // (R, 4) sequential leaf records, R = sum of
+  uint32_t* pvq_rec;        // (R, 3) sequential leaf records, R = sum of
                             // tier slots. w0 = n | k<<8 | log2(b)<<16 |
-                            // spread<<19 | tier<<21 | 1<<23 (active);
-                            // w1 = gain f32 bits; w2 = cwrs index;
-                            // w3 = dst (X-plane offset of the leaf — the
-                            // device rebuilds the gather map from these
-                            // with a difference-array cumsum)
+                            // tier<<19 | dst<<21 (dst = X-plane offset of
+                            // the leaf, < 2*frame <= 2048 — the device
+                            // rebuilds the gather map from these with a
+                            // difference-array cumsum; active == k>0 after
+                            // the tier scatter); w1 = gain f32 bits;
+                            // w2 = cwrs index. spread is frame-wide and
+                            // rides the per-stream spread8 plane.
   uint16_t* pvq_cnt;        // (1,) number of records written
   uint8_t* call_flags;      // (21, 2): active | has_lb<<1 | lb_buf<<2 |
                             //          norm_write<<3 | norm_buf<<4
@@ -1873,6 +1875,8 @@ struct PlanOut {
   uint32_t* ac_seed;
   float* ble32;             // (2, 21) f32 copy of band_log_e
   float* pf32;              // scalar f32 copy of pf_gain
+  uint8_t* spread8;         // frame-wide PVQ spread decision (one per
+                            // stream; was duplicated in every leaf record)
 };
 
 struct PlanCtx {
@@ -1960,14 +1964,13 @@ uint32_t pq_alg_unquant(PlanCtx* ctx, int dst, int N, int K, int B,
     return cm;
   }
   ctx->tier_used[t]++;
-  uint32_t* rec = o->pvq_rec + 4 * (size_t)ctx->rec_used++;
+  uint32_t* rec = o->pvq_rec + 3 * (size_t)ctx->rec_used++;
   rec[0] = (uint32_t)N | ((uint32_t)K << 8) |
            ((uint32_t)__builtin_ctz(B) << 16) |
-           ((uint32_t)ctx->spread << 19) | ((uint32_t)t << 21) | (1u << 23);
+           ((uint32_t)t << 19) | ((uint32_t)dst << 21);
   float g = (float)gain;
   memcpy(&rec[1], &g, 4);
   rec[2] = idx;
-  rec[3] = (uint32_t)dst;
   return cm;
 }
 
@@ -2262,6 +2265,7 @@ uint32_t pq_all_bands(int start, int end, uint8_t* collapse_masks,
   PlanCtx ctx;
   ctx.intensity = intensity;
   ctx.spread = spread;
+  out->spread8[0] = (uint8_t)spread;
   ctx.ec = ec;
   ctx.seed = seed;
   ctx.disable_inv = disable_inv;
@@ -2666,7 +2670,7 @@ void celt_host_set_fill_pool(int pool) {
 // 28 entries, in this fixed order with these dtypes (must match the
 // PlanOut views below and mousiki_tpu/celt/host_native.py
 // _PTR_ORDER/_PLANE_DTYPES). R = sum of the three tier slot capacities.
-//   0 direct u8(S)  1 pvq_rec u32(S,R,4)  2 pvq_cnt u16(S)
+//   0 direct u8(S)  1 pvq_rec u32(S,R,3)  2 pvq_cnt u16(S)
 //   3 call_flags u8(S,21,2)  4 call_combo u8  5 call_lb_src i16
 //   6 call_blend_upto i16  7 dup_pool i16(S,2,4)
 //   8 fill_cid u8(S,P)  9 fill_off i16  10 fill_n i16  11 fill_gain f32
@@ -2675,7 +2679,7 @@ void celt_host_set_fill_pool(int pool) {
 //   17 ac_on u8(S)  18 ac_masks u8(S,21,2)  19 ac_r f32(S,2,21)
 //   20 ac_seed u32(S)  21 x_direct f32(S,C,frame)  22 band_log_e f64(S,2,21)
 //   23 iflags i32(S,4)  24 pf_gain f64(S)  25 rcs i32(S)
-//   26 ble32 f32(S,2,21)  27 pf32 f32(S)
+//   26 ble32 f32(S,2,21)  27 pf32 f32(S)  28 spread8 u8(S)
 int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
                                  int frame_size, int C, int start, int end,
                                  int disable_inv, void** arrs, int S, int s,
@@ -2761,7 +2765,7 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
     size_t cs = (size_t)s;
     o.direct = (uint8_t*)arrs[0] + cs;
     size_t R = (size_t)(kTierSlots[0] + kTierSlots[1] + kTierSlots[2]);
-    o.pvq_rec = (uint32_t*)arrs[1] + cs * R * 4;
+    o.pvq_rec = (uint32_t*)arrs[1] + cs * R * 3;
     o.pvq_cnt = (uint16_t*)arrs[2] + cs;
     size_t c2 = cs * NB * 2;
     o.call_flags = (uint8_t*)arrs[3] + c2;
@@ -2786,6 +2790,7 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
     o.ac_seed = (uint32_t*)arrs[20] + cs;
     o.ble32 = (float*)arrs[26] + cs * 2 * NB;
     o.pf32 = (float*)arrs[27] + cs;
+    o.spread8 = (uint8_t*)arrs[28] + cs;
   }
   float* x_direct = (float*)arrs[21] + (size_t)s * C * frame_size;
   double* band_log_e = (double*)arrs[22] + (size_t)s * 2 * NB;
@@ -2804,6 +2809,7 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
     memset(o.n1_as, 0, NB * 2);
     memset(o.ac_on, 0, 1);
     memset(o.dup_pool, 0, kDupPool * 4 * sizeof(int16_t));
+    o.spread8[0] = 0;
   }
   PROF_FRAME();
 
