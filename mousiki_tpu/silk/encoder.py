@@ -506,6 +506,14 @@ class SilkEncoder:
         # selects the legacy open-loop mirror-state quantizer.
         self.use_nsq_shaping = bool(int(
             __import__("os").environ.get("SILK_NSQ_SHAPING", "1")))
+        # Delayed-decision trellis NSQ + warped shaping (the reference's
+        # default-complexity quantizer, nsq_del_dec.rs:83 /
+        # control_codec.rs:326): 4 states, shaping order 24, warped
+        # feedback. SILK_NSQ_DELDEC=0 selects the single-state nsq.rs
+        # port (the device-kernel-compatible path).
+        self.use_del_dec = bool(int(
+            __import__("os").environ.get("SILK_NSQ_DELDEC", "1")))
+        self.n_del_dec_states = 4
         # reference analysis-chain state (enc_analysis.py): previous pitch
         # lag + LTP correlation (pitch-search biases), quantized NLSF of
         # the previous frame (interpolation), LTP gain budget
@@ -586,6 +594,12 @@ class SilkEncoder:
     @property
     def lpc_order(self):
         return 16 if self.fs_khz == 16 else 10
+
+    @property
+    def warping_q16(self):
+        """Warping for shaping analysis + del-dec NSQ feedback
+        (control_codec.rs: WARPING_MULTIPLIER 0.015 in Q16 * fs_kHz)."""
+        return 983 * self.fs_khz if self.use_del_dec else 0
 
     @property
     def psnlsf_cb(self):
@@ -816,7 +830,8 @@ class SilkEncoder:
                 pred_gain=math.sqrt(max(1.0, pred_gain_pitch)),
                 pitch_l=pitch_l, pitch_res=res_pitch[H:],
                 speech_activity=activity, shape=self.shape,
-                input_quality=input_quality)
+                input_quality=input_quality,
+                warping_q16=self.warping_q16)
 
             inv_gains = 1.0 / np.maximum(shape_ctl.gains[:nb_subfr], 1e-9)
             if voiced:
@@ -972,9 +987,11 @@ class SilkEncoder:
                         res=res[len(self.x_hist):], fb_gamma=0.0)
             self.lbrr_store = (ix2, pulses2)
 
-        encode_indices(st, enc, ix, cond_coding)
-
-        # mirror-decode the side info to get the exact decoder parameters
+        # mirror-decode the side info to get the exact decoder parameters.
+        # NB: the NSQ runs BEFORE encode_indices (matching the reference
+        # encode_frame order): the delayed-decision quantizer picks the
+        # winner trellis state and its initial seed index is what must be
+        # coded (nsq_del_dec.rs:306).
         st.indices = ix
         ctrl = DecCtrl()
         ctrl.ltp_scale_q14 = 0
@@ -982,25 +999,36 @@ class SilkEncoder:
 
         res_frame = res[len(self.x_hist):]
         if self.use_nsq_shaping and shape_ctl is not None and coarsen < 500:
-            # Noise-shaping quantizer (reference nsq.rs) followed by the
-            # exact mirror decode of the chosen pulses: the NSQ picks the
-            # pulses, decode_core advances the embedded decoder state with
-            # the decoder's own arithmetic (zero drift by construction).
-            from .noise_shape import nsq_shaped
+            # Noise-shaping quantizer (reference nsq.rs / nsq_del_dec.rs)
+            # followed by the exact mirror decode of the chosen pulses:
+            # the NSQ picks the pulses, decode_core advances the embedded
+            # decoder state with the decoder's own arithmetic (zero drift
+            # by construction).
             # injectable quantizer: parallel.nsq_batch routes this call to
             # the batched device NSQ kernel (ops/silk_nsq_jax.py) when the
             # encoder runs inside SilkEncodePipeline; same signature and
             # NsqState writeback contract as nsq_shaped
-            nsq_fn = getattr(self, "nsq_fn", None) or nsq_shaped
-            pulses = nsq_fn(
-                x, self.nsq, shape_ctl, signal_type=ix.signal_type,
-                seed=ix.seed, nb_subfr=nb_subfr, frame_length=frame_length,
+            nsq_fn = getattr(self, "nsq_fn", None)
+            common_kw = dict(
+                signal_type=ix.signal_type, seed=ix.seed,
+                nb_subfr=nb_subfr, frame_length=frame_length,
                 ltp_mem_length=st.ltp_mem_length, lpc_order=d,
                 pred_coef_q12=ctrl.pred_coef_q12,
                 ltp_coef_q14=ctrl.ltp_coef_q14,
                 gains_q16=ctrl.gains_q16, pitch_l=ctrl.pitch_l,
                 ltp_scale_q14=ctrl.ltp_scale_q14,
                 nlsf_interp_flag=ix.nlsf_interp_coef_q2 < 4)
+            if nsq_fn is not None:
+                pulses = nsq_fn(x, self.nsq, shape_ctl, **common_kw)
+            elif self.use_del_dec:
+                from .nsq_del_dec import nsq_del_dec
+                pulses, ix.seed = nsq_del_dec(
+                    x, self.nsq, shape_ctl, **common_kw,
+                    n_states=self.n_del_dec_states,
+                    warping=self.warping_q16 / 65536.0)
+            else:
+                from .noise_shape import nsq_shaped
+                pulses = nsq_shaped(x, self.nsq, shape_ctl, **common_kw)
             xq = decode_core(st, ctrl, pulses)
         else:
             pulses = [0] * frame_length
@@ -1011,6 +1039,8 @@ class SilkEncoder:
                 gamma = 0.0
             xq = encode_core(st, ctrl, x, pulses, mute=coarsen >= 500,
                              res=res_frame, fb_gamma=gamma)
+
+        encode_indices(st, enc, ix, cond_coding)
 
         # decoder postamble (decode_frame parity) keeps every aux state in
         # lockstep: PLC energies, CNG buffers, out_buf, lag feedback

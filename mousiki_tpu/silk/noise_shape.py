@@ -166,6 +166,74 @@ def _sine_window(n: int, half: int) -> np.ndarray:
     return np.sin(0.5 * np.pi * (n - k - 0.5) / n)
 
 
+def _warped_autocorr(x: np.ndarray, warping: float,
+                     order: int) -> np.ndarray:
+    """Warped autocorrelation via the two-stage allpass chain
+    (reference warped_autocorrelation_flp.rs)."""
+    state = np.zeros(order + 1)
+    acc = np.zeros(order + 1)
+    w = float(warping)
+    for sample in np.asarray(x, np.float64):
+        tmp1 = sample
+        for sec in range(0, order, 2):
+            tmp2 = state[sec] + w * state[sec + 1] - w * tmp1
+            state[sec] = tmp1
+            acc[sec] += state[0] * tmp1
+            tmp1 = state[sec + 1] + w * state[sec + 2] - w * tmp2
+            state[sec + 1] = tmp2
+            acc[sec + 1] += state[0] * tmp2
+        state[order] = tmp1
+        acc[order] += state[0] * tmp1
+    return acc
+
+
+def _warped_gain(coefs: np.ndarray, lam: float) -> float:
+    """Gain compensation for warped->linear prediction
+    (noise_shape_analysis_flp.rs warped_gain)."""
+    lam = -lam
+    gain = coefs[-1]
+    for c in coefs[-2::-1]:
+        gain = lam * gain + c
+    return 1.0 / (1.0 - lam * gain)
+
+
+def _warped_true2monic(coefs: np.ndarray, lam: float, limit: float) -> None:
+    """Convert warped coefs to monic + magnitude-limit, in place.
+
+    NB deviation from the reference: noise_shape_analysis_flp.rs:54
+    negates lambda before the Horner passes (copied from warped_gain,
+    where libopus does negate) — that flips the conversion direction and
+    yields a noise-feedback loop that is NOT minimum-phase for strongly
+    tonal input (measured: the warped NSQ diverges on a 140 Hz tone).
+    With lam kept positive, the converted chain satisfies exactly
+    1 - H_chain(z) = (1 - sum a_j A(z)^{j+1}) / lag0  (A = the warped
+    allpass), which is minimum-phase whenever the warped schur filter is
+    — verified to machine precision in tests/test_nsq_del_dec.py.
+    """
+    order = len(coefs)
+    for i in range(order - 1, 0, -1):
+        coefs[i - 1] -= lam * coefs[i]
+    gain = (1.0 - lam * lam) / (1.0 + lam * coefs[0])
+    coefs *= gain
+    for it in range(10):
+        ind = int(np.argmax(np.abs(coefs)))
+        maxabs = abs(coefs[ind])
+        if maxabs <= limit:
+            return
+        # back to true warped domain, chirp, forward again
+        for i in range(1, order):
+            coefs[i - 1] += lam * coefs[i]
+        coefs *= 1.0 / gain
+        chirp = 0.99 - (0.8 + 0.1 * it) * (maxabs - limit) / (
+            maxabs * (ind + 1.0))
+        _bwexpander(coefs, chirp)
+        for i in range(order - 1, 0, -1):
+            coefs[i - 1] -= lam * coefs[i]
+        gain = (1.0 - lam * lam) / (1.0 + lam * coefs[0])
+        coefs *= gain
+    np.clip(coefs, -limit, limit, out=coefs)
+
+
 class ShapeState:
     """Cross-frame smoothers (reference shape_state)."""
 
@@ -196,14 +264,23 @@ def noise_shape_analysis(xfull: np.ndarray, frame_length: int, nb_subfr: int,
                          pitch_l, pitch_res: np.ndarray,
                          speech_activity: float, shape: ShapeState,
                          vbr: bool = True,
-                         input_quality: float = 1.0) -> ShapeControl:
+                         input_quality: float = 1.0,
+                         warping_q16: int = 0) -> ShapeControl:
     """Per-subframe shaping filters/controls (noise_shape_analysis_flp.rs).
 
     xfull is [history | frame] at the internal rate (int16 scale floats);
     windows that would need lookahead are shifted back by the 5 ms slope
     (this encoder runs without the reference's LA_SHAPE delay buffer).
+
+    warping_q16 > 0 selects the default-complexity warped analysis
+    (noise_shape_analysis_flp.rs:246-281): shaping order 24, warped
+    autocorrelation, warped-gain compensation and true->monic limiting,
+    paired with the warped-feedback delayed-decision NSQ.
     """
-    order = 16 if fs_khz >= 16 else 12
+    if warping_q16 > 0:
+        order = 24
+    else:
+        order = 16 if fs_khz >= 16 else 12
     ctl = ShapeControl(nb_subfr, order)
     sub = frame_length // nb_subfr
     H = len(xfull) - frame_length
@@ -237,6 +314,8 @@ def noise_shape_analysis(xfull: np.ndarray, frame_length: int, nb_subfr: int,
 
     strength = FIND_PITCH_WHITE_NOISE_FRACTION * pred_gain
     bwexp = BANDWIDTH_EXPANSION / (1.0 + strength * strength)
+    warping = (warping_q16 / 65536.0 + 0.01 * ctl.coding_quality
+               if warping_q16 > 0 else 0.0)
 
     shape_win = 15 * fs_khz             # SHAPE_LPC_WIN_MS = 15
     flat_part = fs_khz * 3
@@ -250,13 +329,21 @@ def noise_shape_analysis(xfull: np.ndarray, frame_length: int, nb_subfr: int,
         start = H + k * sub - slope_part
         start = max(0, min(start, len(xfull) - shape_win))
         xw = xfull[start: start + shape_win] * win
-        ac = _autocorr(xw, order)
+        if warping_q16 > 0:
+            ac = _warped_autocorr(xw, warping, order)
+        else:
+            ac = _autocorr(xw, order)
         ac[0] += ac[0] * SHAPE_WHITE_NOISE_FRACTION + 1.0
         rc, nrg = _schur(ac, order)
         ctl.gains[k] = math.sqrt(max(nrg, 0.0))
         a = _k2a(rc)
+        if warping_q16 > 0:
+            ctl.gains[k] *= _warped_gain(a, warping)
         _bwexpander(a, bwexp)
-        _limit_coefs(a, 3.999)
+        if warping_q16 > 0:
+            _warped_true2monic(a, warping, 3.999)
+        else:
+            _limit_coefs(a, 3.999)
         ctl.ar[k] = a
 
     gain_mult = 2.0 ** (-0.16 * snr_adj)

@@ -1,0 +1,154 @@
+"""Delayed-decision NSQ (silk/nsq_del_dec.py, reference nsq_del_dec.rs).
+
+Covers: (1) exact reduction to the single-state quantizer at n_states=1,
+warping=0 (the trellis with one state is greedy); (2) the monic warped-
+coefficient conversion is exact for the NSQ chain structure and keeps the
+noise feedback loop stable on pathological tonal input (the reference's
+own conversion has a sign bug — see noise_shape._warped_true2monic); and
+(3) the end-to-end 24 kbps tonal gate that regressed in rounds 3/4.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+from mousiki_tpu.silk.noise_shape import (NsqState, ShapeControl,
+                                          _bwexpander, _k2a, _schur,
+                                          _warped_autocorr, _warped_gain,
+                                          _warped_true2monic, nsq_shaped)
+from mousiki_tpu.silk.nsq_del_dec import nsq_del_dec
+
+
+def _chain_state_step(s, u, w, Lw):
+    rhs = np.empty_like(s)
+    rhs[0] = u + w * s[0]
+    rhs[1:] = s[:-1] + w * s[1:]
+    return Lw @ rhs
+
+
+def _lw(order, w):
+    jj = np.arange(order)
+    d = jj[:, None] - jj[None, :]
+    return np.where(d >= 0, (-w) ** np.maximum(d, 0), 0.0)
+
+
+def _mk_frame(seed=0, voiced=True, fs_khz=16):
+    """Synthesize a plausible NSQ input set (not bitstream-normative)."""
+    rng = np.random.default_rng(seed)
+    L = 20 * fs_khz
+    nb = 4
+    d = 16
+    t = np.arange(L)
+    x = (6000 * np.sin(2 * np.pi * 0.009 * t)
+         + 1500 * np.sin(2 * np.pi * 0.055 * t)
+         + 300 * rng.standard_normal(L))
+    ctl = ShapeControl(nb, 16)
+    for k in range(nb):
+        ctl.ar[k] = 0.5 ** np.arange(1, 17) * rng.uniform(0.5, 1.0)
+        ctl.harm_shape_gain[k] = 0.2 if voiced else 0.0
+        ctl.tilt[k] = -0.3
+        ctl.lf_ma[k] = -0.97
+        ctl.lf_ar[k] = 0.95
+    ctl.lambda_ = 0.8
+    ctl.quant_offset_type = 0
+    a_q12 = (np.array([1.7, -0.8] + [0.0] * 14) * 4096).astype(int)
+    kw = dict(signal_type=2 if voiced else 1, seed=1, nb_subfr=nb,
+              frame_length=L, ltp_mem_length=L, lpc_order=d,
+              pred_coef_q12=[list(a_q12), list(a_q12)],
+              ltp_coef_q14=[2000, 8000, 3000, 500, 100] * nb,
+              gains_q16=[9 << 16, 11 << 16, 11 << 16, 10 << 16],
+              pitch_l=[114, 114, 112, 112],
+              ltp_scale_q14=15565, nlsf_interp_flag=False)
+    st = NsqState(L)
+    st.xq[:] = rng.standard_normal(2 * L) * 500
+    st.s_ltp_shp[:] = rng.standard_normal(2 * L) * 0.3
+    st.lag_prev = 114
+    return x, st, ctl, kw
+
+
+@pytest.mark.parametrize("voiced", [True, False])
+def test_single_state_reduces_to_nsq_shaped(voiced):
+    x, st, ctl, kw = _mk_frame(voiced=voiced)
+    st1, st2 = copy.deepcopy(st), copy.deepcopy(st)
+    p1 = nsq_shaped(x, st1, copy.deepcopy(ctl), **kw)
+    p2, seed_used = nsq_del_dec(x, st2, copy.deepcopy(ctl), **kw,
+                                n_states=1, warping=0.0)
+    assert list(p1) == list(p2)
+    assert seed_used == (kw["seed"] & 3)
+    for name in ("xq", "s_ltp_shp", "s_ar2", "s_lpc"):
+        a, b = getattr(st1, name), getattr(st2, name)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9 * max(
+            1.0, float(np.abs(a).max())))
+    assert abs(st1.s_lf_ar - st2.s_lf_ar) < 1e-9
+    assert abs(st1.s_diff - st2.s_diff) < 1e-9
+
+
+def test_del_dec_beats_single_state_distortion():
+    """4-state trellis should not lose to greedy on reconstruction error."""
+    x, st, ctl, kw = _mk_frame(voiced=True)
+    st1, st2 = copy.deepcopy(st), copy.deepcopy(st)
+    nsq_shaped(x, st1, copy.deepcopy(ctl), **kw)
+    nsq_del_dec(x, st2, copy.deepcopy(ctl), **kw, n_states=4, warping=0.0)
+    L = kw["frame_length"]
+    e1 = float(np.mean((st1.xq[:L] - x) ** 2))
+    e2 = float(np.mean((st2.xq[:L] - x) ** 2))
+    assert e2 <= e1 * 1.05  # trellis may trade distortion for rate
+
+
+def test_monic_conversion_exact_for_chain():
+    """1 - H_chain == (1 - sum a_j A^{j+1}) / lag0 to machine precision."""
+    w = 983 * 16 / 65536.0
+    order = 16
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-0.3, 0.5, order)
+    a[0] = 0.9
+    c = a.copy()
+    _warped_true2monic(c, w, 3.999)
+    # impulse response of the chain feedback
+    Lw = _lw(order, w)
+    s = np.zeros(order)
+    h = []
+    for t in range(600):
+        h.append(c @ s)
+        s = _chain_state_step(s, 1.0 if t == 0 else 0.0, w, Lw)
+    nfft = 4096
+    H = np.fft.rfft(np.array(h), nfft)
+    zi = np.exp(-2j * np.pi * np.arange(nfft // 2 + 1) / nfft)
+    A = (zi - w) / (1 - w * zi)
+    P = sum(a[j] * A ** j for j in range(order))
+    lag0 = 1 + w * sum(a[j] * (-w) ** j for j in range(order))
+    target = 1 - (1 - A * P) / lag0
+    assert np.abs(H - target).max() < 1e-10
+    # the gain compensation is the lag-0 normalizer
+    assert abs(_warped_gain(a, w) - 1.0 / lag0) < 1e-12
+
+
+def test_warped_loop_stable_on_pure_tone():
+    """The shaped feedback loop must not diverge on a 140 Hz tone (the
+    signal class that exposed the reference's conversion sign bug)."""
+    w = 983 * 16 / 65536.0
+    order = 24
+    x = 9000 * np.sin(2 * np.pi * 140 * np.arange(240) / 16000)
+    ac = _warped_autocorr(x, w, order)
+    ac[0] += ac[0] * 3e-5 + 1.0
+    rc, _ = _schur(ac, order)
+    a = _k2a(rc)
+    _bwexpander(a, 0.94)
+    _warped_true2monic(a, w, 3.999)
+    Lw = _lw(order, w)
+    s = np.zeros(order)
+    rng = np.random.default_rng(1)
+    for _ in range(4000):
+        diff = a @ s - rng.uniform(-0.5, 0.5)
+        assert abs(diff) < 100.0
+        s = _chain_state_step(s, diff, w, Lw)
+
+
+def test_warped_autocorr_reference_vector():
+    """warped_autocorrelation_flp.rs's own test vector."""
+    corr = _warped_autocorr(np.array([0.2, -0.4, 0.25, -0.1, 0.05]),
+                            0.3, 4)
+    exp = [0.2750000059604645, -0.2486477941274643, 0.1916804015636444,
+           -0.1361631602048874, 0.09137232601642609]
+    assert np.abs(corr - np.array(exp)).max() < 1e-6
