@@ -310,8 +310,8 @@ def bench_encode(S=128, n_steps=24, K=8):
 
     pipe.step_chunk(chunk(0))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(0, n_steps, K):
-        pipe.step_chunk(chunk(i))
+    for _ in pipe.encode_stream(chunk(i) for i in range(0, n_steps, K)):
+        pass
     return S * n_steps * 0.02 / (time.perf_counter() - t0)
 
 
@@ -450,7 +450,7 @@ def main():
             "device_only_x": round(device_x, 1),
             "mixed_silk_celt_hybrid_e2e_x": (round(mixed_x, 1)
                                              if mixed_x else None),
-            "encode_e2e_x_s16": (round(encode_x, 1) if encode_x else None),
+            "encode_e2e_x_s128": (round(encode_x, 1) if encode_x else None),
             "dred_recovery_x_s64": (round(dred_x, 1) if dred_x else None),
             "quality_gate": "pass" if gate.pop("pass") else "FAIL",
             "quality": gate,

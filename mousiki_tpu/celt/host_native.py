@@ -198,7 +198,7 @@ _PLANE_DTYPES = {
     "lost8": np.uint8,
 }
 
-# Native pointer-table order (28 entries; see celt_host_decode_plan).
+# Native pointer-table order (29 entries; see celt_host_decode_plan).
 _PTR_ORDER = (["direct", "pvq_rec", "pvq_cnt",
                "call_flags", "call_combo", "call_lb_src",
                "call_blend_upto", "dup_pool", "fill_cid", "fill_off",
@@ -232,7 +232,7 @@ def _plane_shapes(S: int, channels: int, frame: int) -> dict:
 
 def wire_to_logical(views: dict) -> dict:
     """Reconstruct the executor's LOGICAL plan planes (plan_pack.pack_plans
-    layout) from the v3 wire views — the numpy twin of the device-side
+    layout) from the v4 wire views — the numpy twin of the device-side
     unpack in ops/band_exec_jax.unpack_plan_arenas (tests compare these to
     the Python packer's output)."""
     S = views["direct"].shape[0]
@@ -710,6 +710,9 @@ class NativeCeltHostBatch:
         aux_list = []
         any_direct = False
         for k, payloads in enumerate(frames):
+            # a short list would leave stale offs/lens entries pointing
+            # past the joined blob (scratch buffers are reused)
+            assert len(payloads) == S, (k, len(payloads), S)
             arenas, aux, layout, views, ptrs = slots[k]
             blob = b"".join(p for p in payloads if p is not None)
             pos = 0

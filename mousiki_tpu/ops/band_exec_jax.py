@@ -730,8 +730,8 @@ def plan_synthesis_step(consts, state, packed, x_direct, band_log_e,
 
 def unpack_plan_arenas(a32, a16, a8, *, channels: int, frame: int):
     """Reconstruct the LOGICAL plan-plane dict from the three packed
-    arenas (wire format v3 — bit-packed flags, pooled fills/dups, and
-    sequential 16-byte PVQ leaf records that are tier-scattered HERE,
+    arenas (wire format v4 — bit-packed flags, pooled fills/dups, and
+    sequential 12-byte PVQ leaf records that are tier-scattered HERE,
     on device, so the host writes one contiguous record stream; the
     numpy twin is host_native.wire_to_logical).
 

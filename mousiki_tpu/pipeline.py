@@ -114,7 +114,7 @@ class CeltStreamPipeline:
             self._plan_mats = {960: plan_combo_mats(channels, 960)}
             self._xd_zeros = {}
             self._cpu_backend = jax.devices()[0].platform == "cpu"
-            self._gc_tick = 0
+            self._prev_xfer = []
             if mesh is not None:
                 from .parallel.streaming import replicate
                 self._plan_mats = {960: replicate(mesh,
@@ -247,15 +247,18 @@ class CeltStreamPipeline:
             self._xd_zeros[frame_size].block_until_ready()
         xd = (jnp.asarray(aux["x_direct"]) if any_direct
               else self._xd_zeros[frame_size])
-        # Deterministically reap the per-step device buffers: jax.Array
-        # lifetimes otherwise wait on the cyclic GC, and with fresh
-        # multi-MB transfers per step the buffer backlog degrades the
-        # transfer path several-fold within a few hundred steps.
-        self._gc_tick += 1
-        if self._gc_tick >= 128:
-            self._gc_tick = 0
-            import gc
-            gc.collect()
+        # Deterministically reap the PREVIOUS step's transfer buffers:
+        # jax.Array lifetimes otherwise wait on the cyclic GC, and with
+        # fresh multi-MB transfers per step the buffer backlog degrades
+        # the transfer path several-fold within a few hundred steps.
+        # PjRt defers the actual free until the buffer's usage holds
+        # drop, so explicit delete() is race-free even if the previous
+        # execution is still in flight.
+        for _buf in self._prev_xfer:
+            try:
+                _buf.delete()
+            except Exception:
+                pass  # already deleted / donated
         # one H2D transfer: the three arenas share an int32 backing buffer
         # (each fixed transfer through the device tunnel costs ~0.1 ms).
         # On the CPU backend jnp.asarray ALIASES numpy buffers zero-copy,
@@ -264,7 +267,11 @@ class CeltStreamPipeline:
         backing = arenas["backing"]
         if self._cpu_backend:
             backing = backing.copy()
-        return (jnp.asarray(backing), xd)
+        backing_dev = jnp.asarray(backing)
+        self._prev_xfer = [backing_dev]
+        if xd is not self._xd_zeros.get(frame_size):
+            self._prev_xfer.append(xd)
+        return (backing_dev, xd)
 
     def _host_decode_plan_sharded(self, payloads: list, frame_size: int):
         import jax
@@ -454,6 +461,12 @@ class CeltStreamPipeline:
         # the scan input transfers as-is, no per-frame copy + stack
         backing2d, aux_list, any_direct = self._native.decode_plan_chunk(
             frames, frame_size)
+        # NB: the native decoder has already advanced through ALL K frames
+        # before this check runs — a raise here leaves the native stream
+        # states desynced for the whole chunk (the per-frame `step` path
+        # raises immediately instead). Chunk mode trades precise failure
+        # state for dispatch amortization; callers that need to survive
+        # malformed packets should use step().
         for k, aux in enumerate(aux_list):
             rcs = aux["rcs"]
             if np.any(rcs < 0):
@@ -722,7 +735,7 @@ class OpusStreamPipeline:
         self.prev_fs = jnp.full((n_streams,), 16, jnp.int32)
         self._xd_zeros = jnp.zeros((n_streams, channels, 960), jnp.float32)
         self._xd_zeros.block_until_ready()
-        self._gc_tick = 0
+        self._prev_xfer = []
         self.last_modes = None
         self._queues = None  # feeder mode (push/tick), built on first push
 
@@ -810,8 +823,6 @@ class OpusStreamPipeline:
         the NEXT packet — its in-band LBRR replaces the loss when present
         (SILK/hybrid), otherwise PLC conceals. Returns a device array
         (S, 960, channels), float32."""
-        import gc
-
         import jax.numpy as jnp
 
         if frame_size != 960:
@@ -841,19 +852,29 @@ class OpusStreamPipeline:
         name, off, shape = layout["direct"]
         any_direct = bool(arenas[name][off:off + shape[0]].any())
         xd = jnp.asarray(aux["x_direct"]) if any_direct else self._xd_zeros
-        self._gc_tick += 1
-        if self._gc_tick >= 128:
-            self._gc_tick = 0
-            gc.collect()
+        # reap the previous step's transfer buffers (see _plan_args_to_device)
+        for _buf in self._prev_xfer:
+            try:
+                _buf.delete()
+            except Exception:
+                pass
         fs_dev = jnp.asarray(silk_fs)
         rows16 = silk16.reshape(self._rows, 320)
+        backing_dev = jnp.asarray(arenas["backing"])
+        rows_dev = jnp.asarray(rows16)
+        st_dev = jnp.asarray(silk_stereo != 0)
+        self._prev_xfer = [backing_dev, rows_dev, st_dev]
+        if xd is not self._xd_zeros:
+            self._prev_xfer.append(xd)
         (pcm, self.state, self.plc_state, self.rs_states,
          self.silk_prev) = self._step(
             self.consts, self._plc_consts, self.state, self.plc_state,
             self.rs_states, self.prev_fs, self.silk_prev,
-            jnp.asarray(arenas["backing"]), xd,
-            jnp.asarray(rows16), fs_dev, jnp.asarray(silk_stereo != 0),
+            backing_dev, xd,
+            rows_dev, fs_dev, st_dev,
             self._mats, self._up_ws)
+        if self.prev_fs is not fs_dev:
+            self._prev_xfer.append(self.prev_fs)
         self.prev_fs = fs_dev
         return pcm
 
@@ -1016,3 +1037,48 @@ class CeltEncodePipeline:
         K = pcms.shape[0]
         return [self._native_back({k: hosts[k][i] for k in hosts})
                 for i in range(K)]
+
+    def encode_stream(self, pcms_iter):
+        """Pipelined chunked encode: generator over (K, S, frame, ch)
+        chunks yielding one list of S packets per FRAME, overlapping the
+        native C++ symbol back half of chunk i with the device front of
+        chunk i+1 (they share nothing but the tapset feedback, which is
+        a valid in-stream-signaled encoder choice already allowed K
+        frames of lag in step_chunk; here it lags up to 2K). The
+        device->host copy is started asynchronously at dispatch so the
+        blocking device_get at chunk i+1 finds the bytes already
+        landed; on a tunneled device this hides the native back half
+        entirely behind the device round-trip (VERDICT r4 item 4)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.encode_front_jax import front_scan
+        assert self._native is not None, \
+            "pipelined encode needs the native back half"
+
+        def _drain(pending):
+            hosts, K = pending
+            hosts = jax.device_get(hosts)
+            return [self._native_back({k: hosts[k][i] for k in hosts})
+                    for i in range(K)]
+
+        pending = None
+        for pcms in pcms_iter:
+            tapset = self._native.tapsets()
+            nby = np.full(self.S, self.nbytes, np.int32)
+            outs, self._state = front_scan(
+                self._consts, self._state, jnp.asarray(pcms, jnp.float32),
+                jnp.asarray(nby), jnp.asarray(tapset),
+                channels=self.channels, frame=self.frame)
+            try:
+                for leaf in jax.tree_util.tree_leaves(outs):
+                    leaf.copy_to_host_async()
+            except Exception:
+                pass  # backend without async host copies
+            if pending is not None:
+                for pkts in _drain(pending):
+                    yield pkts
+            pending = (outs, pcms.shape[0])
+        if pending is not None:
+            for pkts in _drain(pending):
+                yield pkts

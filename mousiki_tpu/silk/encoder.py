@@ -1021,8 +1021,8 @@ class SilkEncoder:
             if nsq_fn is not None:
                 pulses = nsq_fn(x, self.nsq, shape_ctl, **common_kw)
             elif self.use_del_dec:
-                from .nsq_del_dec import nsq_del_dec
-                pulses, ix.seed = nsq_del_dec(
+                from .nsq_del_dec import nsq_del_dec_best
+                pulses, ix.seed = nsq_del_dec_best(
                     x, self.nsq, shape_ctl, **common_kw,
                     n_states=self.n_del_dec_states,
                     warping=self.warping_q16 / 65536.0)

@@ -346,3 +346,123 @@ def nsq_del_dec(x: np.ndarray, st_nsq: NsqState, ctl: ShapeControl, *,
                                       frame_length + ltp_mem_length]
     shp[: ltp_mem_length] = shp[frame_length: frame_length + ltp_mem_length]
     return pulses, int(seed_init[win])
+
+
+# ---------------------------------------------------------------------------
+# Native C++ twin (native/silk_host.cpp silk_nsq_del_dec_f64): identical
+# float64 algorithm for encode serving throughput; the Python trellis
+# above is the tested reference. Falls back transparently.
+# ---------------------------------------------------------------------------
+
+_native_fn = None
+_native_failed = False
+
+
+def _load_native():
+    global _native_fn, _native_failed
+    if _native_fn is not None or _native_failed:
+        return _native_fn
+    import ctypes as C
+    try:
+        from . import host_native
+        lib = host_native._load()
+        fn = getattr(lib, "silk_nsq_del_dec_f64", None)
+        if lib is None or fn is None:
+            _native_failed = True
+            return None
+        dp = C.POINTER(C.c_double)
+        ip = C.POINTER(C.c_int32)
+        fn.restype = C.c_int
+        fn.argtypes = [
+            dp, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+            dp, dp, ip, ip, C.c_int, C.c_int, C.c_int, C.c_double,
+            dp, C.c_int, dp, dp, dp, dp, C.c_double, C.c_double,
+            dp, dp, dp, dp, dp, ip, ip]
+        _native_fn = fn
+    except Exception:
+        _native_failed = True
+        return None
+    return _native_fn
+
+
+def nsq_del_dec_native(x, st_nsq: NsqState, ctl: ShapeControl, *,
+                       signal_type: int, seed: int, nb_subfr: int,
+                       frame_length: int, ltp_mem_length: int,
+                       lpc_order: int, pred_coef_q12, ltp_coef_q14,
+                       gains_q16, pitch_l, ltp_scale_q14: int,
+                       nlsf_interp_flag: bool = False,
+                       n_states: int = MAX_DEL_DEC_STATES,
+                       warping: float = 0.0):
+    """Native-dispatch variant of nsq_del_dec (same contract); returns
+    None when the shared library is unavailable."""
+    import ctypes as C
+    fn = _load_native()
+    if fn is None:
+        return None
+    dp = C.POINTER(C.c_double)
+    ip = C.POINTER(C.c_int32)
+    order = len(st_nsq.s_ar2)
+    nb = nb_subfr
+    voiced = signal_type == 2
+    offset = _QUANT_OFFSETS[1 if voiced else 0][ctl.quant_offset_type]
+
+    xf = np.ascontiguousarray(x, np.float64)
+    a = np.zeros((2, lpc_order))
+    a[0, :] = np.asarray(pred_coef_q12[0], np.float64)[:lpc_order] / 4096.0
+    a[1, :] = np.asarray(pred_coef_q12[1], np.float64)[:lpc_order] / 4096.0
+    b = np.asarray(ltp_coef_q14, np.float64)[: nb * 5] / 16384.0
+    b = np.ascontiguousarray(b)
+    gains = np.asarray(gains_q16, np.int32)[:nb].copy()
+    pl = np.zeros(nb, np.int32)   # may be empty for unvoiced frames
+    src = np.asarray(pitch_l, np.int32)[:nb]
+    pl[: len(src)] = src
+    ar = np.zeros((nb, order))
+    ar[:, : ctl.ar.shape[1]] = ctl.ar[:nb]
+    harm = np.ascontiguousarray(ctl.harm_shape_gain[:nb], np.float64)
+    tilt = np.ascontiguousarray(ctl.tilt[:nb], np.float64)
+    lf_ma = np.ascontiguousarray(ctl.lf_ma[:nb], np.float64)
+    lf_ar = np.ascontiguousarray(ctl.lf_ar[:nb], np.float64)
+
+    xq_all = np.ascontiguousarray(st_nsq.xq, np.float64)
+    shp = np.ascontiguousarray(st_nsq.s_ltp_shp, np.float64)
+    s_lpc = np.ascontiguousarray(st_nsq.s_lpc[:NSQ_LPC_BUF], np.float64)
+    s_ar2 = np.ascontiguousarray(st_nsq.s_ar2, np.float64)
+    scal = np.array([st_nsq.s_lf_ar, st_nsq.s_diff, st_nsq.prev_gain])
+    lag = np.array([st_nsq.lag_prev], np.int32)
+    pulses = np.zeros(frame_length, np.int32)
+
+    rc = fn(xf.ctypes.data_as(dp), frame_length, nb, signal_type,
+            int(seed), ltp_mem_length, lpc_order,
+            a.ctypes.data_as(dp), b.ctypes.data_as(dp),
+            gains.ctypes.data_as(ip), pl.ctypes.data_as(ip),
+            int(ltp_scale_q14), 1 if nlsf_interp_flag else 0,
+            int(n_states), float(warping),
+            ar.ctypes.data_as(dp), order,
+            harm.ctypes.data_as(dp), tilt.ctypes.data_as(dp),
+            lf_ma.ctypes.data_as(dp), lf_ar.ctypes.data_as(dp),
+            float(ctl.lambda_), float(offset),
+            xq_all.ctypes.data_as(dp), shp.ctypes.data_as(dp),
+            s_lpc.ctypes.data_as(dp), s_ar2.ctypes.data_as(dp),
+            scal.ctypes.data_as(dp), lag.ctypes.data_as(ip),
+            pulses.ctypes.data_as(ip))
+    if rc < 0:
+        return None
+    st_nsq.xq[:] = xq_all
+    st_nsq.s_ltp_shp[:] = shp
+    st_nsq.s_lpc[:NSQ_LPC_BUF] = s_lpc
+    st_nsq.s_ar2[:] = s_ar2
+    st_nsq.s_lf_ar = float(scal[0])
+    st_nsq.s_diff = float(scal[1])
+    st_nsq.prev_gain = float(scal[2])
+    st_nsq.lag_prev = int(lag[0])
+    return [int(p) for p in pulses], int(rc)
+
+
+def nsq_del_dec_best(x, st_nsq, ctl, **kw):
+    """Native when available (SILK_NSQ_NATIVE=0 forces Python)."""
+    import os
+    if os.environ.get("SILK_NSQ_NATIVE", "1") != "0":
+        r = nsq_del_dec_native(x, st_nsq, ctl, **kw)
+        if r is not None:
+            return r
+    return nsq_del_dec(x, st_nsq, ctl, **kw)

@@ -52,7 +52,7 @@ struct PlanArrays {
   void* ptrs[29];
 };
 
-// Wire format v3 (see celt_host.cpp celt_host_decode_plan layout comment).
+// Wire format v4 (see celt_host.cpp celt_host_decode_plan layout comment).
 static constexpr int kPool = kNB * 2 * kFill;
 
 static void build_arrays(PlanArrays& a, int S, int C, int frame) {

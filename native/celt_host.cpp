@@ -1963,6 +1963,14 @@ uint32_t pq_alg_unquant(PlanCtx* ctx, int dst, int N, int K, int B,
     ctx->failed = true;
     return cm;
   }
+  if (dst >= 2048) {
+    // dst occupies 11 bits of rec[0]; the supported 48k family keeps
+    // dst < 2*960, but a larger custom frame wired through here would
+    // silently wrap and corrupt the gather map — fall back to the
+    // direct decoder instead.
+    ctx->failed = true;
+    return cm;
+  }
   ctx->tier_used[t]++;
   uint32_t* rec = o->pvq_rec + 3 * (size_t)ctx->rec_used++;
   rec[0] = (uint32_t)N | ((uint32_t)K << 8) |
@@ -2666,8 +2674,8 @@ void celt_host_set_fill_pool(int pool) {
 
 // Plan-mode decode: symbols only; band signal math is recorded as a packed
 // plan for the device executor (mousiki_tpu/ops/band_exec_jax.py). `arrs`
-// is the packed-array pointer table for ALL S streams — wire format v3,
-// 28 entries, in this fixed order with these dtypes (must match the
+// is the packed-array pointer table for ALL S streams — wire format v4
+// (12-byte PVQ leaf records), 29 entries, in this fixed order with these dtypes (must match the
 // PlanOut views below and mousiki_tpu/celt/host_native.py
 // _PTR_ORDER/_PLANE_DTYPES). R = sum of the three tier slot capacities.
 //   0 direct u8(S)  1 pvq_rec u32(S,R,3)  2 pvq_cnt u16(S)

@@ -14,6 +14,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <algorithm>
+#include <cmath>
+#include <vector>
 
 #include "silk_tables.h"
 
@@ -1893,6 +1895,392 @@ int silk_host_plc_stereo(void* mid_p, void* side_p, int32_t* sst,
   memcpy(out_l, x1 + 1, L * sizeof(int16_t));
   memcpy(out_r, x2 + 1, L * sizeof(int16_t));
   return L;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Delayed-decision noise-shaping quantizer, float64 twin of
+// mousiki_tpu/silk/nsq_del_dec.py (behavioral port of the reference
+// nsq_del_dec.rs:83 silk_NSQ_del_dec with the corrected monic-warped
+// conversion — see silk/noise_shape.py _warped_true2monic). Same state
+// contract: persistent buffers in the gain-scaled double domain, unscaled
+// xq history for LTP re-whitening. The Python twin is the tested
+// reference; this exists for encode serving throughput.
+// ---------------------------------------------------------------------------
+
+namespace nsqdd {
+
+constexpr int kDD = 40;          // DECISION_DELAY
+constexpr int kMaxStates = 4;
+constexpr int kLpcBuf = 32;      // NSQ_LPC_BUF
+constexpr int kMaxSub = 160;
+constexpr int kMaxOrder = 24;
+constexpr double kBigRd = 134217728.0;  // 2^27
+constexpr double kQuantAdj = 80.0 / 1024.0;
+
+struct DDState {
+  double s_lpc[kLpcBuf + kMaxSub];
+  double s_ar2[kMaxOrder];
+  double r_q[kDD], r_xq[kDD], r_pred[kDD], r_shape[kDD];
+  int32_t r_rand[kDD];
+  double lf_ar, diff, rd;
+  int32_t seed, seed_init;
+};
+
+static inline int32_t silk_rand_i32(int32_t s) {
+  return (int32_t)(907633515u + (uint32_t)s * 196314165u);
+}
+
+static inline int iround_half_up(double q) {
+  return (int)std::floor(q + 0.5);
+}
+
+}  // namespace nsqdd
+
+extern "C" {
+
+// Returns the winner's initial seed index (>= 0) or -1 on bad args.
+// All pointers are caller-owned numpy buffers (see silk/nsq_del_dec.py
+// nsq_del_dec_native). State arrays are updated in place.
+int silk_nsq_del_dec_f64(
+    const double* x, int frame_length, int nb_subfr, int signal_type,
+    int seed, int ltp_mem_length, int lpc_order,
+    const double* pred_coef,   // (2, lpc_order): a values (already /4096)
+    const double* ltp_coef,    // (nb_subfr*5): b values (already /16384)
+    const int32_t* gains_q16, const int32_t* pitch_l,
+    int ltp_scale_q14, int nlsf_interp_flag, int n_states, double warping,
+    const double* ar_shp,      // (nb_subfr, order) shaping coefs
+    int order,                 // shaping/chain order (= len(s_ar2), 24)
+    const double* harm_v, const double* tilt_v, const double* lf_ma_v,
+    const double* lf_ar_v, double lambda_, double offset,
+    double* xq_all,            // 2*ltp_mem, unscaled emitted output
+    double* shp,               // 2*ltp_mem, scaled shape history
+    double* s_lpc_st,          // kLpcBuf persistent
+    double* s_ar2_st,          // order persistent
+    double* scal,              // [s_lf_ar, s_diff, prev_gain] in/out
+    int32_t* lag_prev_io,      // [lag_prev] in/out
+    int32_t* pulses)           // frame_length out
+{
+  using namespace nsqdd;
+  if (n_states < 1 || n_states > kMaxStates || order > kMaxOrder)
+    return -1;
+  const int sub = frame_length / nb_subfr;
+  if (sub > kMaxSub) return -1;
+  const bool voiced = signal_type == 2;
+  const int N = n_states;
+  const double lam = lambda_;
+
+  int lag = lag_prev_io[0];
+  double prev_gain = scal[2];
+
+  static thread_local DDState st[kMaxStates];
+  for (int k = 0; k < N; k++) {
+    DDState& d = st[k];
+    d.seed = (int32_t)((k + (seed & 3)) & 3);
+    d.seed_init = d.seed;
+    d.rd = 0.0;
+    d.lf_ar = scal[0];
+    d.diff = scal[1];
+    memcpy(d.s_lpc, s_lpc_st, kLpcBuf * sizeof(double));
+    memset(d.s_lpc + kLpcBuf, 0, kMaxSub * sizeof(double));
+    memcpy(d.s_ar2, s_ar2_st, order * sizeof(double));
+    memset(d.r_q, 0, sizeof(d.r_q));
+    memset(d.r_xq, 0, sizeof(d.r_xq));
+    memset(d.r_pred, 0, sizeof(d.r_pred));
+    memset(d.r_shape, 0, sizeof(d.r_shape));
+    memset(d.r_rand, 0, sizeof(d.r_rand));
+    d.r_shape[0] = shp[ltp_mem_length - 1];
+  }
+
+  int smpl_buf_idx = 0;
+  int decision_delay = kDD < sub ? kDD : sub;
+  if (voiced) {
+    for (int k = 0; k < nb_subfr; k++) {
+      int v = pitch_l[k] - 2 - 1;
+      if (v < 0) v = 0;
+      if (v < decision_delay) decision_delay = v;
+    }
+  } else if (lag > 0) {
+    int v = lag - 2 - 1;
+    if (v < 0) v = 0;
+    if (v < decision_delay) decision_delay = v;
+  }
+  double delayed_gain[kDD];
+  memset(delayed_gain, 0, sizeof(delayed_gain));
+
+  std::vector<double> s_ltp(ltp_mem_length + frame_length, 0.0);
+  std::vector<double> s_ltp_sc(ltp_mem_length + frame_length, 0.0);
+  int shp_buf_idx = ltp_mem_length;
+  int ltp_buf_idx = ltp_mem_length;
+  int subfr = 0;
+
+  auto flush = [&](int count, double gain, int pulses_off, int xq_off) {
+    int win = 0;
+    for (int k = 1; k < N; k++)
+      if (st[k].rd < st[win].rd) win = k;
+    for (int k = 0; k < N; k++)
+      if (k != win) st[k].rd += kBigRd;
+    int last = (smpl_buf_idx + decision_delay) % kDD;
+    for (int i = 0; i < count; i++) {
+      last = (last + kDD - 1) % kDD;
+      pulses[pulses_off + i - decision_delay] =
+          iround_half_up(st[win].r_q[last]);
+      xq_all[xq_off + i - decision_delay] = st[win].r_xq[last] * gain;
+      shp[shp_buf_idx - decision_delay + i] = st[win].r_shape[last];
+    }
+    return win;
+  };
+
+  for (int k = 0; k < nb_subfr; k++) {
+    const int fo = k * sub;
+    const int half_raw = (k >> 1) | (nlsf_interp_flag ? 0 : 1);
+    const int half = half_raw > 1 ? 1 : half_raw;
+    const double* a = pred_coef + half * lpc_order;
+    const double* b = ltp_coef + k * 5;
+    const double* c_shp = ar_shp + k * order;
+    const double gain =
+        (double)(gains_q16[k] > 1 ? gains_q16[k] : 1) / 65536.0;
+    const double inv_gain = 1.0 / gain;
+
+    bool rewhite = false;
+    if (voiced) {
+      lag = pitch_l[k];
+      if ((k & (3 - (nlsf_interp_flag ? 2 : 0))) == 0) {
+        if (k == 2) {
+          double g1 = (double)(gains_q16[1] > 1 ? gains_q16[1] : 1) / 65536.0;
+          flush(decision_delay, g1, fo, ltp_mem_length + fo);
+          subfr = 0;
+        }
+        int start = ltp_mem_length - lag - lpc_order - 2;
+        if (start < 1) start = 1;
+        // whiten the unscaled emitted xq history with this half's LPC
+        const double* seg = xq_all + start + fo;
+        const int seglen = ltp_mem_length - start;
+        for (int i = 0; i < seglen; i++) {
+          double r = seg[i];
+          for (int j = 0; j < lpc_order && j < i; j++)
+            r -= a[j] * seg[i - 1 - j];
+          s_ltp[start + i] = i < lpc_order ? 0.0 : r;
+        }
+        rewhite = true;
+        ltp_buf_idx = ltp_mem_length;
+      }
+    }
+
+    // scale_states
+    double x_sc[kMaxSub];
+    for (int i = 0; i < sub; i++) x_sc[i] = x[fo + i] * inv_gain;
+    if (rewhite) {
+      double ig = inv_gain;
+      if (k == 0) ig *= (double)ltp_scale_q14 / 16384.0;
+      int lo = ltp_buf_idx - lag - 2;
+      for (int i = lo; i < ltp_buf_idx; i++) s_ltp_sc[i] = s_ltp[i] * ig;
+    }
+    if (gain != prev_gain) {
+      double adj = prev_gain / gain;
+      for (int i = shp_buf_idx - ltp_mem_length; i < shp_buf_idx; i++)
+        shp[i] *= adj;
+      if (voiced && !rewhite) {
+        int lo = ltp_buf_idx - lag - 2;
+        for (int i = lo; i < ltp_buf_idx - decision_delay; i++)
+          s_ltp_sc[i] *= adj;
+      }
+      for (int kk = 0; kk < N; kk++) {
+        DDState& d = st[kk];
+        d.lf_ar *= adj;
+        d.diff *= adj;
+        for (int i = 0; i < kLpcBuf + sub; i++) d.s_lpc[i] *= adj;
+        for (int i = 0; i < order; i++) d.s_ar2[i] *= adj;
+        for (int i = 0; i < kDD; i++) {
+          d.r_pred[i] *= adj;
+          d.r_shape[i] *= adj;
+        }
+      }
+      prev_gain = gain;
+    }
+
+    int shp_lag = shp_buf_idx - lag + 1;
+    int pred_lag = ltp_buf_idx - lag + 2;
+    const double harm = harm_v[k], tilt = tilt_v[k];
+    const double lf_ma = lf_ma_v[k], lf_ar_c = lf_ar_v[k];
+    int lpc_off = kLpcBuf - 1;
+
+    for (int i = 0; i < sub; i++) {
+      double ltp_pred = 0.0;
+      if (voiced) {
+        for (int j = 0; j < 5; j++)
+          ltp_pred += b[j] * s_ltp_sc[pred_lag - j];
+        pred_lag++;
+      }
+      double n_ltp = 0.0;
+      if (lag > 0) {
+        n_ltp = harm * (0.25 * (shp[shp_lag] + shp[shp_lag - 2]) +
+                        0.5 * shp[shp_lag - 1]);
+        shp_lag++;
+      }
+
+      smpl_buf_idx = (smpl_buf_idx + kDD - 1) % kDD;
+      const int last = (smpl_buf_idx + decision_delay) % kDD;
+
+      struct Cand {
+        double q, rd, xq, diff, lfar, shape, lexc;
+      } c0[kMaxStates], c1[kMaxStates];
+      double sgn_k[kMaxStates];
+
+      for (int kk = 0; kk < N; kk++) {
+        DDState& d = st[kk];
+        d.seed = silk_rand_i32(d.seed);
+        const double sgn = d.seed < 0 ? -1.0 : 1.0;
+        sgn_k[kk] = sgn;
+
+        double lpc_pred = 0.0;
+        for (int j = 0; j < lpc_order; j++)
+          lpc_pred += a[j] * d.s_lpc[lpc_off - j];
+
+        double n_ar = d.lf_ar * tilt;
+        for (int j = 0; j < order; j++) n_ar += c_shp[j] * d.s_ar2[j];
+
+        // n_lf reads the PRE-decrement ring slot: the Python twin reads
+        // r_shape[smpl_buf_idx] before decrementing; we already
+        // decremented, so the previous index is (smpl_buf_idx+1)%kDD
+        const int prev_idx = (smpl_buf_idx + 1) % kDD;
+        double n_lf = lf_ma * d.r_shape[prev_idx] + lf_ar_c * d.lf_ar;
+
+        double r = x_sc[i] - (lpc_pred + ltp_pred - n_ar - n_lf - n_ltp);
+        r = sgn * r;
+        if (r < -31.0) r = -31.0;
+        if (r > 30.0) r = 30.0;
+
+        double q_ideal = r - offset;
+        double q0 = std::floor(q_ideal);
+        if (lam > 2.0) {
+          double rdo = 0.5 * lam - 0.5;
+          if (q_ideal > rdo) q0 = std::floor(q_ideal - rdo);
+          else if (q_ideal < -rdo) q0 = std::floor(q_ideal + rdo);
+          else if (q_ideal < 0.0) q0 = -1.0;
+          else q0 = 0.0;
+        }
+        double v1, v2;
+        if (q0 > 0) {
+          v1 = q0 - kQuantAdj + offset;
+          v2 = v1 + 1.0;
+        } else if (q0 == 0) {
+          v1 = offset;
+          v2 = v1 + (1.0 - kQuantAdj);
+        } else if (q0 == -1) {
+          v1 = offset - (1.0 - kQuantAdj);
+          v2 = offset;
+        } else {
+          v1 = q0 + kQuantAdj + offset;
+          v2 = v1 + 1.0;
+        }
+        double rd1 = lam * std::fabs(v1) + (r - v1) * (r - v1);
+        double rd2 = lam * std::fabs(v2) + (r - v2) * (r - v2);
+        double q_a = v1, q_b = v2, rd_a = rd1, rd_b = rd2;
+        if (rd2 < rd1) {
+          q_a = v2; q_b = v1; rd_a = rd2; rd_b = rd1;
+        }
+        auto fill = [&](Cand& c, double vq, double rdv) {
+          const double exc = sgn * vq;
+          const double lexc = exc + ltp_pred;
+          const double xq = lexc + lpc_pred;
+          const double df = xq - x_sc[i];
+          const double lfar = df - n_ar;
+          c.q = vq; c.rd = d.rd + rdv; c.xq = xq; c.diff = df;
+          c.lfar = lfar; c.shape = lfar - n_lf; c.lexc = lexc;
+        };
+        fill(c0[kk], q_a, rd_a);
+        fill(c1[kk], q_b, rd_b);
+      }
+
+      // winner by head rd; penalize rand-state disagreement
+      int win = 0;
+      for (int kk = 1; kk < N; kk++)
+        if (c0[kk].rd < c0[win].rd) win = kk;
+      const int32_t wseed = st[win].r_rand[last];
+      for (int kk = 0; kk < N; kk++) {
+        if (st[kk].r_rand[last] != wseed) {
+          c0[kk].rd += kBigRd;
+          c1[kk].rd += kBigRd;
+        }
+      }
+      // replace worst head with best runner-up
+      int mx = 0, mn = 0;
+      for (int kk = 1; kk < N; kk++) {
+        if (c0[kk].rd > c0[mx].rd) mx = kk;
+        if (c1[kk].rd < c1[mn].rd) mn = kk;
+      }
+      if (c1[mn].rd < c0[mx].rd) {
+        st[mx] = st[mn];  // copies seed/lf_ar/diff/rings/s_lpc/s_ar2
+        c0[mx] = c1[mn];
+        sgn_k[mx] = sgn_k[mn];
+      }
+
+      // delayed emission from the (post-replacement) winner
+      if (subfr > 0 || i >= decision_delay) {
+        pulses[fo + i - decision_delay] =
+            iround_half_up(st[win].r_q[last]);
+        xq_all[ltp_mem_length + fo + i - decision_delay] =
+            st[win].r_xq[last] * delayed_gain[last];
+        shp[shp_buf_idx - decision_delay] = st[win].r_shape[last];
+        s_ltp_sc[ltp_buf_idx - decision_delay] = st[win].r_pred[last];
+      }
+      shp_buf_idx++;
+      ltp_buf_idx++;
+
+      // advance every state with its head candidate; rotate the warped
+      // allpass chain with the chosen diff (reference in-loop rotation)
+      lpc_off++;
+      for (int kk = 0; kk < N; kk++) {
+        DDState& d = st[kk];
+        const Cand& c = c0[kk];
+        const double w = warping;
+        double tmp2 = c.diff + w * d.s_ar2[0];
+        double tmp1 = d.s_ar2[0] + w * (d.s_ar2[1] - tmp2);
+        d.s_ar2[0] = tmp2;
+        for (int j = 2; j < order; j += 2) {
+          tmp2 = d.s_ar2[j - 1] + w * (d.s_ar2[j] - tmp1);
+          d.s_ar2[j - 1] = tmp1;
+          tmp1 = d.s_ar2[j] + w * (d.s_ar2[j + 1] - tmp2);
+          d.s_ar2[j] = tmp2;
+        }
+        d.s_ar2[order - 1] = tmp1;
+
+        d.lf_ar = c.lfar;
+        d.diff = c.diff;
+        d.s_lpc[lpc_off] = c.xq;
+        d.r_xq[smpl_buf_idx] = c.xq;
+        d.r_q[smpl_buf_idx] = c.q;
+        d.r_pred[smpl_buf_idx] = c.lexc;
+        d.r_shape[smpl_buf_idx] = c.shape;
+        d.seed = (int32_t)((uint32_t)d.seed +
+                           (uint32_t)(int32_t)iround_half_up(c.q));
+        d.r_rand[smpl_buf_idx] = d.seed;
+        d.rd = c.rd;
+      }
+      delayed_gain[smpl_buf_idx] = gain;
+    }
+
+    for (int kk = 0; kk < N; kk++)
+      memmove(st[kk].s_lpc, st[kk].s_lpc + sub, kLpcBuf * sizeof(double));
+    subfr++;
+  }
+
+  double glast = (double)(gains_q16[nb_subfr - 1] > 1 ?
+                          gains_q16[nb_subfr - 1] : 1) / 65536.0;
+  int win = flush(decision_delay, glast, frame_length,
+                  ltp_mem_length + frame_length);
+  memcpy(s_lpc_st, st[win].s_lpc, kLpcBuf * sizeof(double));
+  memcpy(s_ar2_st, st[win].s_ar2, order * sizeof(double));
+  scal[0] = st[win].lf_ar;
+  scal[1] = st[win].diff;
+  scal[2] = prev_gain;
+  lag_prev_io[0] = voiced ? pitch_l[nb_subfr - 1] : 0;
+
+  memmove(xq_all, xq_all + frame_length, ltp_mem_length * sizeof(double));
+  memmove(shp, shp + frame_length, ltp_mem_length * sizeof(double));
+  return st[win].seed_init;
 }
 
 }  // extern "C"

@@ -16,8 +16,10 @@ from mousiki_tpu.celt.decoder import CeltDecoder
 from mousiki_tpu.ops import celt_lockstep as ls
 from mousiki_tpu.testing import oracle
 
-pytestmark = pytest.mark.skipif(not oracle.available(),
-                                reason="libopus oracle missing")
+# opt-in lane: giant CPU compiles (see pyproject addopts)
+pytestmark = [pytest.mark.lockstep,
+              pytest.mark.skipif(not oracle.available(),
+                                reason="libopus oracle missing")]
 
 
 def collect(channels, bitrate, n_frames=24, kind="mix", seed=3,

@@ -14,8 +14,10 @@ from mousiki_tpu.ops import celt_lockstep_top as top
 from mousiki_tpu.ops.band_exec_jax import execute_packed, plan_combo_mats
 from mousiki_tpu.testing import oracle
 
-pytestmark = pytest.mark.skipif(not oracle.available(),
-                                reason="libopus oracle missing")
+# opt-in lane: giant CPU compiles (see pyproject addopts)
+pytestmark = [pytest.mark.lockstep,
+              pytest.mark.skipif(not oracle.available(),
+                                reason="libopus oracle missing")]
 
 FRAME = 960
 

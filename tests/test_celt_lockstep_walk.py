@@ -14,8 +14,10 @@ from mousiki_tpu.ops import celt_lockstep_walk as lw
 from mousiki_tpu.ops import ec_lockstep as ecl
 from mousiki_tpu.testing import oracle
 
-pytestmark = pytest.mark.skipif(not oracle.available(),
-                                reason="libopus oracle missing")
+# opt-in lane: giant CPU compiles (see pyproject addopts)
+pytestmark = [pytest.mark.lockstep,
+              pytest.mark.skipif(not oracle.available(),
+                                reason="libopus oracle missing")]
 
 FRAME = 960
 LM = 3

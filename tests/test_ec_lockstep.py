@@ -9,6 +9,9 @@ per-op random active masks, so masked pass-through is exercised too.
 import numpy as np
 import pytest
 
+# opt-in lane: giant CPU compiles (see pyproject addopts)
+pytestmark = pytest.mark.lockstep
+
 import jax.numpy as jnp
 
 from mousiki_tpu.bitstream.entcode import RangeDecoder

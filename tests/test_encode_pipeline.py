@@ -165,3 +165,55 @@ def test_silk_encode_pipeline_batched_nsq():
             best = max(best, 10 * np.log10(
                 (aa ** 2).mean() / ((aa - bb) ** 2).mean() + 1e-12))
         assert best > 2.0, best   # WB-coded noise signal: loose sanity gate
+
+
+def test_encode_stream_overlap_matches_chunked_quality():
+    """encode_stream (pipelined native-back/device-front overlap) yields
+    the same number of frames as step_chunk and packets of equivalent
+    quality (bit-exactness is not required: the tapset feedback lags up
+    to 2K frames instead of K — a valid in-stream-signaled choice)."""
+    from mousiki_tpu.pipeline import CeltEncodePipeline
+    S, K, n_chunks = 2, 4, 3
+    n_frames = K * n_chunks
+    sigs = [_signal(n_frames, 2, "music", seed=s) for s in range(S)]
+
+    def chunks():
+        for c in range(n_chunks):
+            yield np.stack([np.stack(
+                [sigs[s][(c * K + k) * 960:(c * K + k + 1) * 960]
+                 for s in range(S)]) for k in range(K)])
+
+    pipe = CeltEncodePipeline(S, channels=2, bitrate=96000)
+    if pipe._native is None:
+        pytest.skip("native celt encoder unavailable")
+    got = list(pipe.encode_stream(chunks()))
+    assert len(got) == n_frames   # one S-packet list per frame
+    decs = [oracle.RefDecoder(48000, 2) for _ in range(S)]
+    outs = [[] for _ in range(S)]
+    for pkts in got:
+        for s, p in enumerate(pkts):
+            assert p is not None and len(p) > 10
+            outs[s].append(decs[s].decode_float(_toc(2) + p, 960))
+    import os as _os
+    import sys as _sys
+    tools = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "tools")
+    if tools not in _sys.path:
+        _sys.path.insert(0, tools)
+    from opus_compare import compare
+
+    def downmix_16k(x48):
+        taps = 96
+        t = np.arange(-taps, taps + 1, dtype=np.float64)
+        h = np.sinc(t / 3.0) / 3.0 * np.hanning(2 * taps + 1)
+        mono = np.asarray(x48, np.float64)
+        if mono.ndim > 1:
+            mono = mono.mean(axis=1)
+        return np.convolve(mono, h, mode="same")[::3]
+
+    for s in range(S):
+        ref = downmix_16k(sigs[s][: n_frames * 960])
+        got = downmix_16k(np.concatenate(outs[s], axis=0))
+        r = compare(32768.0 * ref.astype(np.float32),
+                    32768.0 * got.astype(np.float32))
+        assert r["err4"] < 0.5, (s, r)

@@ -152,3 +152,30 @@ def test_warped_autocorr_reference_vector():
     exp = [0.2750000059604645, -0.2486477941274643, 0.1916804015636444,
            -0.1361631602048874, 0.09137232601642609]
     assert np.abs(corr - np.array(exp)).max() < 1e-6
+
+
+def test_native_twin_matches_python():
+    """C++ twin (silk_nsq_del_dec_f64): identical on most frames; where
+    float summation-order noise flips a boundary decision the LCG dither
+    cascades, so parity is asserted on reconstruction quality, not bits."""
+    from mousiki_tpu.silk.nsq_del_dec import nsq_del_dec_native
+    exact = 0
+    for sd in range(4):
+        x, st, ctl, kw = _mk_frame(seed=sd, voiced=sd % 2 == 0)
+        st1, st2 = copy.deepcopy(st), copy.deepcopy(st)
+        w = 983 * 16 / 65536.0
+        p1, s1 = nsq_del_dec(x, st1, copy.deepcopy(ctl), **kw,
+                             n_states=4, warping=w)
+        r = nsq_del_dec_native(x, st2, copy.deepcopy(ctl), **kw,
+                               n_states=4, warping=w)
+        if r is None:
+            pytest.skip("native silk host unavailable")
+        p2, s2 = r
+        L = kw["frame_length"]
+        e1 = float(np.mean((st1.xq[:L] - x) ** 2))
+        e2 = float(np.mean((st2.xq[:L] - x) ** 2))
+        assert e2 < e1 * 1.2 + 1.0, (sd, e1, e2)
+        if list(p1) == list(p2):
+            exact += 1
+            assert s1 == s2
+    assert exact >= 2  # most frames bit-identical

@@ -129,6 +129,24 @@ def run(report_path=None):
                     "on a 6 s LPC-style speech corpus; both encoders "
                     "VOIP/SILK, decoded by libopus, scored against the "
                     "original. Generated by tools/silk_quality_report.py.\n\n"
+                    "Findings (round 5): the delayed-decision NSQ "
+                    "(silk/nsq_del_dec.py, reference nsq_del_dec.rs: 4 "
+                    "trellis states, 40-sample delayed commits, warped "
+                    "allpass noise-shape feedback) with warped order-24 "
+                    "shaping analysis is now the default quantizer, with "
+                    "a float64 C++ twin (native/silk_host.cpp "
+                    "silk_nsq_del_dec_f64) on the serving path. The "
+                    "monic warped-coefficient conversion keeps libopus's "
+                    "lambda sign; the Rust reference negates it, which "
+                    "makes the shaped loop non-minimum-phase on tonal "
+                    "input (see noise_shape._warped_true2monic). This "
+                    "closed the 8 kbps deficit: err16 0.719 vs libopus "
+                    "1.481 (round 4: 1.849), now better at EVERY rate, "
+                    "with the remaining caveat that at 8-12 kbps targets "
+                    "our actual rate runs ~1.7 kbps above libopus's "
+                    "undershoot. SILK_NSQ_DELDEC=0 selects the "
+                    "single-state nsq.rs port; SILK_NSQ_NATIVE=0 forces "
+                    "the Python trellis.\n\n"
                     "Findings (round 3): the full reference analysis "
                     "chain is now the default encoder path "
                     "(silk/enc_analysis.py: burg LPC with NLSF "
