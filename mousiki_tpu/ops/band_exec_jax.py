@@ -939,7 +939,6 @@ def plan_synthesis_step_plc(consts, plc_consts, state, plc_state, backing,
     from .synthesis_jax import COMB_MIN, FrameDesc, synthesis_step
 
     S = n_streams
-    lm = {120: 0, 240: 1, 480: 2, 960: 3}[frame]
     n32, o16, n16, o8, n8, _t = arena_word_layout(S, channels, frame)
     a32 = lax.slice(backing, (0,), (n32,))
     a16 = lax.bitcast_convert_type(
@@ -948,6 +947,22 @@ def plan_synthesis_step_plc(consts, plc_consts, state, plc_state, backing,
     a8 = lax.bitcast_convert_type(
         lax.slice(backing, (o8,), (o8 + (n8 + 3) // 4,)),
         jnp.uint8).reshape(-1)[:n8]
+    return plan_plc_core(consts, plc_consts, state, plc_state, a32, a16,
+                         a8, x_direct, lost, mats, channels=channels,
+                         frame=frame, n_streams=S)
+
+
+def plan_plc_core(consts, plc_consts, state, plc_state, a32, a16, a8,
+                  x_direct, lost, mats=None, channels: int = 2,
+                  frame: int = 960, n_streams: int = None):
+    """Arena-level body of plan_synthesis_step_plc (also the shard_map
+    inner of parallel.streaming.sharded_plan_step_plc: each device unpacks
+    its OWN local arena triple, and the lax.cond PLC gate is per-shard)."""
+    from .plc_jax import PlcState, celt_plc_freq
+    from .synthesis_jax import COMB_MIN, FrameDesc, synthesis_step
+
+    S = n_streams
+    lm = {120: 0, 240: 1, 480: 2, 960: 3}[frame]
     p, ble, pf_gain, iflags = unpack_plan_arenas(a32, a16, a8,
                                                  channels=channels,
                                                  frame=frame)
@@ -965,7 +980,9 @@ def plan_synthesis_step_plc(consts, plc_consts, state, plc_state, backing,
             loss_count=jnp.where(lost, plc_state.loss_count + 1,
                                  jnp.zeros_like(plc_state.loss_count)),
             plc_pitch=plc_state.plc_pitch, lpc=plc_state.lpc)
-        return jnp.zeros((S, channels, frame), jnp.float32), new_plc
+        # 0*x_direct keeps the varying manual axes under shard_map (a
+        # fresh zeros constant would mismatch do_plc's output type)
+        return (0.0 * x_direct).astype(jnp.float32), new_plc
 
     freq_plc, new_plc = lax.cond(jnp.any(lost), do_plc, no_plc, None)
 

@@ -100,7 +100,10 @@ def _lpc_fit(consts, hist):
     ac = ac.at[..., 1:].multiply(consts["lagw"])
 
     S, C = hist.shape[:2]
-    a = jnp.zeros((S, C, ORDER), jnp.float32)
+    # derive the zero init from ac so it inherits ac's varying manual
+    # axes under shard_map (a fresh constant would make the fori_loop
+    # carry in/out types disagree on the streams axis)
+    a = 0.0 * ac[..., :ORDER]
     err = ac[..., 0]
 
     def body(i, carry):

@@ -110,6 +110,54 @@ def sharded_plan_step(mesh: Mesh, channels: int = 2, frame: int = 960):
     return jax.jit(sm)
 
 
+def sharded_plan_step_plc(mesh: Mesh, channels: int = 2, frame: int = 960,
+                          n_streams: int = None):
+    """shard_map'd plan step WITH device PLC (closes VERDICT r4 item 5:
+    the sharded production path previously used plan_synthesis_step_arena,
+    silently ignoring the host's lost8 plane — a lost frame under a mesh
+    produced unconcealed output and diverged from the single-chip path).
+
+    The lost mask rides each shard's arena (lost8 plane); the PLC compute
+    sits under a PER-SHARD lax.cond, so shards without losses skip it.
+    State, plc_state, arenas and x_direct shard on the streams axis;
+    consts/plc_consts/mats replicate. No collectives in steady state.
+    """
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+
+    from ..ops.band_exec_jax import plan_plc_core
+
+    n_dev = mesh.devices.size
+    assert n_streams is not None and n_streams % n_dev == 0
+    S_loc = n_streams // n_dev
+    P_s = P("streams")
+    P_r = P()
+
+    def inner(consts, plc_consts, state, plc_state, a32, a16, a8, xd,
+              mats):
+        return plan_plc_core(consts, plc_consts, state, plc_state,
+                             a32, a16, a8, xd, None, mats,
+                             channels=channels, frame=frame,
+                             n_streams=S_loc)
+
+    state_spec = jax.tree.map(lambda _: P_s, StreamState(
+        *([0] * len(StreamState._fields))))
+    in_specs = (P_r, P_r, state_spec, P_s, P_s, P_s, P_s, P_s, P_r)
+    out_specs = (P_s, state_spec, P_s)
+    sm = shard_map(inner, mesh, in_specs, out_specs)
+    return jax.jit(sm)
+
+
 def make_global_sharded(mesh: Mesh, shard_arrays):
     """Assemble per-device host arrays into one global array sharded on
     axis 0 over the "streams" axis (one shard per device, no copies

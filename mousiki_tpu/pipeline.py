@@ -116,9 +116,12 @@ class CeltStreamPipeline:
             self._cpu_backend = jax.devices()[0].platform == "cpu"
             self._prev_xfer = []
             if mesh is not None:
-                from .parallel.streaming import replicate
+                from .parallel.streaming import replicate, shard_state
                 self._plan_mats = {960: replicate(mesh,
                                                   self._plan_mats[960])}
+                self._plc_consts = {960: replicate(mesh,
+                                                   self._plc_consts[960])}
+                self.plc_state = shard_state(mesh, self.plc_state)
                 self._sharded_plan_steps = {}
 
     def _plan_step(self, frame_size, state, *args):
@@ -133,19 +136,29 @@ class CeltStreamPipeline:
                     self.mesh, self._plan_consts[frame_size])
                 self._plan_mats[frame_size] = replicate(
                     self.mesh, self._plan_mats[frame_size])
-        if self.mesh is not None:
-            if frame_size not in self._sharded_plan_steps:
-                from .parallel.streaming import sharded_plan_step
-                self._sharded_plan_steps[frame_size] = sharded_plan_step(
-                    self.mesh, channels=self.channels, frame=frame_size)
-            return self._sharded_plan_steps[frame_size](
-                self._plan_consts[frame_size], state, *args,
-                self._plan_mats[frame_size])
         if frame_size not in self._plc_consts:
             from .celt.modes import opus_custom_mode
             from .ops.plc_jax import make_plc_consts
-            self._plc_consts[frame_size] = make_plc_consts(
-                frame_size, opus_custom_mode(48000, 960).window)
+            pc = make_plc_consts(frame_size,
+                                 opus_custom_mode(48000, 960).window)
+            if self.mesh is not None:
+                from .parallel.streaming import replicate
+                pc = replicate(self.mesh, pc)
+            self._plc_consts[frame_size] = pc
+        if self.mesh is not None:
+            # PLC-aware sharded step: the lost8 plane in each shard's
+            # arena drives per-shard concealment (VERDICT r4 item 5)
+            if frame_size not in self._sharded_plan_steps:
+                from .parallel.streaming import sharded_plan_step_plc
+                self._sharded_plan_steps[frame_size] = sharded_plan_step_plc(
+                    self.mesh, channels=self.channels, frame=frame_size,
+                    n_streams=self.S)
+            pcm, new_state, self.plc_state = \
+                self._sharded_plan_steps[frame_size](
+                    self._plan_consts[frame_size],
+                    self._plc_consts[frame_size], state, self.plc_state,
+                    *args, self._plan_mats[frame_size])
+            return pcm, new_state
         backing, xd = args
         pcm, new_state, self.plc_state = self._plan_step_fn(
             self._plan_consts[frame_size], self._plc_consts[frame_size],
@@ -635,7 +648,7 @@ class OpusStreamPipeline:
     """
 
     def __init__(self, n_streams: int, host_threads: int = 0,
-                 channels: int = 1):
+                 channels: int = 1, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -646,7 +659,22 @@ class OpusStreamPipeline:
 
         self.S = n_streams
         self.channels = channels
-        self._native = NativeOpusHostBatch(n_streams, channels, host_threads)
+        self.mesh = mesh
+        self._native_shards = None
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            if n_streams % n_dev:
+                raise ValueError("n_streams must divide the mesh size")
+            # one native host batch per device shard (arena layouts are
+            # per-shard; each shard's arrays transfer to its own device)
+            self._native_shards = [
+                NativeOpusHostBatch(n_streams // n_dev, channels,
+                                    host_threads)
+                for _ in range(n_dev)]
+            self._native = self._native_shards[0]
+        else:
+            self._native = NativeOpusHostBatch(n_streams, channels,
+                                               host_threads)
         self.consts = make_consts()
         self.state = init_state(n_streams, channels)
         # one up-resampler plan per SILK internal rate; a stream's rate
@@ -683,11 +711,11 @@ class OpusStreamPipeline:
         self._plc_consts = make_plc_consts(
             960, opus_custom_mode(48000, 960).window)
 
-        @jax.jit
-        def step_fn(consts, plc_consts, state, plc_state, rs_states,
-                    prev_fs, silk_prev, backing, x_direct, silk16,
-                    silk_fs, sdel, mats, up_ws):
+        def step_core(consts, plc_consts, state, plc_state, rs_states,
+                      prev_fs, silk_prev, backing, x_direct, silk16,
+                      silk_fs, sdel, mats, up_ws, *, S_eff):
             from .ops.band_exec_jax import plan_synthesis_step_plc
+            n_streams = S_eff  # local S under shard_map, global otherwise
             pcm, new_state, new_plc = plan_synthesis_step_plc(
                 consts, plc_consts, state, plc_state, backing, x_direct,
                 None, mats, channels=channels, n_streams=n_streams)
@@ -729,11 +757,44 @@ class OpusStreamPipeline:
                 out = pcm + up[:, :, None] * (1.0 / 32768.0)
             return out, new_state, new_plc, new_rs, new_prev
 
-        self._step = step_fn
+        import functools
+        if mesh is None:
+                self._step = jax.jit(functools.partial(step_core,
+                                                   S_eff=n_streams))
+        else:
+            # shard_map over the streams axis: per-shard arenas/pcm/fs
+            # and per-shard lax.cond PLC; consts/mats/resampler operators
+            # replicated. No collectives in steady state (SURVEY §2.9).
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map as _sm
+            except ImportError:
+                from jax.experimental.shard_map import shard_map as _sm
+            n_dev = mesh.devices.size
+            inner = functools.partial(step_core,
+                                      S_eff=n_streams // n_dev)
+            P_s, P_r = P("streams"), P()
+            in_specs = (P_r, P_r, P_s, P_s, P_s, P_s, P_s, P_s, P_s, P_s,
+                        P_s, P_s, P_r, P_r)
+            out_specs = (P_s, P_s, P_s, P_s, P_s)
+            self._step = jax.jit(_sm(inner, mesh=mesh, in_specs=in_specs,
+                                     out_specs=out_specs))
         self._mats = plan_combo_mats(channels, 960)
         self.silk_prev = jnp.zeros((self._rows,), jnp.float32)
         self.prev_fs = jnp.full((n_streams,), 16, jnp.int32)
         self._xd_zeros = jnp.zeros((n_streams, channels, 960), jnp.float32)
+        if mesh is not None:
+            from .parallel.streaming import replicate, shard_state
+            self.state = shard_state(mesh, self.state)
+            self.plc_state = shard_state(mesh, self.plc_state)
+            self.rs_states = shard_state(mesh, self.rs_states)
+            self.silk_prev = shard_state(mesh, self.silk_prev)
+            self.prev_fs = shard_state(mesh, self.prev_fs)
+            self._xd_zeros = shard_state(mesh, self._xd_zeros)
+            self.consts = replicate(mesh, self.consts)
+            self._plc_consts = replicate(mesh, self._plc_consts)
+            self._mats = replicate(mesh, self._mats)
+            self._up_ws = replicate(mesh, self._up_ws)
         self._xd_zeros.block_until_ready()
         self._prev_xfer = []
         self.last_modes = None
@@ -830,6 +891,8 @@ class OpusStreamPipeline:
             # any other frame size would corrupt the arena layout
             raise ValueError("OpusStreamPipeline supports 20 ms (960-sample) "
                              f"frames only, got {frame_size}")
+        if self.mesh is not None:
+            return self._step_sharded(packets, fec_packets, _fills)
         (arenas, aux, layout, silk16, modes, silk_fs,
          silk_stereo) = self._native.decode(packets, frame_size, fec_packets)
         if _fills:
@@ -872,6 +935,78 @@ class OpusStreamPipeline:
             self.rs_states, self.prev_fs, self.silk_prev,
             backing_dev, xd,
             rows_dev, fs_dev, st_dev,
+            self._mats, self._up_ws)
+        if self.prev_fs is not fs_dev:
+            self._prev_xfer.append(self.prev_fs)
+        self.prev_fs = fs_dev
+        return pcm
+
+    def _step_sharded(self, packets: list, fec_packets, _fills):
+        """Mesh-mode step: per-shard native host decode (each shard's
+        arenas/silk pcm are assembled into global arrays sharded on the
+        streams axis), then the shard_map'd fused device step with
+        per-shard PLC. Matches the single-chip step() exactly
+        (tests/test_pipeline.py::test_mixed_sharded_matches_unsharded)."""
+        import jax.numpy as jnp
+
+        from .parallel.streaming import make_global_sharded
+
+        n_dev = self.mesh.devices.size
+        S_loc = self.S // n_dev
+        parts = {"backing": [], "xd": [], "rows": [], "fs": [], "st": []}
+        modes_all = []
+        any_direct = False
+        for d, nat in enumerate(self._native_shards):
+            lo = d * S_loc
+            sub = packets[lo: lo + S_loc]
+            fec_sub = (None if fec_packets is None
+                       else fec_packets[lo: lo + S_loc])
+            (arenas, aux, layout, silk16, modes, silk_fs,
+             silk_stereo) = nat.decode(sub, 960, fec_sub)
+            if _fills:
+                for s, (chunk, fs) in _fills.items():
+                    if lo <= s < lo + S_loc:
+                        sl = s - lo
+                        silk16[sl, :len(chunk)] = chunk
+                        if self.channels == 2:
+                            silk16[sl, 320:320 + len(chunk)] = chunk
+                        silk_fs[sl] = fs
+            rcs = aux["rcs"]
+            if np.any(rcs < 0):
+                bad = int(np.argmax(rcs < 0))
+                raise ValueError(f"stream {lo + bad}: native opus host "
+                                 f"decode failed rc={rcs[bad]}")
+            modes_all.extend(modes)
+            name, off, _sh = layout["lost8"]
+            arenas[name][off:off + S_loc] = (rcs == 1).view(np.int8)
+            name, off, shape = layout["direct"]
+            any_direct |= bool(arenas[name][off:off + shape[0]].any())
+            parts["backing"].append(arenas["backing"].copy())
+            parts["xd"].append(aux["x_direct"].astype(np.float32))
+            parts["rows"].append(
+                silk16.reshape(S_loc * self.channels, 320).copy())
+            parts["fs"].append(silk_fs.copy())
+            parts["st"].append((silk_stereo != 0).copy())
+        self.last_modes = modes_all
+        for _buf in self._prev_xfer:
+            try:
+                _buf.delete()
+            except Exception:
+                pass
+        mk = lambda key: make_global_sharded(self.mesh, parts[key])  # noqa
+        backing_dev = mk("backing")
+        rows_dev = mk("rows")
+        fs_dev = mk("fs")
+        st_dev = mk("st")
+        xd = mk("xd") if any_direct else self._xd_zeros
+        self._prev_xfer = [backing_dev, rows_dev, st_dev]
+        if xd is not self._xd_zeros:
+            self._prev_xfer.append(xd)
+        (pcm, self.state, self.plc_state, self.rs_states,
+         self.silk_prev) = self._step(
+            self.consts, self._plc_consts, self.state, self.plc_state,
+            self.rs_states, self.prev_fs, self.silk_prev,
+            backing_dev, xd, rows_dev, fs_dev, st_dev,
             self._mats, self._up_ws)
         if self.prev_fs is not fs_dev:
             self._prev_xfer.append(self.prev_fs)

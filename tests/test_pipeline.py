@@ -721,3 +721,54 @@ def test_plan_pipeline_scanned_matches_steps():
     got = np.asarray(p2.decode_frames_scanned(frames, 960))
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < 1e-6
+
+
+@needs_oracle
+def test_mixed_sharded_matches_unsharded_lossy():
+    """OpusStreamPipeline(mesh=...): mixed SILK/CELT/hybrid traffic with
+    loss under an 8-virtual-device mesh must match the single-chip
+    pipeline exactly (VERDICT r4 item 5: the mixed product previously had
+    no mesh at all)."""
+    import jax
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    from mousiki_tpu.parallel.streaming import make_mesh
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 10
+    rng = np.random.default_rng(31)
+    sig = oracle.make_test_signal(960 * (F + 1), 1, seed=33)
+    pcm16 = oracle.float_to_i16(sig)
+
+    def enc_stream(app, bitrate, bw=None):
+        enc = oracle.RefEncoder(48000, 1, app)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        if bw is not None:
+            enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+        return [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(F)]
+
+    n_dev = len(jax.devices())
+    base = [
+        enc_stream(oracle.APP_RESTRICTED_LOWDELAY, 96000),  # CELT
+        enc_stream(oracle.APP_VOIP, 16000, 1103),           # SILK WB
+        enc_stream(oracle.APP_VOIP, 40000, 1104),           # hybrid SWB
+        enc_stream(oracle.APP_VOIP, 12000, 1102),           # SILK MB
+    ]
+    S = 2 * n_dev
+    streams = [base[s % len(base)] for s in range(S)]
+    lost = rng.random((S, F)) < 0.15
+    lost[:, 0] = False
+    mesh = make_mesh()
+    pipe_m = OpusStreamPipeline(S, mesh=mesh)
+    pipe_r = OpusStreamPipeline(S)
+    saw_loss = bool(lost.any())
+    for f in range(F):
+        batch = [None if lost[s, f] else streams[s][f] for s in range(S)]
+        got = np.asarray(pipe_m.step(batch, 960))
+        want = np.asarray(pipe_r.step(batch, 960))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+    assert saw_loss
