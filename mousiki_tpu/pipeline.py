@@ -351,21 +351,40 @@ class CeltStreamPipeline:
         frame at a time, exactly as chunk=1 does.
         """
         if chunk > 1:
+            # Overlapped chunk serving: dispatch chunk i (async), then run
+            # the pure-CPU native decode of chunk i+1 while the device
+            # executes i — steady-state wall is max(host, H2D+device)
+            # instead of their sum (the same overlap the per-frame branch
+            # below gets for free from async dispatch). Safe with the
+            # single reused (K, words) backing: _dispatch_chunk's
+            # jnp.asarray stages the transfer before returning, so the
+            # next native decode may overwrite it.
             assert self.use_plan and self.mesh is None
             it = iter(frames_iter)
-            while True:
-                batch = []
+
+            def next_batch():
+                b = []
                 for payloads in it:
-                    batch.append(payloads)
-                    if len(batch) >= chunk:
+                    b.append(payloads)
+                    if len(b) >= chunk:
                         break
-                if not batch:
-                    return
-                pcm = self.decode_frames_scanned(batch, frame_size)
+                return b
+
+            batch = next_batch()
+            if not batch:
+                return
+            host = self._host_decode_chunk(batch, frame_size)
+            short = len(batch) < chunk
+            while True:
+                pcm = self._dispatch_chunk(host, frame_size)
+                nxt = [] if short else next_batch()
+                if nxt:
+                    host = self._host_decode_chunk(nxt, frame_size)
+                    short = len(nxt) < chunk
                 pcm.block_until_ready()
-                for k in range(len(batch)):
+                for k in range(pcm.shape[0]):
                     yield pcm[k]
-                if len(batch) < chunk:
+                if not nxt:
                     return
 
         if self.use_plan and self.mesh is None and not getattr(
@@ -467,6 +486,12 @@ class CeltStreamPipeline:
 
         from .ops.band_exec_jax import plan_synthesis_scan
 
+        host = self._host_decode_chunk(frames, frame_size)
+        return self._dispatch_chunk(host, frame_size)
+
+    def _host_decode_chunk(self, frames: list, frame_size: int):
+        """Pure-CPU half of the scanned chunk decode (native symbol
+        stage into the contiguous (K, words) backing)."""
         assert self.use_plan and self.mesh is None
         if not frames:
             raise ValueError("decode_frames_scanned needs >= 1 frame batch")
@@ -486,7 +511,17 @@ class CeltStreamPipeline:
                 bad = int(np.argmax(rcs < 0))
                 raise ValueError(f"chunk frame {k} stream {bad}: native "
                                  f"celt plan decode failed rc={rcs[bad]}")
-        K = len(frames)
+        return backing2d, aux_list, any_direct, len(frames)
+
+    def _dispatch_chunk(self, host, frame_size: int):
+        """Device half: H2D the stacked arenas + one scanned dispatch.
+        The returned (K, S, frame, C) array is ASYNC — callers may run
+        more host work before blocking on it."""
+        import jax.numpy as jnp
+
+        from .ops.band_exec_jax import plan_synthesis_scan
+
+        backing2d, aux_list, any_direct, K = host
         if frame_size not in self._plan_consts:
             from .ops.band_exec_jax import plan_combo_mats
             self._plan_consts[frame_size] = make_consts(n=frame_size)

@@ -2821,14 +2821,12 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   }
   PROF_FRAME();
 
-  // snapshot for the direct-decode fallback
-  double snap_e[2 * NB], snap_l1[2 * NB], snap_l2[2 * NB], snap_bg[2 * NB];
-  memcpy(snap_e, st->old_ebands, sizeof(snap_e));
-  memcpy(snap_l1, st->old_log_e, sizeof(snap_l1));
-  memcpy(snap_l2, st->old_log_e2, sizeof(snap_l2));
-  memcpy(snap_bg, st->background_log_e, sizeof(snap_bg));
-  uint32_t snap_rng = st->rng;
-  int snap_loss = st->loss_count;
+  // Work on a stack-local energy copy and commit on success: the only
+  // pre-failure-point mutations are the coarse/fine energy decode (into
+  // eb_loc) and the walk's rng (kept in new_rng), so the direct-decode
+  // fallback needs no snapshot/restore of the persistent state.
+  double eb_loc[2 * NB];
+  memcpy(eb_loc, st->old_ebands, sizeof(eb_loc));
 
   EcDec dec_s;
   EcDec* dec = &dec_s;
@@ -2850,7 +2848,7 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   }
   int length = len;
 
-  double* old_band_e = st->old_ebands;
+  double* old_band_e = eb_loc;
   if (C == 1)
     for (int i = 0; i < NB; i++)
       old_band_e[i] = std::max(old_band_e[i], old_band_e[NB + i]);
@@ -2955,8 +2953,9 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
 
   uint8_t collapse_masks[2 * NB] = {0};
   bool failed = false;
+  uint32_t new_rng;
   { PROF_SCOPE(BANDS);
-  st->rng = pq_all_bands(
+  new_rng = pq_all_bands(
       start, end, collapse_masks, alloc.pulses, short_blocks, spread_decision,
       alloc.dual_stereo, alloc.intensity, tf_res,
       length * (8 << BITRES) - anti_collapse_rsv, alloc.balance, dec, LM,
@@ -2965,13 +2964,8 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
   }
 
   if (failed) {
-    // restore entry state and run the direct decoder for this stream
-    memcpy(st->old_ebands, snap_e, sizeof(snap_e));
-    memcpy(st->old_log_e, snap_l1, sizeof(snap_l1));
-    memcpy(st->old_log_e2, snap_l2, sizeof(snap_l2));
-    memcpy(st->background_log_e, snap_bg, sizeof(snap_bg));
-    st->rng = snap_rng;
-    st->loss_count = snap_loss;
+    // persistent state untouched (energies decoded into eb_loc, rng in
+    // new_rng): run the direct decoder for this stream from entry state
     if (ec_in) return -4;  // resumed (hybrid) streams cannot re-init the ec
     o.direct[0] = 1;
     int rc = celt_host_decode(p, data, len, frame_size, C, start, end,
@@ -2982,6 +2976,7 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
     return rc;
   }
 
+  st->rng = new_rng;
   int anti_collapse_on = 0;
   if (anti_collapse_rsv > 0) anti_collapse_on = (int)ec_dec_bits(dec, 1);
 
@@ -3051,6 +3046,7 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
       st->old_log_e2[c * NB + i] = -28.0;
     }
   }
+  memcpy(st->old_ebands, eb_loc, sizeof(eb_loc));  // commit
   st->rng = dec->rng;
   st->loss_count = 0;
 
@@ -3140,6 +3136,17 @@ void celt_host_decode_plan_batch(void** states, const uint8_t* blob,
     for (;;) {
       int s = next.fetch_add(1);
       if (s >= S) break;
+      if (s + 1 < S) {
+        // hide the next stream's cold state/payload misses behind this
+        // stream's decode (the plan path touches ~1.3 KB of energies
+        // per stream; at S=256 that working set falls out of L1/L2)
+        const char* nst = (const char*)states[s + 1];
+        // rng/loss + the four 2*NB double energy arrays: ~1.4 KB
+        for (int off = 0; off < 1408; off += 64)
+          __builtin_prefetch(nst + off, 1, 1);
+        __builtin_prefetch(blob + offs[s + 1], 0, 1);
+        __builtin_prefetch(blob + offs[s + 1] + 64, 0, 1);
+      }
       if (lens[s] == 0) {  // lost frame: device PLC conceals it
         celt_host_note_loss(states[s]);
         rcs[s] = 1;
