@@ -1165,7 +1165,10 @@ class CeltEncodePipeline:
         iparams[:, 5] = self.nbytes
         fparams = np.stack([host["tone_freq"], host["toneishness"],
                             host["tf_estimate"]], axis=1)
-        return self._native.encode(host["freq"], iparams, fparams,
+        freq = host["freq"]
+        if freq.dtype != np.float32:
+            freq = freq.astype(np.float32)   # compact f16 readback
+        return self._native.encode(freq, iparams, fparams,
                                    self.frame)
 
     def step(self, pcm) -> list:
@@ -1202,7 +1205,7 @@ class CeltEncodePipeline:
         outs, self._state = front_scan(
             self._consts, self._state, jnp.asarray(pcms, jnp.float32),
             jnp.asarray(nby), jnp.asarray(tapset),
-            channels=self.channels, frame=self.frame)
+            channels=self.channels, frame=self.frame, compact=True)
         hosts = jax.device_get(outs)  # one readback for all K frames
         K = pcms.shape[0]
         return [self._native_back({k: hosts[k][i] for k in hosts})
@@ -1239,7 +1242,7 @@ class CeltEncodePipeline:
             outs, self._state = front_scan(
                 self._consts, self._state, jnp.asarray(pcms, jnp.float32),
                 jnp.asarray(nby), jnp.asarray(tapset),
-                channels=self.channels, frame=self.frame)
+                channels=self.channels, frame=self.frame, compact=True)
             try:
                 for leaf in jax.tree_util.tree_leaves(outs):
                     leaf.copy_to_host_async()
