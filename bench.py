@@ -290,7 +290,25 @@ def bench_mixed(S, n_steps=128):
         for pcm in pipe.decode_stream(frames(n, off=w), 960):
             pass
         rates.append(S * n * 0.02 / (time.perf_counter() - t0))
-    return statistics.median(rates)
+    med = statistics.median(rates)
+
+    # device-SILK opt-in (silk_synthesis="device"): WB SILK streams run
+    # the batched device LTP/LPC core, symbol-only native host
+    try:
+        pipe_d = OpusStreamPipeline(S, silk_synthesis="device")
+        for pcm in pipe_d.decode_stream(frames(4), 960):
+            pass
+        rates_d = []
+        for w in range(n_win):
+            t0 = time.perf_counter()
+            n = n_steps // n_win
+            for pcm in pipe_d.decode_stream(frames(n, off=w), 960):
+                pass
+            rates_d.append(S * n * 0.02 / (time.perf_counter() - t0))
+        med_d = statistics.median(rates_d)
+    except Exception:
+        med_d = None
+    return med, med_d
 
 
 def bench_encode(S=128, n_steps=24, K=8):
@@ -427,7 +445,9 @@ def main():
         except Exception:
             e2e_1k = None
         _mark("mixed")
-        mixed_x = bench_mixed(S)
+        mixed_res = bench_mixed(S)
+        mixed_x, mixed_dev_x = (mixed_res if isinstance(mixed_res, tuple)
+                                else (mixed_res, None))
         # dred runs BEFORE encode: the encode phase's device->host
         # readbacks flip the tunneled session into executable-reupload
         # mode for the rest of the process (r4's dred dip 321.8 -> 144.7
@@ -461,6 +481,8 @@ def main():
             "device_only_x": round(device_x, 1),
             "mixed_silk_celt_hybrid_e2e_x": (round(mixed_x, 1)
                                              if mixed_x else None),
+            "mixed_device_silk_e2e_x": (round(mixed_dev_x, 1)
+                                        if mixed_dev_x else None),
             "encode_e2e_x_s128": (round(encode_x, 1) if encode_x else None),
             "dred_recovery_x_s64": (round(dred_x, 1) if dred_x else None),
             "quality_gate": "pass" if gate.pop("pass") else "FAIL",

@@ -65,9 +65,10 @@ def _load():
     ip = C.POINTER(C.c_int32)
     sp = C.POINTER(C.c_int16)
     vp = C.POINTER(C.c_void_p)
+    fp = C.POINTER(C.c_float)
     lib.opus_host_decode_plan_batch.argtypes = [
         vp, vp, vp, ip, C.c_char_p, ip, ip, C.c_int, C.c_int, C.c_int, vp,
-        sp, ip, ip, ip, C.c_char_p, ip, ip, C.c_int]
+        sp, ip, ip, ip, C.c_char_p, ip, ip, C.c_int, fp, ip]
     lib.silk_host_decode.restype = C.c_int
     lib.silk_host_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_int,
                                      C.c_int, C.c_int, sp]
@@ -126,8 +127,14 @@ class NativeOpusHostBatch:
                         self._lib.silk_host_destroy(st)
             self._celt = self._silk = self._silk_side = None
 
+    # Per-stream SilkFrameParams wire layout (native kSilkParamF/I):
+    # floats [exc 320 | a 32 | b 20 | gains 4 | ltp_scale 1], ints
+    # [pitch 4 | voiced, interp, vad 3]
+    SILK_PARAM_F = 377
+    SILK_PARAM_I = 7
+
     def decode(self, packets: list, frame_size: int = 960,
-               fec_packets: list | None = None):
+               fec_packets: list | None = None, silk_params: bool = False):
         """packets: S whole Opus packets (20 ms, code 0).
 
         Returns (arenas, aux, layout, silk16, modes, silk_fs): the CELT
@@ -159,6 +166,9 @@ class NativeOpusHostBatch:
                                          _plan_ptr_table(views),
                                          np.zeros((S, plane), np.int16))
         arenas, aux, layout, views, ptrs, silk16 = self._plan_db[frame_size]
+        if silk_params and not hasattr(self, "_sparams"):
+            self._sparams = (np.zeros((S, self.SILK_PARAM_F), np.float32),
+                             np.zeros((S, self.SILK_PARAM_I), np.int32))
         modes = np.zeros(S, np.int32)
         silk_fs = np.full(S, 16, np.int32)
         silk_stereo = np.zeros(S, np.int32)
@@ -198,7 +208,13 @@ class NativeOpusHostBatch:
             silk16.ctypes.data_as(sp), modes.ctypes.data_as(ip),
             silk_fs.ctypes.data_as(ip), silk_stereo.ctypes.data_as(ip),
             fec_blob, fec_offs.ctypes.data_as(ip),
-            fec_lens.ctypes.data_as(ip), self.n_threads)
+            fec_lens.ctypes.data_as(ip), self.n_threads,
+            (self._sparams[0].ctypes.data_as(C.POINTER(C.c_float))
+             if silk_params else None),
+            (self._sparams[1].ctypes.data_as(ip) if silk_params else None))
+        if silk_params:
+            return (arenas, aux, layout, silk16, modes, silk_fs,
+                    silk_stereo, self._sparams)
         return (arenas, aux, layout, silk16, modes, silk_fs, silk_stereo)
 
     def decode_silk_frames(self, s: int, payload: bytes, fs_khz: int,

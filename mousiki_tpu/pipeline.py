@@ -683,7 +683,8 @@ class OpusStreamPipeline:
     """
 
     def __init__(self, n_streams: int, host_threads: int = 0,
-                 channels: int = 1, mesh=None):
+                 channels: int = 1, mesh=None,
+                 silk_synthesis: str = "host"):
         import jax
         import jax.numpy as jnp
 
@@ -695,6 +696,11 @@ class OpusStreamPipeline:
         self.S = n_streams
         self.channels = channels
         self.mesh = mesh
+        if silk_synthesis not in ("host", "device"):
+            raise ValueError("silk_synthesis must be 'host' or 'device'")
+        if silk_synthesis == "device" and (channels != 1 or mesh is not None):
+            raise ValueError("device SILK synthesis: mono, no mesh (v1)")
+        self._silk_device = silk_synthesis == "device"
         self._native_shards = None
         if mesh is not None:
             n_dev = mesh.devices.size
@@ -748,12 +754,43 @@ class OpusStreamPipeline:
 
         def step_core(consts, plc_consts, state, plc_state, rs_states,
                       prev_fs, silk_prev, backing, x_direct, silk16,
-                      silk_fs, sdel, mats, up_ws, *, S_eff):
+                      silk_fs, sdel, mats, up_ws, sf=None, si=None,
+                      silk_dev_state=None, dev_mask=None, *, S_eff):
             from .ops.band_exec_jax import plan_synthesis_step_plc
             n_streams = S_eff  # local S under shard_map, global otherwise
             pcm, new_state, new_plc = plan_synthesis_step_plc(
                 consts, plc_consts, state, plc_state, backing, x_direct,
                 None, mats, channels=channels, n_streams=n_streams)
+            new_silk_dev = silk_dev_state
+            if sf is not None:
+                # device-SILK lane (silk_synthesis="device", VERDICT r4
+                # item 7): WB mode-5 streams carry SilkFrameParams on the
+                # wire instead of host-synthesized pcm; the LTP/LPC core
+                # runs here (ops/silk_synthesis_jax.py) and its output
+                # replaces those streams' silk16 rows. Masked streams run
+                # the kernel on stale-but-valid params and are discarded.
+                from .ops.silk_synthesis_jax import (SilkFrameParams,
+                                                     silk_synthesis_step)
+                S_ = sf.shape[0]
+                params = SilkFrameParams(
+                    exc=sf[:, :320],
+                    a=sf[:, 320:352].reshape(S_, 2, 16),
+                    b=sf[:, 352:372].reshape(S_, 4, 5),
+                    pitch_l=jnp.maximum(si[:, :4], 18),
+                    gains=sf[:, 372:376],
+                    voiced=si[:, 4] != 0,
+                    ltp_scale=sf[:, 376],
+                    interp=si[:, 5] != 0)
+                xq_dev, silk_dev2 = silk_synthesis_step(
+                    params, silk_dev_state, nb_subfr=4, subfr_len=80)
+                m = dev_mask[:, None]
+                silk16 = jnp.where(m, xq_dev.astype(jnp.float32),
+                                   silk16.astype(jnp.float32))
+                # only device-SILK streams advance their device state
+                new_silk_dev = jax.tree.map(
+                    lambda a_, b_: jnp.where(dev_mask.reshape(
+                        (-1,) + (1,) * (a_.ndim - 1)), a_, b_),
+                    silk_dev2, silk_dev_state)
             # the SILK decode API feeds its resampler through a 1-sample
             # delay (the s_mid stereo-prediction tail; silk/dec_api.py:330
             # resamples samples_out1[1:]) — mirror it for exact alignment.
@@ -790,7 +827,7 @@ class OpusStreamPipeline:
                 out = pcm + jnp.transpose(upc, (0, 2, 1)) * (1.0 / 32768.0)
             else:
                 out = pcm + up[:, :, None] * (1.0 / 32768.0)
-            return out, new_state, new_plc, new_rs, new_prev
+            return out, new_state, new_plc, new_rs, new_prev, new_silk_dev
 
         import functools
         if mesh is None:
@@ -818,6 +855,11 @@ class OpusStreamPipeline:
         self.silk_prev = jnp.zeros((self._rows,), jnp.float32)
         self.prev_fs = jnp.full((n_streams,), 16, jnp.int32)
         self._xd_zeros = jnp.zeros((n_streams, channels, 960), jnp.float32)
+        self.silk_dev_state = None
+        if self._silk_device:
+            from .ops.silk_synthesis_jax import init_silk_state
+            self.silk_dev_state = init_silk_state(n_streams, 16)
+            self._last_real_mode = np.zeros(n_streams, np.int32)
         if mesh is not None:
             from .parallel.streaming import replicate, shard_state
             self.state = shard_state(mesh, self.state)
@@ -928,8 +970,26 @@ class OpusStreamPipeline:
                              f"frames only, got {frame_size}")
         if self.mesh is not None:
             return self._step_sharded(packets, fec_packets, _fills)
-        (arenas, aux, layout, silk16, modes, silk_fs,
-         silk_stereo) = self._native.decode(packets, frame_size, fec_packets)
+        if self._silk_device:
+            (arenas, aux, layout, silk16, modes, silk_fs, silk_stereo,
+             sparams) = self._native.decode(packets, frame_size,
+                                            fec_packets, silk_params=True)
+            # loss scope guard: device-SILK streams keep their synthesis
+            # state on device, so the host PLC has no pcm history for
+            # them (same scope as SilkStreamPipeline's device mode)
+            concealed = np.isin(modes, (3, 4))
+            bad = concealed & (self._last_real_mode == 5)
+            if bad.any():
+                raise ValueError(
+                    "silk_synthesis='device' serves lossless SILK "
+                    f"streams; stream {int(np.argmax(bad))} lost a frame "
+                    "(use the default host synthesis for lossy SILK)")
+            self._last_real_mode = np.where(concealed,
+                                            self._last_real_mode, modes)
+        else:
+            (arenas, aux, layout, silk16, modes, silk_fs,
+             silk_stereo) = self._native.decode(packets, frame_size,
+                                                fec_packets)
         if _fills:
             for s, (chunk, fs) in _fills.items():
                 silk16[s, :len(chunk)] = chunk
@@ -964,13 +1024,26 @@ class OpusStreamPipeline:
         self._prev_xfer = [backing_dev, rows_dev, st_dev]
         if xd is not self._xd_zeros:
             self._prev_xfer.append(xd)
-        (pcm, self.state, self.plc_state, self.rs_states,
-         self.silk_prev) = self._step(
-            self.consts, self._plc_consts, self.state, self.plc_state,
-            self.rs_states, self.prev_fs, self.silk_prev,
-            backing_dev, xd,
-            rows_dev, fs_dev, st_dev,
-            self._mats, self._up_ws)
+        if self._silk_device:
+            sf_dev = jnp.asarray(sparams[0])
+            si_dev = jnp.asarray(sparams[1])
+            dev_mask = jnp.asarray(modes == 5)
+            (pcm, self.state, self.plc_state, self.rs_states,
+             self.silk_prev, self.silk_dev_state) = self._step(
+                self.consts, self._plc_consts, self.state, self.plc_state,
+                self.rs_states, self.prev_fs, self.silk_prev,
+                backing_dev, xd, rows_dev, fs_dev, st_dev,
+                self._mats, self._up_ws, sf_dev, si_dev,
+                self.silk_dev_state, dev_mask)
+            self._prev_xfer.extend([sf_dev, si_dev])
+        else:
+            (pcm, self.state, self.plc_state, self.rs_states,
+             self.silk_prev, _) = self._step(
+                self.consts, self._plc_consts, self.state, self.plc_state,
+                self.rs_states, self.prev_fs, self.silk_prev,
+                backing_dev, xd,
+                rows_dev, fs_dev, st_dev,
+                self._mats, self._up_ws)
         if self.prev_fs is not fs_dev:
             self._prev_xfer.append(self.prev_fs)
         self.prev_fs = fs_dev
@@ -1038,7 +1111,7 @@ class OpusStreamPipeline:
         if xd is not self._xd_zeros:
             self._prev_xfer.append(xd)
         (pcm, self.state, self.plc_state, self.rs_states,
-         self.silk_prev) = self._step(
+         self.silk_prev, _) = self._step(
             self.consts, self._plc_consts, self.state, self.plc_state,
             self.rs_states, self.prev_fs, self.silk_prev,
             backing_dev, xd, rows_dev, fs_dev, st_dev,

@@ -38,6 +38,11 @@ int silk_host_decode_stereo(void* mid_p, void* side_p, int32_t* sst,
                             int frame_ms, int16_t* out_l, int16_t* out_r);
 int silk_host_plc_stereo(void* mid_p, void* side_p, int32_t* sst,
                          int16_t* out_l, int16_t* out_r);
+int silk_host_decode_symbols(void* p, const uint8_t* data, int len,
+                             int fs_khz, float* exc_out, float* a_out,
+                             float* b_out, int32_t* pitch_out,
+                             float* gains_out, int32_t* iflags,
+                             float* ltp_scale_out);
 void celt_host_note_loss(void* p);
 }
 
@@ -65,6 +70,12 @@ int try_lbrr(void* silk_st, const uint8_t* pkt, int len, int16_t* silk16) {
 }
 }  // namespace
 
+// Per-stream SilkFrameParams wire layout for the device-synthesis
+// opt-in: floats [exc 320 | a 32 | b 20 | gains 4 | ltp_scale 1] = 377,
+// ints [pitch 4 | voiced, interp, vad 3] = 7.
+static constexpr int kSilkParamF = 377;
+static constexpr int kSilkParamI = 7;
+
 extern "C" {
 
 // Decode one 20 ms Opus packet for stream s.
@@ -81,7 +92,9 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, void* silk_side,
                           int32_t* sst, const uint8_t* pkt,
                           int len, int C, int disable_inv, void** arrs,
                           int S, int s, int16_t* silk16, int32_t* mode_out,
-                          int32_t* fs_out, int32_t* stereo_out) {
+                          int32_t* fs_out, int32_t* stereo_out,
+                          float* sparams_f = nullptr,
+                          int32_t* sparams_i = nullptr) {
   if (!pkt || len < 1) return -1;
   int toc = pkt[0];
   int config = toc >> 3;
@@ -141,6 +154,27 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, void* silk_side,
   // SILK-only: configs 0..11 (NB/MB/WB x 10/20/40/60 ms)
   if ((config & 3) != 1) return -11;  // 20 ms only
   int fs = config < 4 ? 8 : (config < 8 ? 12 : 16);
+  if (sparams_f && fs == 16 && C == 1) {
+    // device-synthesis opt-in (OpusStreamPipeline silk_synthesis=
+    // "device"): symbol-only decode emitting SilkFrameParams planes;
+    // the LTP/LPC core synthesis runs on device fused with the mixed
+    // step (ops/silk_synthesis_jax.py). Mono WB 20 ms scope; NB/MB
+    // and hybrid keep the host PCM path (masked per stream).
+    float* fp = sparams_f + (size_t)s * kSilkParamF;
+    int32_t* ip = sparams_i + (size_t)s * kSilkParamI;
+    int n = silk_host_decode_symbols(silk_st, pay, plen, fs,
+                                     fp,             // exc 320
+                                     fp + 320,       // a 2*16
+                                     fp + 352,       // b 4*5
+                                     ip,             // pitch 4
+                                     fp + 372,       // gains 4
+                                     ip + 4,         // iflags 3
+                                     fp + 376);      // ltp_scale
+    if (n < 0) return n;
+    *mode_out = 5;  // SILK, params on the wire (device synthesis)
+    *fs_out = fs;
+    return 0;
+  }
   int n = silk_host_decode_ec(silk_st, pay, plen, fs, 20, silk16, nullptr);
   if (n < 0) return n;
   if (C == 2) memcpy(silk16 + 320, silk16, 320 * sizeof(int16_t));
@@ -160,7 +194,8 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
                                  int32_t* silk_fs, int32_t* silk_stereo,
                                  const uint8_t* fec_blob,
                                  const int32_t* fec_offs,
-                                 const int32_t* fec_lens, int n_threads) {
+                                 const int32_t* fec_lens, int n_threads,
+                                 float* sparams_f, int32_t* sparams_i) {
   int32_t* rcs = (int32_t*)arrs[25];
   int plane = C == 2 ? 640 : 320;
   if (n_threads <= 0) {
@@ -225,7 +260,8 @@ void opus_host_decode_plan_batch(void** celt_states, void** silk_states,
                                      disable_inv, arrs, S, s,
                                      silk16_all + (size_t)s * plane,
                                      modes + s, silk_fs + s,
-                                     silk_stereo + s);
+                                     silk_stereo + s, sparams_f,
+                                     sparams_i);
     }
   };
   if (n_threads == 1) {

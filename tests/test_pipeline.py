@@ -772,3 +772,56 @@ def test_mixed_sharded_matches_unsharded_lossy():
         want = np.asarray(pipe_r.step(batch, 960))
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
     assert saw_loss
+
+
+@needs_oracle
+def test_mixed_device_silk_synthesis():
+    """OpusStreamPipeline(silk_synthesis='device'): WB SILK streams run
+    the batched device LTP/LPC core (VERDICT r4 item 7) while CELT and
+    hybrid streams are unchanged; CELT-stream losses still conceal.
+    Device synthesis is float (~1e-3 of full scale vs the bit-exact
+    host), so parity vs the host pipeline is tolerance-based."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 12
+    sig = oracle.make_test_signal(960 * (F + 1), 1, seed=41)
+    pcm16 = oracle.float_to_i16(sig)
+
+    def enc_stream(app, bitrate, bw=None):
+        enc = oracle.RefEncoder(48000, 1, app)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        if bw is not None:
+            enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+        return [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(F)]
+
+    streams = [
+        enc_stream(oracle.APP_VOIP, 16000, 1103),           # SILK WB (dev)
+        enc_stream(oracle.APP_RESTRICTED_LOWDELAY, 96000),  # CELT
+        enc_stream(oracle.APP_VOIP, 24000, 1103),           # SILK WB (dev)
+        enc_stream(oracle.APP_VOIP, 40000, 1104),           # hybrid (host)
+    ]
+    S = len(streams)
+    pipe_d = OpusStreamPipeline(S, silk_synthesis="device")
+    pipe_h = OpusStreamPipeline(S)
+    saw_dev = False
+    for f in range(F):
+        batch = [streams[s][f] for s in range(S)]
+        if f == 6:
+            batch[1] = None  # CELT loss is fine in device mode
+        got = np.asarray(pipe_d.step(batch, 960))
+        want = np.asarray(pipe_h.step(batch, 960))
+        if pipe_d.last_modes is not None and 5 in list(pipe_d.last_modes):
+            saw_dev = True
+        err = np.abs(got - want).max()
+        assert err < 5e-3, (f, err)
+    assert saw_dev
+
+    # a SILK-stream loss must raise the documented scope error
+    batch = [streams[s][0] for s in range(S)]
+    batch[0] = None
+    with pytest.raises(ValueError, match="lossless"):
+        pipe_d.step(batch, 960)
