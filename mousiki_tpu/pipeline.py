@@ -848,7 +848,8 @@ class OpusStreamPipeline:
             P_s, P_r = P("streams"), P()
             in_specs = (P_r, P_r, P_s, P_s, P_s, P_s, P_s, P_s, P_s, P_s,
                         P_s, P_s, P_r, P_r)
-            out_specs = (P_s, P_s, P_s, P_s, P_s)
+            # 6th output = the (unused under the mesh) device-SILK state
+            out_specs = (P_s, P_s, P_s, P_s, P_s, P_s)
             self._step = jax.jit(_sm(inner, mesh=mesh, in_specs=in_specs,
                                      out_specs=out_specs))
         self._mats = plan_combo_mats(channels, 960)

@@ -75,6 +75,9 @@ def harvest(bitrate, n_frames=16, seed=1):
     ns.nsq_shaped = spy
     try:
         enc = SilkEncoder()
+        # the device kernel mirrors the single-state quantizer; pin the
+        # encoder to it (the default is the delayed-decision trellis)
+        enc.use_del_dec = False
         enc.set_fs(FS, FS * 1000, NB_SUBFR)
         sig = speechlike(L * (n_frames + 1), seed)
         for f in range(n_frames):
