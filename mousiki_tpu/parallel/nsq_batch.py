@@ -36,10 +36,16 @@ _ORDER = 24                  # shaping AR capacity (kernel SHAPE_ORDER)
 
 
 class NsqBatchExecutor:
-    """Runs S encode tasks on threads, batching their NSQ calls."""
+    """Runs S encode tasks on threads, batching their NSQ calls.
 
-    def __init__(self, n_slots: int):
+    use_del_dec=True (default) runs the (S, 4)-state delayed-decision
+    device trellis (ops/silk_nsq_jax.nsq_del_dec_frame) with warped
+    feedback — the device form of the encoder's default host quantizer;
+    False selects the single-state kernel."""
+
+    def __init__(self, n_slots: int, use_del_dec: bool = True):
         self.S = n_slots
+        self.use_del_dec = use_del_dec
         self._cv = threading.Condition()
         self._running = 0
         self._waiting = []       # parked requests
@@ -51,10 +57,16 @@ class NsqBatchExecutor:
         if (kw["frame_length"] != _L or kw["lpc_order"] != 16
                 or kw["nb_subfr"] != _NB or kw["ltp_mem_length"] != _M
                 or ctl.ar.shape[1] > _ORDER):
+            if self.use_del_dec:
+                from ..silk.nsq_del_dec import nsq_del_dec_best
+                return nsq_del_dec_best(
+                    x, st_nsq, ctl, **kw, n_states=4,
+                    warping=983 * _FS_KHZ / 65536.0)
             from ..silk.noise_shape import nsq_shaped
             return nsq_shaped(x, st_nsq, ctl, **kw)
         req = {"x": np.asarray(x, np.float64), "st": st_nsq, "ctl": ctl,
-               "kw": kw, "event": threading.Event(), "pulses": None}
+               "kw": kw, "event": threading.Event(), "pulses": None,
+               "seed": None}
         with self._cv:
             self._waiting.append(req)
             self._running -= 1
@@ -63,6 +75,8 @@ class NsqBatchExecutor:
         # BEFORE setting its event, so the barrier can never observe a
         # "running == 0" window while a released thread is still resuming
         req["event"].wait()
+        if self.use_del_dec:
+            return req["pulses"], req["seed"]
         return req["pulses"]
 
     # ------------------------------------------------------------ dispatch
@@ -74,8 +88,13 @@ class NsqBatchExecutor:
 
             from ..ops import silk_nsq_jax as dnsq
             self._dnsq = dnsq
-            self._jit = partial(dnsq.nsq_frame, nb_subfr=_NB, sub=_SUB,
-                                M=_M)
+            if self.use_del_dec:
+                self._jit = partial(dnsq.nsq_del_dec_frame, nb_subfr=_NB,
+                                    sub=_SUB, M=_M, n_states=4,
+                                    warping=983 * _FS_KHZ / 65536.0)
+            else:
+                self._jit = partial(dnsq.nsq_frame, nb_subfr=_NB,
+                                    sub=_SUB, M=_M)
         return self._jit
 
     def _dispatch(self, reqs):
@@ -143,8 +162,16 @@ class NsqBatchExecutor:
             st["lag_prev"][i] = stn.lag_prev
             st["prev_gain"][i] = stn.prev_gain
         params = dnsq.NsqParams(**{k: jnp.asarray(v) for k, v in P.items()})
-        state = dnsq.NsqDevState(**{k: jnp.asarray(v) for k, v in st.items()})
-        pulses, _xq, new_state = self._jit(params, state)
+        if self.use_del_dec:
+            state = dnsq.NsqDelDecState(
+                **{k: jnp.asarray(v) for k, v in st.items()})
+            pulses, seed_used, new_state = self._jit(params, state)
+            seed_used = np.asarray(seed_used)
+        else:
+            state = dnsq.NsqDevState(
+                **{k: jnp.asarray(v) for k, v in st.items()})
+            pulses, _xq, new_state = self._jit(params, state)
+            seed_used = None
         pulses = np.asarray(pulses)
         ns_xq = np.asarray(new_state.xq)
         ns_shp = np.asarray(new_state.shp)
@@ -168,6 +195,8 @@ class NsqBatchExecutor:
             stn.lag_prev = int(ns_lag[i])
             stn.prev_gain = float(ns_pg[i])
             r["pulses"] = [int(v) for v in pulses[i]]
+            if seed_used is not None:
+                r["seed"] = int(seed_used[i])
         with self._cv:
             self._running += len(reqs)
         for r in reqs:

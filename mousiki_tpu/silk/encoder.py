@@ -1019,7 +1019,11 @@ class SilkEncoder:
                 ltp_scale_q14=ctrl.ltp_scale_q14,
                 nlsf_interp_flag=ix.nlsf_interp_coef_q2 < 4)
             if nsq_fn is not None:
-                pulses = nsq_fn(x, self.nsq, shape_ctl, **common_kw)
+                out = nsq_fn(x, self.nsq, shape_ctl, **common_kw)
+                if isinstance(out, tuple):
+                    pulses, ix.seed = out   # del-dec: winner's seed index
+                else:
+                    pulses = out
             elif self.use_del_dec:
                 from .nsq_del_dec import nsq_del_dec_best
                 pulses, ix.seed = nsq_del_dec_best(

@@ -186,3 +186,75 @@ def test_nsq_state_chain():
                       == np.asarray(host_pulses, np.int32)).mean())
         worst = min(worst, frac)
     assert worst >= 0.97, worst
+
+
+# ---------------------------------------------------------------------
+# Delayed-decision widening (ops/silk_nsq_jax.nsq_del_dec_frame)
+# ---------------------------------------------------------------------
+
+def harvest_dd(bitrate, n_frames=16, seed=1):
+    """Capture the default encoder's delayed-decision NSQ calls."""
+    import mousiki_tpu.silk.nsq_del_dec as DD
+    from mousiki_tpu.bitstream.entcode import RangeEncoder
+    from mousiki_tpu.silk.encoder import SilkEncoder
+
+    calls = []
+    orig = DD.nsq_del_dec_best
+
+    def spy(x, st_nsq, ctl, **kw):
+        pre = dict(xq=st_nsq.xq.copy(), shp=st_nsq.s_ltp_shp.copy(),
+                   s_lpc=st_nsq.s_lpc.copy(), s_ar2=st_nsq.s_ar2.copy(),
+                   s_lf_ar=st_nsq.s_lf_ar, s_diff=st_nsq.s_diff,
+                   lag_prev=st_nsq.lag_prev, prev_gain=st_nsq.prev_gain)
+        pulses, seed_used = orig(x, st_nsq, ctl, **kw)
+        calls.append((np.asarray(x, np.float64).copy(), pre, ctl,
+                      dict(kw), list(pulses), seed_used))
+        return pulses, seed_used
+
+    DD.nsq_del_dec_best = spy
+    try:
+        enc = SilkEncoder()
+        enc.set_fs(FS, FS * 1000, NB_SUBFR)
+        sig = speechlike(L * (n_frames + 1), seed)
+        for f in range(n_frames):
+            rc = RangeEncoder(1300)
+            enc.encode_frame(rc, sig[f * L:(f + 1) * L].astype(np.float64),
+                             NB_SUBFR, bitrate)
+            rc.done()
+    finally:
+        DD.nsq_del_dec_best = spy and orig
+    return [c for c in calls if c[3]["frame_length"] == L]
+
+
+def test_nsq_del_dec_device_vs_host():
+    """(S, 4)-state device trellis vs the host delayed-decision NSQ on
+    real encoder frames. Like the C++ twin, parity is high-but-not-exact
+    pulse agreement (a float-order boundary flip cascades through the
+    LCG dither), plus energy-level agreement of the quantization."""
+    calls = harvest_dd(24000)
+    assert len(calls) >= 8
+    dd_calls = [(x, pre, ctl, kw, p) for (x, pre, ctl, kw, p, _su)
+                in calls]
+    params, state = to_batch(dd_calls)
+    state = dnsq.NsqDelDecState(*state)     # same field layout
+    w = 983 * 16 / 65536.0
+    pulses, seed_used, _st = dnsq.nsq_del_dec_frame(
+        params, state, nb_subfr=NB_SUBFR, sub=SUB, M=M, n_states=4,
+        warping=w)
+    pulses = np.asarray(pulses)
+    agree, e_ratio = [], []
+    for s, (x, _pre, _ctl, kw, host_pulses, _su) in enumerate(calls):
+        hp = np.asarray(host_pulses, np.int32)
+        frac = float((pulses[s] == hp).mean())
+        agree.append(frac)
+        ge = np.asarray(kw["gains_q16"], np.float64) / 65536.0
+        eh = float(np.sum(hp.astype(np.float64) ** 2)) + 1.0
+        ed = float(np.sum(pulses[s].astype(np.float64) ** 2)) + 1.0
+        e_ratio.append(ed / eh)
+        del ge
+    # most frames should match exactly; any divergent frame must still
+    # be a comparable-rate quantization (energy within 2x)
+    assert float(np.mean(agree)) >= 0.9, agree
+    assert sum(f == 1.0 for f in agree) >= len(agree) // 2, agree
+    for s, r in enumerate(e_ratio):
+        assert 0.5 < r < 2.0, (s, r, agree[s])
