@@ -79,14 +79,18 @@ def sharded_plan_step(mesh: Mesh, channels: int = 2, frame: int = 960):
 
     try:
         from jax import shard_map as _shard_map
-
-        def shard_map(f, mesh, in_specs, out_specs):
-            return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs)
     except ImportError:
         from jax.experimental.shard_map import shard_map as _shard_map
 
-        def shard_map(f, mesh, in_specs, out_specs):
+    def shard_map(f, mesh, in_specs, out_specs):
+        # check_vma=False: pallas_call outputs carry no vma annotation,
+        # which trips the varying-manual-axes checker on the TPU backend
+        # (the deemphasis kernel inside the synthesis step); the stream
+        # axis is embarrassingly parallel so the check buys nothing here
+        try:
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+        except TypeError:   # older jax: no check_vma kwarg
             return _shard_map(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs)
 
@@ -124,14 +128,18 @@ def sharded_plan_step_plc(mesh: Mesh, channels: int = 2, frame: int = 960,
     """
     try:
         from jax import shard_map as _shard_map
-
-        def shard_map(f, mesh, in_specs, out_specs):
-            return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs)
     except ImportError:
         from jax.experimental.shard_map import shard_map as _shard_map
 
-        def shard_map(f, mesh, in_specs, out_specs):
+    def shard_map(f, mesh, in_specs, out_specs):
+        # check_vma=False: pallas_call outputs carry no vma annotation,
+        # which trips the varying-manual-axes checker on the TPU backend
+        # (the deemphasis kernel inside the synthesis step); the stream
+        # axis is embarrassingly parallel so the check buys nothing here
+        try:
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+        except TypeError:   # older jax: no check_vma kwarg
             return _shard_map(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs)
 

@@ -850,8 +850,13 @@ class OpusStreamPipeline:
                         P_s, P_s, P_r, P_r)
             # 6th output = the (unused under the mesh) device-SILK state
             out_specs = (P_s, P_s, P_s, P_s, P_s, P_s)
-            self._step = jax.jit(_sm(inner, mesh=mesh, in_specs=in_specs,
-                                     out_specs=out_specs))
+            try:
+                sm = _sm(inner, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+            except TypeError:   # older jax: no check_vma kwarg
+                sm = _sm(inner, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+            self._step = jax.jit(sm)
         self._mats = plan_combo_mats(channels, 960)
         self.silk_prev = jnp.zeros((self._rows,), jnp.float32)
         self.prev_fs = jnp.full((n_streams,), 16, jnp.int32)
