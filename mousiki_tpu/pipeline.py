@@ -678,8 +678,9 @@ class OpusStreamPipeline:
     switching with transition smoothing — use OpusDecoder for those).
     Mono pipelines take NB/MB/WB SILK, hybrid and mono CELT; stereo
     pipelines take stereo CELT, stereo SILK (native mid/side decode +
-    MS->LR, silk_host.cpp) and mono SILK/hybrid (duplicated to both
-    channels).
+    MS->LR, silk_host.cpp), STEREO HYBRID (joint mid/side WB SILK +
+    stereo CELT resume on one range decoder) and mono SILK (duplicated
+    to both channels).
     """
 
     def __init__(self, n_streams: int, host_threads: int = 0,

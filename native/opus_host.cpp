@@ -35,7 +35,8 @@ int silk_host_decode_lbrr(void* p, const uint8_t* data, int len,
                           int fs_khz, int16_t* xq_out);
 int silk_host_decode_stereo(void* mid_p, void* side_p, int32_t* sst,
                             const uint8_t* data, int len, int fs_khz,
-                            int frame_ms, int16_t* out_l, int16_t* out_r);
+                            int frame_ms, int16_t* out_l, int16_t* out_r,
+                            uint32_t* ec_out);
 int silk_host_plc_stereo(void* mid_p, void* side_p, int32_t* sst,
                          int16_t* out_l, int16_t* out_r);
 int silk_host_decode_symbols(void* p, const uint8_t* data, int len,
@@ -122,7 +123,7 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, void* silk_side,
     if ((config & 3) != 1) return -11;  // 20 ms only on this path
     int fs = config < 4 ? 8 : (config < 8 ? 12 : 16);
     int n = silk_host_decode_stereo(silk_st, silk_side, sst, pay, plen, fs,
-                                    20, silk16, silk16 + 320);
+                                    20, silk16, silk16 + 320, nullptr);
     if (n < 0) return n;
     sst[7] = 1;  // stream has live stereo-SILK state (PLC routing)
     *mode_out = 1;
@@ -130,7 +131,27 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, void* silk_side,
     *stereo_out = 1;
     return 0;
   }
-  if (stereo_pkt) return -14;  // stereo hybrid: per-stream fallback
+  if (stereo_pkt && C == 2 && config >= 12) {
+    // stereo hybrid: joint mid/side WB SILK decode + stereo CELT resume
+    // on the same range decoder (reference decode_frame topology;
+    // round-5 addition — previously a per-stream fallback)
+    if ((config & 1) != 1) return -11;  // 20 ms only
+    int end = config < 14 ? 19 : 21;
+    uint32_t ec[10];
+    int n = silk_host_decode_stereo(silk_st, silk_side, sst, pay, plen, 16,
+                                    20, silk16, silk16 + 320, ec);
+    if (n < 0) return n;
+    sst[7] = 1;
+    int32_t red[3];
+    int elen = celt_host_hybrid_redundancy(ec, pay, plen, red);
+    if (elen <= 0) return -13;
+    *mode_out = 2;
+    *fs_out = 16;
+    *stereo_out = 1;
+    return celt_host_decode_plan_resume(celt_st, pay, elen, 960, C, 17, end,
+                                        disable_inv, arrs, S, s, ec);
+  }
+  if (stereo_pkt) return -14;  // stereo packet in a mono pipeline
   if (config >= 12) {  // hybrid: 12/13 SWB, 14/15 FB (odd = 20 ms)
     if ((config & 1) != 1) return -11;
     int end = config < 14 ? 19 : 21;

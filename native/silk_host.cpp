@@ -1749,7 +1749,8 @@ extern "C" {
 // samples. Returns samples per channel or < 0.
 int silk_host_decode_stereo(void* mid_p, void* side_p, int32_t* sst,
                             const uint8_t* data, int len, int fs_khz,
-                            int frame_ms, int16_t* out_l, int16_t* out_r) {
+                            int frame_ms, int16_t* out_l, int16_t* out_r,
+                            uint32_t* ec_out) {
   SilkState* cs[2] = {(SilkState*)mid_p, (SilkState*)side_p};
   if (!data || len < 1) return -1;
   int n_frames = frame_ms >= 20 ? frame_ms / 20 : 1;
@@ -1871,6 +1872,18 @@ int silk_host_decode_stereo(void* mid_p, void* side_p, int32_t* sst,
     total += L;
   }
   cs[0]->last_rng = dec.rng;
+  if (ec_out) {  // stereo-hybrid handoff (see silk_host_decode_ec)
+    ec_out[0] = dec.offs;
+    ec_out[1] = dec.rng;
+    ec_out[2] = dec.val;
+    ec_out[3] = (uint32_t)dec.nbits_total;
+    ec_out[4] = dec.end_offs;
+    ec_out[5] = dec.end_window;
+    ec_out[6] = (uint32_t)dec.nend_bits;
+    ec_out[7] = (uint32_t)dec.error;
+    ec_out[8] = (uint32_t)dec.rem;
+    ec_out[9] = 0;
+  }
   return dec.error ? -2 : total;
 }
 

@@ -825,3 +825,44 @@ def test_mixed_device_silk_synthesis():
     batch[0] = None
     with pytest.raises(ValueError, match="lossless"):
         pipe_d.step(batch, 960)
+
+
+@needs_oracle
+def test_opus_pipeline_stereo_hybrid():
+    """Stereo hybrid packets in the stereo mixed pipeline (round-5: joint
+    mid/side WB SILK + stereo CELT resume on one range decoder) match the
+    per-stream OpusDecoder, including a loss."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 12
+    sig = oracle.make_test_signal(960 * (F + 1), 2, seed=51)
+    pcm16 = oracle.float_to_i16(sig)
+    enc = oracle.RefEncoder(48000, 2, oracle.APP_VOIP)
+    enc.ctl_set(oracle.SET_BITRATE, 48000)
+    enc.ctl_set(oracle.SET_BANDWIDTH, 1104)   # SWB -> hybrid
+    enc.ctl_set(4006, 1104)                   # cap at SWB (keep hybrid)
+    pkts = [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+            for f in range(F)]
+    if not (pkts[2][0] >> 3) in range(12, 16) or not (pkts[2][0] >> 2) & 1:
+        pytest.skip("oracle did not produce stereo hybrid packets")
+
+    S = 3
+    pipe = OpusStreamPipeline(S, channels=2)
+    refs = [OpusDecoder(48000, 2) for _ in range(S)]
+    for f in range(F):
+        batch = [pkts[f]] * S
+        if f == 7:
+            batch[1] = None
+        got = np.asarray(pipe.step(batch, 960))
+        for s in range(S):
+            want = refs[s].decode(None if batch[s] is None else batch[s],
+                                  960)
+            err = np.abs(got[s] - want).max()
+            tol = 1e-2 if f == 0 else (
+                5e-3 if (batch[s] is None or (f and f - 1 == 7 and s == 1))
+                else 2e-4)
+            assert err < tol, (f, s, err)
