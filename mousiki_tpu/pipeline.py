@@ -679,8 +679,9 @@ class OpusStreamPipeline:
     Mono pipelines take NB/MB/WB SILK, hybrid and mono CELT; stereo
     pipelines take stereo CELT, stereo SILK (native mid/side decode +
     MS->LR, silk_host.cpp), STEREO HYBRID (joint mid/side WB SILK +
-    stereo CELT resume on one range decoder) and mono SILK (duplicated
-    to both channels).
+    stereo CELT resume on one range decoder), MONO HYBRID (mono CELT
+    half direct-decoded with a resumed range decoder, duplicated) and
+    mono SILK (duplicated to both channels).
     """
 
     def __init__(self, n_streams: int, host_threads: int = 0,

@@ -2475,9 +2475,29 @@ void celt_host_get_state(void* p, double* old_ebands, double* old_log_e,
 //   iflags        int32[4]: transient, silence, pf_pitch, pf_tapset
 //   pf_gain       postfilter gain for this frame
 // Returns 0 on success, <0 on error.
+int celt_host_decode_resume(void* p, const uint8_t* data, int len,
+                            int frame_size, int C, int start, int end,
+                            int disable_inv, float* x_out,
+                            double* band_log_e, int32_t* iflags,
+                            double* pf_gain, const uint32_t* ec_in);
+
 int celt_host_decode(void* p, const uint8_t* data, int len, int frame_size,
                      int C, int start, int end, int disable_inv, float* x_out,
                      double* band_log_e, int32_t* iflags, double* pf_gain) {
+  return celt_host_decode_resume(p, data, len, frame_size, C, start, end,
+                                 disable_inv, x_out, band_log_e, iflags,
+                                 pf_gain, nullptr);
+}
+
+// As celt_host_decode, but ec_in (when non-null) resumes a range decoder
+// exported by silk_host_decode_ec / _stereo over the same buffer — the
+// hybrid handoff for the EXACT direct decoder (the plan twin is
+// celt_host_decode_plan_resume).
+int celt_host_decode_resume(void* p, const uint8_t* data, int len,
+                            int frame_size, int C, int start, int end,
+                            int disable_inv, float* x_out,
+                            double* band_log_e, int32_t* iflags,
+                            double* pf_gain, const uint32_t* ec_in) {
   CeltHost* st = (CeltHost*)p;
   int LM = -1;
   for (int lm = 0; lm <= kMaxLM; lm++)
@@ -2488,7 +2508,22 @@ int celt_host_decode(void* p, const uint8_t* data, int len, int frame_size,
 
   EcDec dec_s;
   EcDec* dec = &dec_s;
-  ec_dec_init(dec, data, (uint32_t)len);
+  if (ec_in) {
+    dec->buf = data;
+    dec->storage = (uint32_t)len;
+    dec->offs = ec_in[0];
+    dec->rng = ec_in[1];
+    dec->val = ec_in[2];
+    dec->nbits_total = (int)ec_in[3];
+    dec->end_offs = ec_in[4];
+    dec->end_window = ec_in[5];
+    dec->nend_bits = (int)ec_in[6];
+    dec->error = (int)ec_in[7];
+    dec->rem = (int)ec_in[8];
+    dec->ext = 0;
+  } else {
+    ec_dec_init(dec, data, (uint32_t)len);
+  }
   int length = len;
 
   double* old_band_e = st->old_ebands;
@@ -3060,6 +3095,24 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
 
   if (ec_tell(dec) > 8 * length) return -2;
   return dec->error ? -3 : 0;
+}
+
+// Zero stream s's plan flag planes (the per-entry memset block of
+// celt_host_decode_plan) — used by callers that route a stream to the
+// direct decoder WITHOUT running the plan decode (opus_host's
+// mono-hybrid-in-stereo path): stale plan rows would otherwise execute.
+void celt_host_plan_clear_stream(void** arrs, int s) {
+  size_t cs = (size_t)s;
+  ((uint8_t*)arrs[0])[cs] = 0;                          // direct
+  ((uint16_t*)arrs[2])[cs] = 0;                         // pvq_cnt
+  memset((uint8_t*)arrs[3] + cs * NB * 2, 0, NB * 2);   // call_flags
+  memset((uint8_t*)arrs[8] + cs * kFillPool, 0, kFillPool);    // fill_cid
+  memset((uint8_t*)arrs[13] + cs * NB, 0, NB);          // bm_flags
+  memset((uint8_t*)arrs[16] + cs * NB * 2, 0, NB * 2);  // n1_as
+  ((uint8_t*)arrs[17])[cs] = 0;                         // ac_on
+  memset((int16_t*)arrs[7] + cs * kDupPool * 4, 0,
+         kDupPool * 4 * sizeof(int16_t));               // dup_pool
+  ((uint8_t*)arrs[28])[cs] = 0;                         // spread8
 }
 
 // Batched plan decode across S independent streams (threaded like

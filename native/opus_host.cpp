@@ -27,6 +27,12 @@ int celt_host_decode_plan_resume(void* p, const uint8_t* data, int len,
                                  const uint32_t* ec_in);
 int celt_host_hybrid_redundancy(uint32_t* ec, const uint8_t* data, int len,
                                 int32_t* out);
+int celt_host_decode_resume(void* p, const uint8_t* data, int len,
+                            int frame_size, int C, int start, int end,
+                            int disable_inv, float* x_out,
+                            double* band_log_e, int32_t* iflags,
+                            double* pf_gain, const uint32_t* ec_in);
+void celt_host_plan_clear_stream(void** arrs, int s);
 // silk_host.cpp
 int silk_host_decode_ec(void* p, const uint8_t* data, int len, int fs_khz,
                         int frame_ms, int16_t* xq_out, uint32_t* ec_out);
@@ -166,9 +172,29 @@ int opus_host_decode_plan(void* celt_st, void* silk_st, void* silk_side,
     int elen = celt_host_hybrid_redundancy(ec, pay, plen, red);
     if (elen <= 0) return -13;
     *mode_out = 2;
-    // the hybrid CELT half is coded mono or stereo per the TOC; this
-    // path reaches here only for mono packets (C==1 layout)
-    if (C != 1) return -14;
+    if (C == 2) {
+      // mono hybrid packet in a stereo pipeline: the CELT half is coded
+      // MONO, which cannot land in the C=2 plan arena layout — run the
+      // exact direct decoder (C=1, resumed range decoder) and duplicate
+      // its unit-norm spectrum into both x_direct channels; the plan
+      // flag planes for this stream are cleared so only x_direct plays
+      celt_host_plan_clear_stream(arrs, s);
+      float* xd = (float*)arrs[21] + (size_t)s * 2 * 960;
+      double* ble = (double*)arrs[22] + (size_t)s * 42;
+      int32_t* ifl = (int32_t*)arrs[23] + (size_t)s * 4;
+      double* pg = (double*)arrs[24] + s;
+      float tmp[960];
+      int rc = celt_host_decode_resume(celt_st, pay, elen, 960, 1, 17, end,
+                                       disable_inv, tmp, ble, ifl, pg, ec);
+      if (rc < 0) return rc;
+      ((uint8_t*)arrs[0])[s] = 1;  // direct fallback flag
+      memcpy(xd, tmp, 960 * sizeof(float));
+      memcpy(xd + 960, tmp, 960 * sizeof(float));
+      float* ble32 = (float*)arrs[26] + (size_t)s * 42;
+      for (int i = 0; i < 42; i++) ble32[i] = (float)ble[i];
+      ((float*)arrs[27])[s] = (float)pg[0];
+      return 0;
+    }
     return celt_host_decode_plan_resume(celt_st, pay, elen, 960, C, 17, end,
                                         disable_inv, arrs, S, s, ec);
   }

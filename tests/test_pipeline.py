@@ -866,3 +866,38 @@ def test_opus_pipeline_stereo_hybrid():
                 5e-3 if (batch[s] is None or (f and f - 1 == 7 and s == 1))
                 else 2e-4)
             assert err < tol, (f, s, err)
+
+
+@needs_oracle
+def test_opus_pipeline_mono_hybrid_in_stereo():
+    """Mono hybrid packets in a STEREO pipeline (round-5: mono CELT half
+    direct-decoded with a resumed range decoder and duplicated into both
+    x_direct channels) match the per-stream stereo OpusDecoder."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 10
+    sig = oracle.make_test_signal(960 * (F + 1), 1, seed=61)
+    pcm16 = oracle.float_to_i16(sig)
+    enc = oracle.RefEncoder(48000, 1, oracle.APP_VOIP)
+    enc.ctl_set(oracle.SET_BITRATE, 40000)
+    enc.ctl_set(oracle.SET_BANDWIDTH, 1104)
+    pkts = [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+            for f in range(F)]
+    assert (pkts[2][0] >> 3) in range(12, 16)
+    assert not (pkts[2][0] >> 2) & 1   # mono TOC
+
+    S = 3
+    pipe = OpusStreamPipeline(S, channels=2)
+    refs = [OpusDecoder(48000, 2) for _ in range(S)]
+    for f in range(F):
+        batch = [pkts[f]] * S
+        got = np.asarray(pipe.step(batch, 960))
+        for s in range(S):
+            want = refs[s].decode(batch[s], 960)
+            err = np.abs(got[s] - want).max()
+            tol = 1e-2 if f == 0 else 2e-4
+            assert err < tol, (f, s, err)
