@@ -700,8 +700,8 @@ class OpusStreamPipeline:
         self.mesh = mesh
         if silk_synthesis not in ("host", "device"):
             raise ValueError("silk_synthesis must be 'host' or 'device'")
-        if silk_synthesis == "device" and (channels != 1 or mesh is not None):
-            raise ValueError("device SILK synthesis: mono, no mesh (v1)")
+        if silk_synthesis == "device" and channels != 1:
+            raise ValueError("device SILK synthesis: mono pipelines (v1)")
         self._silk_device = silk_synthesis == "device"
         self._native_shards = None
         if mesh is not None:
@@ -850,7 +850,9 @@ class OpusStreamPipeline:
             P_s, P_r = P("streams"), P()
             in_specs = (P_r, P_r, P_s, P_s, P_s, P_s, P_s, P_s, P_s, P_s,
                         P_s, P_s, P_r, P_r)
-            # 6th output = the (unused under the mesh) device-SILK state
+            if self._silk_device:
+                # + sf, si, silk_dev_state, dev_mask (all stream-sharded)
+                in_specs = in_specs + (P_s, P_s, P_s, P_s)
             out_specs = (P_s, P_s, P_s, P_s, P_s, P_s)
             try:
                 sm = _sm(inner, mesh=mesh, in_specs=in_specs,
@@ -870,6 +872,8 @@ class OpusStreamPipeline:
             self._last_real_mode = np.zeros(n_streams, np.int32)
         if mesh is not None:
             from .parallel.streaming import replicate, shard_state
+            if self.silk_dev_state is not None:
+                self.silk_dev_state = shard_state(mesh, self.silk_dev_state)
             self.state = shard_state(mesh, self.state)
             self.plc_state = shard_state(mesh, self.plc_state)
             self.rs_states = shard_state(mesh, self.rs_states)
@@ -1069,7 +1073,8 @@ class OpusStreamPipeline:
 
         n_dev = self.mesh.devices.size
         S_loc = self.S // n_dev
-        parts = {"backing": [], "xd": [], "rows": [], "fs": [], "st": []}
+        parts = {"backing": [], "xd": [], "rows": [], "fs": [], "st": [],
+                 "sf": [], "si": []}
         modes_all = []
         any_direct = False
         for d, nat in enumerate(self._native_shards):
@@ -1077,8 +1082,15 @@ class OpusStreamPipeline:
             sub = packets[lo: lo + S_loc]
             fec_sub = (None if fec_packets is None
                        else fec_packets[lo: lo + S_loc])
-            (arenas, aux, layout, silk16, modes, silk_fs,
-             silk_stereo) = nat.decode(sub, 960, fec_sub)
+            if self._silk_device:
+                (arenas, aux, layout, silk16, modes, silk_fs,
+                 silk_stereo, sparams) = nat.decode(
+                    sub, 960, fec_sub, silk_params=True)
+                parts["sf"].append(sparams[0].copy())
+                parts["si"].append(sparams[1].copy())
+            else:
+                (arenas, aux, layout, silk16, modes, silk_fs,
+                 silk_stereo) = nat.decode(sub, 960, fec_sub)
             if _fills:
                 for s, (chunk, fs) in _fills.items():
                     if lo <= s < lo + S_loc:
@@ -1118,12 +1130,37 @@ class OpusStreamPipeline:
         self._prev_xfer = [backing_dev, rows_dev, st_dev]
         if xd is not self._xd_zeros:
             self._prev_xfer.append(xd)
-        (pcm, self.state, self.plc_state, self.rs_states,
-         self.silk_prev, _) = self._step(
-            self.consts, self._plc_consts, self.state, self.plc_state,
-            self.rs_states, self.prev_fs, self.silk_prev,
-            backing_dev, xd, rows_dev, fs_dev, st_dev,
-            self._mats, self._up_ws)
+        if self._silk_device:
+            modes_np = np.asarray(modes_all, np.int32)
+            concealed = np.isin(modes_np, (3, 4))
+            bad = concealed & (self._last_real_mode == 5)
+            if bad.any():
+                raise ValueError(
+                    "silk_synthesis='device' serves lossless SILK "
+                    f"streams; stream {int(np.argmax(bad))} lost a frame")
+            self._last_real_mode = np.where(concealed,
+                                            self._last_real_mode, modes_np)
+            sf_dev = mk("sf")
+            si_dev = mk("si")
+            dev_mask = make_global_sharded(
+                self.mesh, [m == 5 for m in
+                            (np.asarray(modes_all[d * S_loc:(d + 1) * S_loc],
+                                        np.int32) for d in range(n_dev))])
+            self._prev_xfer.extend([sf_dev, si_dev])
+            (pcm, self.state, self.plc_state, self.rs_states,
+             self.silk_prev, self.silk_dev_state) = self._step(
+                self.consts, self._plc_consts, self.state, self.plc_state,
+                self.rs_states, self.prev_fs, self.silk_prev,
+                backing_dev, xd, rows_dev, fs_dev, st_dev,
+                self._mats, self._up_ws, sf_dev, si_dev,
+                self.silk_dev_state, dev_mask)
+        else:
+            (pcm, self.state, self.plc_state, self.rs_states,
+             self.silk_prev, _) = self._step(
+                self.consts, self._plc_consts, self.state, self.plc_state,
+                self.rs_states, self.prev_fs, self.silk_prev,
+                backing_dev, xd, rows_dev, fs_dev, st_dev,
+                self._mats, self._up_ws)
         if self.prev_fs is not fs_dev:
             self._prev_xfer.append(self.prev_fs)
         self.prev_fs = fs_dev

@@ -901,3 +901,46 @@ def test_opus_pipeline_mono_hybrid_in_stereo():
             err = np.abs(got[s] - want).max()
             tol = 1e-2 if f == 0 else 2e-4
             assert err < tol, (f, s, err)
+
+
+@needs_oracle
+def test_mixed_sharded_device_silk_matches_unsharded():
+    """Device-SILK opt-in under the mesh: sharded vs unsharded exact."""
+    import jax
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    from mousiki_tpu.parallel.streaming import make_mesh
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 8
+    sig = oracle.make_test_signal(960 * (F + 1), 1, seed=71)
+    pcm16 = oracle.float_to_i16(sig)
+
+    def enc_stream(app, bitrate, bw=None):
+        enc = oracle.RefEncoder(48000, 1, app)
+        enc.ctl_set(oracle.SET_BITRATE, bitrate)
+        if bw is not None:
+            enc.ctl_set(oracle.SET_BANDWIDTH, bw)
+        return [enc.encode(pcm16[f * 960:(f + 1) * 960].reshape(-1))
+                for f in range(F)]
+
+    n_dev = len(jax.devices())
+    base = [enc_stream(oracle.APP_VOIP, 16000, 1103),           # SILK WB
+            enc_stream(oracle.APP_RESTRICTED_LOWDELAY, 96000)]  # CELT
+    S = 2 * n_dev
+    streams = [base[s % 2] for s in range(S)]
+    mesh = make_mesh()
+    pipe_m = OpusStreamPipeline(S, mesh=mesh, silk_synthesis="device")
+    pipe_r = OpusStreamPipeline(S, silk_synthesis="device")
+    saw_dev = False
+    for f in range(F):
+        batch = [streams[s][f] for s in range(S)]
+        got = np.asarray(pipe_m.step(batch, 960))
+        want = np.asarray(pipe_r.step(batch, 960))
+        if pipe_m.last_modes is not None and 5 in list(pipe_m.last_modes):
+            saw_dev = True
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+    assert saw_dev
