@@ -893,12 +893,14 @@ class OpusStreamPipeline:
         """Feeder mode: queue one packet (or None = one lost 20 ms tick)
         for stream s, then call tick() to decode 20 ms for all streams.
 
-        Accepts multi-frame packets (codes 1-3) and 40/60 ms SILK frames
-        (reference packet framing, src/packet.rs:316): CELT and hybrid
-        frames are 20 ms each and re-wrapped as code-0 packets; 40/60 ms
-        SILK frames decode natively in one call at tick time and feed
-        20 ms chunks. 2.5-10 ms frames need the OpusDecoder path (the
-        fused device step is fixed at 960 samples)."""
+        Accepts multi-frame packets (codes 1-3) and 10/40/60 ms SILK
+        frames (reference packet framing, src/packet.rs:316): CELT and
+        hybrid frames are 20 ms each and re-wrapped as code-0 packets;
+        40/60 ms SILK frames decode natively in one call at tick time
+        and feed 20 ms chunks; 10 ms SILK frames pair up per tick (an
+        unpaired half zero-pads its second 10 ms). 2.5-10 ms CELT and
+        10 ms hybrid frames need the OpusDecoder path (the fused device
+        step is fixed at 960 samples)."""
         from collections import deque
 
         from .bitstream.packet import parse_packet
@@ -925,13 +927,17 @@ class OpusStreamPipeline:
                 q.append(("f", toc0 + f))
         else:  # SILK: 10/20/40/60 ms
             dur = (10, 20, 40, 60)[config & 3]
+            fs = 8 if config < 4 else (12 if config < 8 else 16)
             if dur == 10:
-                raise ValueError("feeder supports >= 20 ms SILK frames only")
-            if dur == 20:
+                # half-tick frames: paired up at tick time (a steady
+                # 10 ms stream delivers two packets per 20 ms tick); an
+                # unpaired half zero-pads its second 10 ms
+                for f in frames:
+                    q.append(("h", f, fs))
+            elif dur == 20:
                 for f in frames:
                     q.append(("f", toc0 + f))
             else:
-                fs = 8 if config < 4 else (12 if config < 8 else 16)
                 for f in frames:
                     q.append(("m", f, fs, dur))
 
@@ -952,6 +958,18 @@ class OpusStreamPipeline:
                 continue
             if item[0] == "f":
                 packets[s] = item[1]
+                continue
+            if item[0] == "h":  # 10 ms SILK half-tick frames, paired
+                _, pay, fs = item
+                half1 = self._native.decode_silk_frames(s, pay, fs, 10)
+                if q and q[0][0] == "h" and q[0][2] == fs:
+                    _, pay2, _ = q.popleft()
+                    half2 = self._native.decode_silk_frames(s, pay2, fs, 10)
+                else:
+                    half2 = np.zeros(10 * fs, np.int16)  # half underrun
+                chunk = np.concatenate([half1, half2])
+                fills[s] = (chunk, fs)
+                packets[s] = SKIP
                 continue
             if item[0] == "m":  # head of a 40/60 ms SILK frame: decode now
                 _, pay, fs, dur = item

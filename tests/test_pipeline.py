@@ -944,3 +944,43 @@ def test_mixed_sharded_device_silk_matches_unsharded():
             saw_dev = True
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
     assert saw_dev
+
+
+@needs_oracle
+def test_opus_pipeline_feeder_10ms_silk():
+    """10 ms SILK packets pair up per 20 ms tick in the feeder
+    (round 5): output matches the per-stream OpusDecoder fed the same
+    10 ms packets."""
+    from mousiki_tpu import opus_host_native
+    if not opus_host_native.available():
+        pytest.skip("native opus host lib unavailable")
+    from mousiki_tpu.opus_decoder import OpusDecoder
+    from mousiki_tpu.pipeline import OpusStreamPipeline
+
+    F = 20   # 10 ms packets
+    sig = oracle.make_test_signal(480 * (F + 2), 1, seed=81)
+    pcm16 = oracle.float_to_i16(sig)
+    enc = oracle.RefEncoder(48000, 1, oracle.APP_VOIP)
+    enc.ctl_set(oracle.SET_BITRATE, 20000)
+    enc.ctl_set(oracle.SET_BANDWIDTH, 1103)   # WB -> SILK
+    pkts = [enc.encode(pcm16[f * 480:(f + 1) * 480].reshape(-1))
+            for f in range(F)]
+    cfg = pkts[3][0] >> 3
+    assert cfg < 12 and (cfg & 3) == 0, hex(pkts[3][0])  # 10 ms SILK
+
+    S = 2
+    pipe = OpusStreamPipeline(S)
+    ref = OpusDecoder(48000, 1)
+    outs, wants = [], []
+    for t in range(F // 2):
+        for s in range(S):
+            pipe.push(s, pkts[2 * t])
+            pipe.push(s, pkts[2 * t + 1])
+        pcm = np.asarray(pipe.tick())
+        outs.append(pcm[0])
+        wants.append(np.concatenate([ref.decode(pkts[2 * t], 480),
+                                     ref.decode(pkts[2 * t + 1], 480)]))
+    got = np.concatenate(outs, axis=0)
+    want = np.concatenate(wants, axis=0)
+    err = np.abs(got - want).max()
+    assert err < 2e-4, err
